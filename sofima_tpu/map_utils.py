@@ -1,0 +1,461 @@
+"""Coordinate-map algebra for volume-backed coordinate maps.
+
+A coordinate map is a dense `[2 or 3, z, y, x]` float array of *relative*
+offsets (Δx, Δy[, Δz]), channel order xy[z], mapping `x -> u = x + Δx` etc.
+Maps have a `stride` (pixel distance between map nodes) and may be anchored
+by a BoundingBox. Invalid entries are NaN. This mirrors the data contract
+of the reference (/root/reference/map_utils.py:15-53) — the compatibility
+surface of the whole framework — while replacing every scattered
+(Qhull/Delaunay) CPU algorithm with dense, jit-compiled device programs:
+
+  * `fill_missing`    — multigrid harmonic fill + jump-flooding
+                        extrapolation (ops.fill) instead of
+                        LinearND/NearestNDInterpolator
+                        (/root/reference/map_utils.py:227-304)
+  * `invert_map`      — damped fixed-point inversion with bilinear map
+                        sampling instead of scattered interpolation of
+                        swapped points (/root/reference/map_utils.py:392-487)
+  * `resample_map`    — dense grid resampling with NaN propagation instead
+                        of per-section Delaunay (/root/reference/map_utils.py:490-546)
+  * `compose_maps(_fast)` — vmapped gather composition
+                        (/root/reference/map_utils.py:549-734)
+
+Composition/inversion identities preserved:
+  comp(a, b)^-1 = comp(b^-1, a^-1)
+  warp(img, comp(a, b)) = warp(warp(img, b), a)
+"""
+
+from __future__ import annotations
+
+import collections.abc
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sofima_tpu.ops import fill as fill_ops
+from sofima_tpu.ops import interp
+from sofima_tpu.utils.bounding_box import BoundingBox
+
+StrideZYX = float | Sequence[float]
+ShapeZYX = tuple[int, int] | tuple[int, int, int]
+
+
+def _as_vec(value: StrideZYX, dim: int) -> tuple[float, ...]:
+  if not isinstance(value, collections.abc.Sequence):
+    return (float(value),) * dim
+  assert len(value) == dim, f'Dimension mismatch: {value=} vs {dim=}'
+  return tuple(float(v) for v in value)
+
+
+def _identity_map_absolute(coord_shape: ShapeZYX,
+                           stride: StrideZYX) -> list[np.ndarray]:
+  """Identity map in absolute form: [z -> z·sz,] y -> y·sy, x -> x·sx."""
+  dim = len(coord_shape)
+  stride = _as_vec(stride, dim)
+  return [
+      hx * step for hx, step in zip(
+          np.mgrid[[np.s_[:s] for s in coord_shape]], stride)
+  ]
+
+
+def to_absolute(coord_map: np.ndarray, stride: StrideZYX,
+                box: BoundingBox | None = None) -> np.ndarray:
+  """Relative (Δ offsets) -> absolute (target positions) conversion."""
+  coord_map = np.array(coord_map)
+  dim = coord_map.shape[0]
+  stride = _as_vec(stride, dim)
+  off_zyx = _identity_map_absolute(coord_map.shape[-dim:], stride)
+  if box is not None:
+    if not np.all(coord_map.shape[-dim:][::-1] == box.size[:dim]):
+      raise ValueError(
+          f'box size {box.size} mismatch with map shape {coord_map.shape}')
+    off_zyx = [
+        o + start * step for o, step, start in zip(
+            off_zyx, stride, box.start[:dim][::-1])
+    ]
+  for i in range(dim):
+    coord_map[i, ...] += off_zyx[-(i + 1)]
+  return coord_map
+
+
+def to_relative(coord_map: np.ndarray, stride: StrideZYX,
+                box: BoundingBox | None = None) -> np.ndarray:
+  """Absolute (target positions) -> relative (Δ offsets) conversion."""
+  coord_map = np.array(coord_map)
+  dim = coord_map.shape[0]
+  stride = _as_vec(stride, dim)
+  off_zyx = _identity_map_absolute(coord_map.shape[-dim:], stride)
+  if box is not None:
+    if not np.all(coord_map.shape[-dim:][::-1] == box.size[:dim]):
+      raise ValueError(
+          f'box size {box.size} mismatch with map shape {coord_map.shape}')
+    for i in range(dim):
+      off_zyx[-(i + 1)] += box.start[i] * stride[-(i + 1)]
+  for i in range(dim):
+    coord_map[i, ...] -= off_zyx[-(i + 1)]
+  return coord_map
+
+
+def fill_missing(coord_map: np.ndarray, *, extrapolate: bool = False,
+                 invalid_to_zero: bool = False,
+                 interpolate_first: bool = True) -> np.ndarray:
+  """Fills NaN entries of a coordinate map.
+
+  2d maps ([2, z, y, x]) are treated as independent per-z sections.
+  """
+  coord_map = np.asarray(coord_map, dtype=np.float32)
+  if not np.any(np.isnan(coord_map)):
+    return coord_map.copy()
+
+  dim = coord_map.shape[0]
+
+  def _one(section: jnp.ndarray) -> jnp.ndarray:
+    valid = jnp.all(jnp.isfinite(section), axis=0)
+    if interpolate_first:
+      return fill_ops.fill_invalid(section, valid, extrapolate=extrapolate)
+    if extrapolate:
+      return fill_ops.nearest_fill(section, valid)
+    return section
+
+  if dim == 2:
+    sections = jnp.asarray(np.moveaxis(coord_map, 1, 0))  # [z, 2, y, x]
+    out = np.array(jax.vmap(_one)(sections))
+    out = np.moveaxis(out, 0, 1)
+  else:
+    out = np.array(_one(jnp.asarray(coord_map)))
+
+  if invalid_to_zero:
+    # Fully-invalid sections/volumes reset to the identity map (zeros).
+    if dim == 2:
+      all_invalid = np.all(np.isnan(coord_map), axis=(0, 2, 3))
+      out[:, all_invalid, :, :] = 0.0
+    elif np.all(np.isnan(coord_map)):
+      out[...] = 0.0
+  return out
+
+
+def outer_box(coord_map: np.ndarray, box: BoundingBox, stride: StrideZYX,
+              target_len: StrideZYX | None = None) -> BoundingBox:
+  """Bounding box covering all (u, v[, w]) targets of the map."""
+  abs_map = to_absolute(np.asarray(coord_map, np.float64), stride, box)
+  extents_xyz = [(np.nanmin(c), np.nanmax(c)) for c in abs_map]
+
+  dim = coord_map.shape[0]
+  target_len_xyz = _as_vec(
+      target_len if target_len is not None else stride, dim)[::-1]
+  start = box.start.copy()
+  size = box.size.copy()
+  for i, ((x_min, x_max), tl) in enumerate(zip(extents_xyz, target_len_xyz)):
+    lo = int(x_min) // int(tl)
+    start[i] = lo
+    size[i] = -(int(-x_max) // int(tl)) - lo + 1
+  return BoundingBox(start, size)
+
+
+def inner_box(coord_map: np.ndarray, box: BoundingBox,
+              stride: StrideZYX) -> BoundingBox:
+  """Box of targets guaranteed to be covered by the map's image."""
+  dim = coord_map.shape[0]
+  assert dim in (2, 3)
+  stride = _as_vec(stride, dim)
+  int_map = to_absolute(
+      fill_missing(coord_map, extrapolate=True), stride, box)
+  x0 = np.max(np.min(int_map[0, ...], axis=-1))
+  x1 = np.min(np.max(int_map[0, ...], axis=-1))
+  y0 = np.max(np.min(int_map[1, ...], axis=-2))
+  y1 = np.min(np.max(int_map[1, ...], axis=-2))
+
+  x0 = int(-(-x0 // stride[-1]))
+  y0 = int(-(-y0 // stride[-2]))
+  x1 = int(x1 // stride[-1])
+  y1 = int(y1 // stride[-2])
+
+  if dim == 2:
+    return BoundingBox(
+        start=(x0, y0, int(box.start[2])),
+        size=(x1 - x0 + 1, y1 - y0 + 1, int(box.size[2])))
+
+  z0 = np.max(np.min(int_map[2, ...], axis=-3))
+  z1 = np.min(np.max(int_map[2, ...], axis=-3))
+  z0 = int(-(-z0 // stride[0]))
+  z1 = int(z1 // stride[0])
+  return BoundingBox(start=(x0, y0, z0),
+                     size=(x1 - x0 + 1, y1 - y0 + 1, z1 - z0 + 1))
+
+
+@functools.partial(jax.jit, static_argnames=['num_iters', 'tol'])
+def _invert_section(abs_map_xy: jnp.ndarray, src_start_yx: jnp.ndarray,
+                    query_xy: jnp.ndarray, stride_yx: jnp.ndarray,
+                    num_iters: int = 32, tol: float = 1e-2) -> jnp.ndarray:
+  """Fixed-point inversion of one (2d or 3d) absolute coordinate map.
+
+  Solves F(p) = q for p, where F(p) = p + d(p) and d is the relative
+  offset field sampled bilinearly from the map grid. Iterates the damped
+  fixed point p <- p + 0.6 (q - F(p)); converges for the near-identity,
+  smooth maps produced by mesh relaxation. Queries outside the image of
+  the map fail the residual check and yield NaN — mirroring the
+  convex-hull NaN semantics of scattered inversion.
+
+  Args:
+    abs_map_xy: [dim, *grid] absolute map (channels in xy[z] order)
+    src_start_yx: [dim] grid origin ([z]yx order, in node units)
+    query_xy: [dim, *out] query points in physical units, xy[z] channels
+    stride_yx: [dim] node spacing ([z]yx)
+    num_iters: fixed-point iterations
+    tol: residual tolerance in units of stride
+
+  Returns:
+    [dim, *out] source positions (absolute, xy[z] channels), NaN where
+    inversion failed
+  """
+  dim = abs_map_xy.shape[0]
+  # Relative offsets on the grid: d = F(grid) - grid.
+  grid_zyx = jnp.meshgrid(
+      *[jnp.arange(n, dtype=jnp.float32) for n in abs_map_xy.shape[1:]],
+      indexing='ij')
+  d_xy = jnp.stack([
+      abs_map_xy[c] -
+      (grid_zyx[dim - 1 - c] + src_start_yx[dim - 1 - c]) * stride_yx[dim - 1 - c]
+      for c in range(dim)
+  ])
+
+  def sample_d(p_xy):
+    # Physical -> grid index coords, zyx-ordered for sampling.
+    idx = jnp.stack([
+        p_xy[dim - 1 - a] / stride_yx[a] - src_start_yx[a]
+        for a in range(dim)
+    ])
+    return interp.sample_channels(d_xy, idx, method='linear',
+                                  mode='constant', cval=np.nan)
+
+  def body(_, p):
+    f = p + sample_d(p)
+    step = query_xy - f
+    p_new = p + 0.6 * step
+    # Keep NaN (diverged / outside) pinned so it cannot resurrect.
+    return jnp.where(jnp.isnan(p_new), jnp.nan, p_new)
+
+  p = jax.lax.fori_loop(0, num_iters, body, query_xy)
+  resid = jnp.abs(p + sample_d(p) - query_xy)
+  max_stride = jnp.max(stride_yx)
+  ok = jnp.all(resid <= tol * max_stride, axis=0)
+  return jnp.where(ok[None], p, jnp.nan)
+
+
+def invert_map(coord_map: np.ndarray, src_box: BoundingBox,
+               dst_box: BoundingBox, stride: StrideZYX) -> np.ndarray:
+  """Inverts an (x, y[, z]) -> (u, v[, w]) map over `dst_box`."""
+  coord_map = np.asarray(coord_map, np.float32)
+  dim = coord_map.shape[0]
+  stride_v = _as_vec(stride, dim)
+  # Shift the coordinate origin to dst_box.start for precision.
+  src_box = src_box.adjusted_by(start=-dst_box.start, end=-dst_box.start)
+  dst_box = dst_box.adjusted_by(start=-dst_box.start, end=-dst_box.start)
+
+  src_start_yx = jnp.asarray(
+      [float(src_box.start[dim - 1 - i]) for i in range(dim)])
+  stride_yx = jnp.asarray(stride_v)
+
+  # Query grid (absolute physical coordinates of dst nodes), xy[z] channels.
+  qgrids = np.mgrid[[np.s_[:int(dst_box.size[dim - 1 - i])]
+                     for i in range(dim)]]
+  query = np.stack([
+      (qgrids[dim - 1 - c] + dst_box.start[c]) * stride_v[dim - 1 - c]
+      for c in range(dim)
+  ]).astype(np.float32)
+  query_j = jnp.asarray(query)
+
+  abs_map = to_absolute(coord_map, stride_v, src_box)
+  # Span holes by interpolation first (Delaunay spans holes across the
+  # triangulation; our dense inversion needs a continuous field).
+  abs_map = fill_missing(abs_map, extrapolate=False)
+
+  if dim == 2:
+    sections = jnp.asarray(np.moveaxis(abs_map, 1, 0))  # [z, 2, y, x]
+    inv = jax.vmap(
+        lambda m: _invert_section(m, src_start_yx, query_j, stride_yx))(
+            sections)
+    inv = np.moveaxis(np.array(inv), 0, 1)
+  else:
+    inv = np.array(
+        _invert_section(jnp.asarray(abs_map), src_start_yx, query_j,
+                        stride_yx))
+
+  return to_relative(inv.astype(np.float32), stride_v, dst_box)
+
+
+@functools.partial(jax.jit, static_argnames=['method'])
+def _resample_section(section: jnp.ndarray, coords: jnp.ndarray,
+                      method: str) -> jnp.ndarray:
+  return interp.sample_channels(section, coords, method=method,
+                                mode='constant', cval=np.nan)
+
+
+def resample_map(coord_map: np.ndarray, src_box: BoundingBox,
+                 dst_box: BoundingBox, src_stride: float, dst_stride: float,
+                 method: str = 'linear') -> np.ndarray:
+  """Resamples a 2d coordinate map to a new node grid/stride.
+
+  Offsets are in pixels and are therefore NOT rescaled; only the node grid
+  changes. NaN entries poison interpolated values touching them (matching
+  the valid-support-only semantics of scattered resampling).
+  """
+  assert coord_map.shape[0] == 2
+  coord_map = np.asarray(coord_map, np.float32)
+
+  tg_y, tg_x = np.mgrid[:int(dst_box.size[1]), :int(dst_box.size[0])]
+  # Physical coords of target nodes -> source grid index coords.
+  src_y = ((tg_y + dst_box.start[1]) * dst_stride) / src_stride - src_box.start[1]
+  src_x = ((tg_x + dst_box.start[0]) * dst_stride) / src_stride - src_box.start[0]
+  coords = jnp.asarray(np.stack([src_y, src_x]).astype(np.float32))
+
+  sections = jnp.asarray(np.moveaxis(coord_map, 1, 0))
+  out = jax.vmap(lambda s: _resample_section(s, coords, method))(sections)
+  return np.moveaxis(np.array(out), 0, 1)
+
+
+def compose_maps_fast(map1: jnp.ndarray, start1: Sequence[float],
+                      stride1: StrideZYX, map2: jnp.ndarray,
+                      start2: Sequence[float], stride2: StrideZYX,
+                      mode: str = 'nearest') -> jnp.ndarray:
+  """Composes two coordinate maps on device: result = map2 ∘ map1.
+
+  Invalid (NaN) entries in either map propagate to the output — they are
+  NOT interpolated (contract of /root/reference/map_utils.py:616-643).
+
+  Args:
+    map1/map2: [2 or 3, z, y, x] relative maps
+    start1/start2: [z]yx origins (node units)
+    stride1/stride2: node spacing, scalar or [z]yx
+    mode: 'nearest' (edge clamp) or 'constant' (outside -> NaN)
+
+  Returns:
+    [2 or 3, z, y, x] composed map over map1's grid
+  """
+  assert map1.shape[0] == map2.shape[0]
+  dim = map1.shape[0]
+  stride1 = _as_vec(stride1, dim)
+  stride2 = _as_vec(stride2, dim)
+  map1 = jnp.asarray(map1, jnp.float32)
+  map2 = jnp.asarray(map2, jnp.float32)
+  start1 = jnp.asarray(start1, jnp.float32)
+  start2 = jnp.asarray(start2, jnp.float32)
+
+  return _compose_maps_fast_impl(map1, start1, stride1, map2, start2,
+                                 stride2, mode, dim)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=['stride1', 'stride2', 'mode', 'dim'])
+def _compose_maps_fast_impl(map1, start1, stride1, map2, start2, stride2,
+                            mode, dim):
+  def _ref_grid(coord_map, start, stride):
+    ranges = []
+    for i in range(dim):
+      ranges.append(
+          jnp.arange(coord_map.shape[coord_map.ndim - dim + i],
+                     dtype=jnp.float32) + start[-dim:][i])
+    ref = jnp.meshgrid(*ranges, indexing='ij')
+    return [a * b for a, b in zip(ref, stride)]  # physical coords, [z]yx
+
+  ref1 = _ref_grid(map1, start1, stride1)
+  ref2 = _ref_grid(map2, start2, stride2)
+
+  def _compose_one(m1_sec, m2_sec):
+    # Absolute query positions (in map2 grid index space), zyx order.
+    q = jnp.stack([
+        (ref1[dim - 1 - c] + m1_sec[c]) / stride2[dim - 1 - c]
+        - start2[-dim:][dim - 1 - c]
+        for c in reversed(range(dim))
+    ])
+    out = []
+    for c in range(dim):
+      absolute = m2_sec[c] + ref2[dim - 1 - c]
+      vals = interp.sample(absolute, q, method='linear', mode=mode,
+                           cval=np.nan)
+      out.append(vals - ref1[dim - 1 - c])
+    return jnp.stack(out)
+
+  if dim == 2:
+    m1 = jnp.moveaxis(map1, 1, 0)  # [z, 2, y, x]
+    m2 = jnp.moveaxis(map2, 1, 0)
+    out = jax.vmap(_compose_one)(m1, m2)
+    return jnp.moveaxis(out, 0, 1)
+  return _compose_one(map1, map2)
+
+
+def compose_maps(map1: np.ndarray, box1: BoundingBox, stride1: float,
+                 map2: np.ndarray, box2: BoundingBox,
+                 stride2: float) -> np.ndarray:
+  """Composes two 2d maps; invalid values in map2 are interpolated first.
+
+  Equivalent to the scattered-interpolation compose
+  (/root/reference/map_utils.py:549-611): map2's holes are spanned by
+  interpolation, while invalid entries of map1 stay invalid.
+  """
+  assert map1.shape[0] == 2 and map2.shape[0] == 2
+  map2_filled = fill_missing(np.asarray(map2, np.float32))
+  out = compose_maps_fast(
+      jnp.asarray(map1, jnp.float32),
+      start1=[float(box1.start[1]), float(box1.start[0])],
+      stride1=float(stride1),
+      map2=jnp.asarray(map2_filled),
+      start2=[float(box2.start[1]), float(box2.start[0])],
+      stride2=float(stride2),
+      mode='constant')
+  return np.array(out)
+
+
+def mask_irregular(coord_map: np.ndarray, stride: Sequence[float],
+                   frac: float, max_frac: float | None = None,
+                   dilation_iters: int = 1) -> np.ndarray:
+  """Masks (NaNs, in place) stretched/folded parts of a [2, y, x] map."""
+  assert len(coord_map.shape) == 3
+  assert coord_map.shape[0] == 2
+  stride = np.asarray(stride)
+  if max_frac is None:
+    max_frac = 2 - frac
+
+  stride_x, stride_y = stride
+  diff_x = np.diff(coord_map[0, ...], axis=-1)
+  diff_y = np.diff(coord_map[1, ...], axis=-2)
+  diff_x = np.pad(diff_x, [[0, 0], [0, 1]], mode='constant') + stride_x
+  diff_y = np.pad(diff_y, [[0, 1], [0, 0]], mode='constant') + stride_y
+
+  bad = (diff_x < frac * stride_x) | (diff_y < frac * stride_y)
+  bad |= (diff_x > max_frac * stride_x) | (diff_y > max_frac * stride_y)
+
+  for _ in range(dilation_iters):
+    grown = bad.copy()
+    grown[1:, :] |= bad[:-1, :]
+    grown[:-1, :] |= bad[1:, :]
+    grown[:, 1:] |= bad[:, :-1]
+    grown[:, :-1] |= bad[:, 1:]
+    grown[1:, 1:] |= bad[:-1, :-1]
+    grown[:-1, :-1] |= bad[1:, 1:]
+    grown[1:, :-1] |= bad[:-1, 1:]
+    grown[:-1, 1:] |= bad[1:, :-1]
+    bad = grown
+
+  coord_map[0, ...][bad] = np.nan
+  coord_map[1, ...][bad] = np.nan
+  return bad
+
+
+def make_affine_map(matrix: np.ndarray, box: BoundingBox,
+                    stride: StrideZYX) -> np.ndarray:
+  """Coordinate map of an affine transform ([3, 4] matrix, xyz rows)."""
+  coord_map = np.array(
+      _identity_map_absolute(tuple(int(s) for s in box.size[::-1]),
+                             stride)[::-1])
+  coord_map[0, ...] += box.start[0]
+  coord_map[1, ...] += box.start[1]
+  coord_map[2, ...] += box.start[2]
+
+  affine_absolute = (
+      np.dot(matrix[:3, :3], coord_map.reshape((3, -1)))
+      + matrix[:, 3][:, np.newaxis]).reshape(coord_map.shape)
+  return affine_absolute - coord_map

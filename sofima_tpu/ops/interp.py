@@ -1,0 +1,246 @@
+"""Dense N-d interpolation kernels (gather-based, XLA/TPU-friendly).
+
+This module is the TPU-native replacement for the CPU interpolation stack
+the reference leans on: `scipy.ndimage.map_coordinates`
+(/root/reference/warp.py:196,309-314), OpenCV `cv.remap` incl. Lanczos4
+(/root/reference/warp.py:156-165), and
+`scipy.interpolate.RegularGridInterpolator` (/root/reference/warp.py:144-155).
+
+Design notes:
+  * Sampling is expressed as a statically-unrolled sum over K^dim taps of
+    vectorized gathers — XLA fuses the weight computation with gathers and
+    keeps everything on device; there is no scattered interpolation anywhere.
+  * NaN handling is a first-class contract: with `cval=nan` (default for
+    'constant' mode) out-of-bounds taps poison the output, which is exactly
+    the coordinate-map invalid-propagation semantics the framework relies on.
+  * Kernels: nearest (K=1), linear (K=2), cubic Catmull-Rom with a=-0.75
+    matching OpenCV INTER_CUBIC (K=4), Lanczos4 (K=8) matching
+    OpenCV INTER_LANCZOS4.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_KERNEL_TAPS = {
+    'nearest': 1,
+    'linear': 2,
+    'cubic': 4,
+    'lanczos': 8,
+}
+
+
+def kernel_taps(method: str) -> int:
+  if method not in _KERNEL_TAPS:
+    raise ValueError(f'Unknown interpolation method: {method!r}')
+  return _KERNEL_TAPS[method]
+
+
+def _cubic_weights(t: jnp.ndarray) -> list[jnp.ndarray]:
+  """Keys cubic (a = -0.75, OpenCV convention) weights for taps -1..2."""
+  a = -0.75
+  # Distances of the 4 taps from the sample point: 1+t, t, 1-t, 2-t.
+  d0 = 1.0 + t
+  d1 = t
+  d2 = 1.0 - t
+  d3 = 2.0 - t
+
+  def w_near(d):  # |d| <= 1
+    return (a + 2.0) * d**3 - (a + 3.0) * d**2 + 1.0
+
+  def w_far(d):  # 1 < |d| < 2
+    return a * d**3 - 5.0 * a * d**2 + 8.0 * a * d - 4.0 * a
+
+  return [w_far(d0), w_near(d1), w_near(d2), w_far(d3)]
+
+
+def _lanczos_weights(t: jnp.ndarray) -> list[jnp.ndarray]:
+  """Lanczos4 weights for taps -3..4, normalized to sum to 1."""
+  ws = []
+  for i in range(-3, 5):
+    d = t - i
+    x = jnp.pi * d
+    # sinc(d) * sinc(d/4) with the removable singularity at d=0.
+    w = jnp.where(
+        jnp.abs(d) < 1e-7,
+        1.0,
+        4.0 * jnp.sin(x) * jnp.sin(x / 4.0) / (x * x),
+    )
+    ws.append(w)
+  total = sum(ws)
+  return [w / total for w in ws]
+
+
+def _tap_weights(t: jnp.ndarray, method: str) -> tuple[list[int],
+                                                       list[jnp.ndarray]]:
+  """Returns (tap offsets relative to floor coord, per-tap weights)."""
+  if method == 'nearest':
+    return [0], [jnp.ones_like(t)]
+  if method == 'linear':
+    return [0, 1], [1.0 - t, t]
+  if method == 'cubic':
+    return [-1, 0, 1, 2], _cubic_weights(t)
+  if method == 'lanczos':
+    return list(range(-3, 5)), _lanczos_weights(t)
+  raise ValueError(f'Unknown interpolation method: {method!r}')
+
+
+@functools.partial(jax.jit, static_argnames=['method', 'mode'])
+def sample(
+    image: jnp.ndarray,
+    coords: jnp.ndarray,
+    method: str = 'linear',
+    mode: str = 'constant',
+    cval: float = np.nan,
+) -> jnp.ndarray:
+  """Samples `image` at fractional `coords`.
+
+  Args:
+    image: [d0, d1, ...] source array (any rank >= 1)
+    coords: [dim, *out_shape] sample coordinates in image index space,
+      ordered like the image axes
+    method: 'nearest' | 'linear' | 'cubic' | 'lanczos'
+    mode: 'constant' (out-of-bounds -> cval) or 'nearest' (clamp to edge)
+    cval: fill value for 'constant' mode
+
+  Returns:
+    [*out_shape] sampled values (float32)
+  """
+  dim = coords.shape[0]
+  if dim != image.ndim:
+    raise ValueError(f'coords dim {dim} != image rank {image.ndim}')
+  image = image.astype(jnp.float32)
+  coords = coords.astype(jnp.float32)
+
+  # Invalid (NaN) coordinates always yield NaN output, regardless of mode —
+  # this is the coordinate-map invalid-propagation contract.
+  nan_coords = jnp.any(jnp.isnan(coords), axis=0)
+  coords = jnp.nan_to_num(coords)
+
+  if method == 'nearest':
+    base = jnp.round(coords).astype(jnp.int32)
+    frac = jnp.zeros_like(coords)
+  else:
+    base = jnp.floor(coords).astype(jnp.int32)
+    frac = coords - base
+
+  offsets_per_axis = []
+  weights_per_axis = []
+  for axis in range(dim):
+    offs, ws = _tap_weights(frac[axis], method)
+    offsets_per_axis.append(offs)
+    weights_per_axis.append(ws)
+
+  shape = np.array(image.shape)
+  out = jnp.zeros(coords.shape[1:], dtype=jnp.float32)
+
+  # Statically unrolled accumulation over the K^dim tap lattice. XLA CSEs
+  # the shared index computations and fuses the gathers.
+  def _accumulate(axis, idx, weight):
+    nonlocal out
+    if axis == dim:
+      gathered = image[tuple(idx)]
+      if mode == 'constant':
+        oob = jnp.zeros(coords.shape[1:], dtype=bool)
+        for a, raw in enumerate(raw_idx):
+          oob |= (raw < 0) | (raw >= shape[a])
+        gathered = jnp.where(oob, cval, gathered)
+      out = out + weight * gathered
+      return
+    for off, w in zip(offsets_per_axis[axis], weights_per_axis[axis]):
+      raw = base[axis] + off
+      raw_idx.append(raw)
+      idx.append(jnp.clip(raw, 0, shape[axis] - 1))
+      _accumulate(axis + 1, idx, weight * w)
+      idx.pop()
+      raw_idx.pop()
+
+  raw_idx: list[jnp.ndarray] = []
+  _accumulate(0, [], jnp.ones(coords.shape[1:], dtype=jnp.float32))
+  return jnp.where(nan_coords, jnp.nan, out)
+
+
+def map_coordinates(
+    image: jnp.ndarray,
+    coords: Sequence[jnp.ndarray] | jnp.ndarray,
+    order: int = 1,
+    mode: str = 'constant',
+    cval: float = np.nan,
+) -> jnp.ndarray:
+  """scipy.ndimage.map_coordinates-compatible wrapper around `sample`.
+
+  Supports order 0 (nearest), 1 (linear) and 3 (cubic).
+  """
+  method = {0: 'nearest', 1: 'linear', 3: 'cubic'}.get(order)
+  if method is None:
+    raise ValueError(f'Unsupported interpolation order: {order}')
+  coords = jnp.asarray(coords)
+  return sample(image, coords, method=method, mode=mode, cval=cval)
+
+
+@functools.partial(jax.jit, static_argnames=['extrapolate'])
+def grid_sample_linear(
+    values: jnp.ndarray,
+    coords: jnp.ndarray,
+    extrapolate: bool = True,
+) -> jnp.ndarray:
+  """Bilinear/trilinear sampling with optional *linear extrapolation*.
+
+  Equivalent to scipy's RegularGridInterpolator(..., fill_value=None) as
+  used for coordinate-map densification (/root/reference/warp.py:144-155):
+  queries outside the grid extent are linearly extrapolated from the edge
+  cell. Implemented by clamping the cell index to [0, n-2] while keeping
+  the unclamped fraction — the linear formula then extrapolates naturally.
+
+  Args:
+    values: [d0, d1, ...] grid values
+    coords: [dim, *out_shape] query coordinates in grid index space
+    extrapolate: if False, out-of-range queries clamp to the edge value
+
+  Returns:
+    [*out_shape] sampled values
+  """
+  dim = coords.shape[0]
+  values = values.astype(jnp.float32)
+  coords = coords.astype(jnp.float32)
+  shape = np.array(values.shape)
+
+  if not extrapolate:
+    coords = jnp.stack(
+        [jnp.clip(coords[a], 0.0, shape[a] - 1.0) for a in range(dim)])
+
+  base = jnp.clip(jnp.floor(coords).astype(jnp.int32), 0,
+                  (shape - 2).reshape((dim,) + (1,) * (coords.ndim - 1)))
+  frac = coords - base
+
+  out = jnp.zeros(coords.shape[1:], dtype=jnp.float32)
+  for corner in range(2**dim):
+    idx = []
+    w = jnp.ones(coords.shape[1:], dtype=jnp.float32)
+    for axis in range(dim):
+      if corner & (1 << axis):
+        idx.append(base[axis] + 1)
+        w = w * frac[axis]
+      else:
+        idx.append(base[axis])
+        w = w * (1.0 - frac[axis])
+    out = out + w * values[tuple(idx)]
+  return out
+
+
+def sample_channels(
+    image: jnp.ndarray,
+    coords: jnp.ndarray,
+    method: str = 'linear',
+    mode: str = 'constant',
+    cval: float = np.nan,
+) -> jnp.ndarray:
+  """Samples a [c, *spatial] array at [dim, *out] coords; returns [c, *out]."""
+  return jax.vmap(
+      lambda img: sample(img, coords, method=method, mode=mode, cval=cval)
+  )(image)

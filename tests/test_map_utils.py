@@ -1,0 +1,247 @@
+"""Tests for coordinate-map algebra (algebraic round-trips vs analytics)."""
+
+import numpy as np
+import pytest
+
+from sofima_tpu import map_utils
+from sofima_tpu.utils import BoundingBox
+
+
+def _smooth_map(shape_yx, amp=2.0, freq=1.0):
+  """Smooth sinusoidal 2d relative map [2, 1, y, x]."""
+  y, x = np.mgrid[:shape_yx[0], :shape_yx[1]]
+  dx = amp * np.sin(2 * np.pi * freq * y / shape_yx[0])
+  dy = amp * np.cos(2 * np.pi * freq * x / shape_yx[1])
+  return np.stack([dx, dy]).astype(np.float32)[:, np.newaxis]
+
+
+class TestAbsoluteRelative:
+
+  def test_roundtrip_2d(self):
+    m = _smooth_map((8, 10))
+    box = BoundingBox(start=(3, 4, 0), size=(10, 8, 1))
+    for stride in (1.0, 4.0, (2.0, 3.0)):
+      absm = map_utils.to_absolute(m, stride, box)
+      rel = map_utils.to_relative(absm, stride, box)
+      np.testing.assert_allclose(rel, m, atol=1e-4)
+
+  def test_roundtrip_3d(self):
+    rng = np.random.RandomState(0)
+    m = rng.randn(3, 4, 5, 6).astype(np.float32)
+    box = BoundingBox(start=(1, 2, 3), size=(6, 5, 4))
+    absm = map_utils.to_absolute(m, 2.0, box)
+    rel = map_utils.to_relative(absm, 2.0, box)
+    np.testing.assert_allclose(rel, m, atol=1e-4)
+
+  def test_absolute_values(self):
+    m = np.zeros((2, 1, 2, 3), dtype=np.float32)
+    absm = map_utils.to_absolute(m, 10.0)
+    # x channel: 0, 10, 20 along x
+    np.testing.assert_array_equal(absm[0, 0, 0], [0, 10, 20])
+    np.testing.assert_array_equal(absm[1, 0, :, 0], [0, 10])
+
+
+class TestFillMissing:
+
+  def test_no_nans_passthrough(self):
+    m = _smooth_map((8, 8))
+    out = map_utils.fill_missing(m)
+    np.testing.assert_array_equal(out, m)
+
+  def test_fills_linear_field_exactly(self):
+    # A linear field is harmonic: interpolation must reproduce it.
+    y, x = np.mgrid[:16, :16].astype(np.float32)
+    m = np.stack([0.5 * x + 0.25 * y, -0.3 * x + 0.1 * y])[:, np.newaxis]
+    holes = np.zeros((16, 16), dtype=bool)
+    holes[5:9, 6:10] = True
+    damaged = m.copy()
+    damaged[:, :, holes] = np.nan
+    out = map_utils.fill_missing(damaged)
+    assert np.all(np.isfinite(out))
+    np.testing.assert_allclose(out, m, atol=0.15)
+
+  def test_interpolate_only_leaves_outside_nan(self):
+    m = _smooth_map((12, 12))
+    damaged = m.copy()
+    damaged[:, :, :, :3] = np.nan  # left edge strip: outside span hull
+    damaged[:, :, 5, 5] = np.nan  # interior hole
+    out = map_utils.fill_missing(damaged)
+    assert np.isfinite(out[:, :, 5, 5]).all()
+    assert np.isnan(out[:, :, 5, 0]).all()
+
+  def test_extrapolate_fills_everything(self):
+    m = _smooth_map((12, 12))
+    damaged = m.copy()
+    damaged[:, :, :, :4] = np.nan
+    out = map_utils.fill_missing(damaged, extrapolate=True)
+    assert np.all(np.isfinite(out))
+    # Extrapolated strip should carry nearest valid values.
+    np.testing.assert_allclose(out[:, 0, :, 3], m[:, 0, :, 4], atol=0.5)
+
+  def test_invalid_to_zero(self):
+    m = np.full((2, 2, 4, 4), np.nan, dtype=np.float32)
+    m[:, 0] = 1.0  # one valid section
+    out = map_utils.fill_missing(m, invalid_to_zero=True)
+    np.testing.assert_array_equal(out[:, 1], 0.0)
+    np.testing.assert_array_equal(out[:, 0], 1.0)
+
+
+class TestInvertCompose:
+
+  def test_invert_constant_shift(self):
+    # map: u = x + 5 -> inverse: x = u - 5
+    m = np.zeros((2, 1, 12, 12), dtype=np.float32)
+    m[0] = 5.0
+    box = BoundingBox(start=(0, 0, 0), size=(12, 12, 1))
+    inv = map_utils.invert_map(m, box, box, 1.0)
+    # Queries with u < 5 are outside the image of the map -> NaN.
+    assert np.isnan(inv[:, :, :, :5]).all()
+    interior = inv[:, :, 2:-2, 6:-2]
+    assert np.all(np.isfinite(interior))
+    np.testing.assert_allclose(interior[0], -5.0, atol=0.05)
+    np.testing.assert_allclose(interior[1], 0.0, atol=0.05)
+
+  def test_invert_sinusoidal_is_negation(self):
+    # For small smooth perturbations, inverse ≈ negation.
+    m = _smooth_map((24, 24), amp=0.5)
+    box = BoundingBox(start=(0, 0, 0), size=(24, 24, 1))
+    inv = map_utils.invert_map(m, box, box, 1.0)
+    sel = np.s_[:, :, 4:-4, 4:-4]
+    assert np.all(np.isfinite(inv[sel]))
+    np.testing.assert_allclose(inv[sel], -m[sel], atol=0.25)
+
+  def test_compose_with_inverse_is_identity(self):
+    m = _smooth_map((24, 24), amp=1.5)
+    box = BoundingBox(start=(0, 0, 0), size=(24, 24, 1))
+    inv = map_utils.invert_map(m, box, box, 1.0)
+    comp = map_utils.compose_maps_fast(
+        m, start1=(0, 0), stride1=1.0,
+        map2=np.nan_to_num(inv), start2=(0, 0), stride2=1.0)
+    comp = np.array(comp)
+    sel = np.s_[:, :, 6:-6, 6:-6]
+    np.testing.assert_allclose(comp[sel], 0.0, atol=0.2)
+
+  def test_compose_maps_fast_translations(self):
+    # Composition of two constant shifts adds them.
+    m1 = np.full((2, 1, 8, 8), 2.0, dtype=np.float32)
+    m2 = np.full((2, 1, 8, 8), 3.0, dtype=np.float32)
+    out = np.array(map_utils.compose_maps_fast(
+        m1, (0, 0), 1.0, m2, (0, 0), 1.0))
+    # Queries past map2's grid clamp to the edge (mode='nearest'), so only
+    # the interior adds exactly.
+    np.testing.assert_allclose(out[:, :, :5, :5], 5.0, atol=1e-4)
+
+  def test_compose_maps_fast_nan_propagation(self):
+    m1 = np.zeros((2, 1, 8, 8), dtype=np.float32)
+    m1[:, :, 3, 3] = np.nan
+    m2 = np.zeros((2, 1, 8, 8), dtype=np.float32)
+    out = np.array(map_utils.compose_maps_fast(
+        m1, (0, 0), 1.0, m2, (0, 0), 1.0))
+    assert np.isnan(out[:, 0, 3, 3]).all()
+    assert np.isfinite(out[:, 0, 0, 0]).all()
+
+  def test_compose_maps_fast_strides(self):
+    # map1 on stride 2, map2 on stride 1; constant shifts still add.
+    m1 = np.full((2, 1, 4, 4), 1.0, dtype=np.float32)
+    m2 = np.full((2, 1, 8, 8), 2.0, dtype=np.float32)
+    out = np.array(map_utils.compose_maps_fast(
+        m1, (0, 0), 2.0, m2, (0, 0), 1.0))
+    np.testing.assert_allclose(out, 3.0, atol=1e-4)
+
+  def test_compose_maps_interpolates_map2_holes(self):
+    m1 = np.zeros((2, 1, 8, 8), dtype=np.float32)
+    m2 = np.full((2, 1, 8, 8), 4.0, dtype=np.float32)
+    m2[:, :, 4, 4] = np.nan
+    box = BoundingBox(start=(0, 0, 0), size=(8, 8, 1))
+    out = map_utils.compose_maps(m1, box, 1.0, m2, box, 1.0)
+    # compose_maps uses mode='constant': queries past map2's grid are NaN.
+    interior = out[:, :, :3, :3]
+    assert np.all(np.isfinite(interior))
+    np.testing.assert_allclose(interior, 4.0, atol=0.1)
+    assert np.isfinite(out[:, 0, 4, 4]).all()  # hole interpolated
+
+  def test_3d_compose(self):
+    m1 = np.full((3, 4, 4, 4), 1.0, dtype=np.float32)
+    m2 = np.full((3, 4, 4, 4), 2.0, dtype=np.float32)
+    out = np.array(map_utils.compose_maps_fast(
+        m1, (0, 0, 0), 1.0, m2, (0, 0, 0), 1.0))
+    np.testing.assert_allclose(out[:, :3, :3, :3], 3.0, atol=1e-4)
+
+
+class TestResample:
+
+  def test_downsample_constant(self):
+    m = np.full((2, 1, 16, 16), 7.0, dtype=np.float32)
+    src_box = BoundingBox(start=(0, 0, 0), size=(16, 16, 1))
+    dst_box = BoundingBox(start=(0, 0, 0), size=(8, 8, 1))
+    out = map_utils.resample_map(m, src_box, dst_box, 1.0, 2.0)
+    assert out.shape == (2, 1, 8, 8)
+    np.testing.assert_allclose(out, 7.0, atol=1e-4)
+
+  def test_upsample_linear_field(self):
+    y, x = np.mgrid[:8, :8].astype(np.float32)
+    m = np.stack([x, y])[:, np.newaxis]
+    src_box = BoundingBox(start=(0, 0, 0), size=(8, 8, 1))
+    dst_box = BoundingBox(start=(0, 0, 0), size=(14, 14, 1))
+    out = map_utils.resample_map(m, src_box, dst_box, 2.0, 1.0)
+    # Physical position p maps to value p/2 (since value = node idx = p/2).
+    yy, xx = np.mgrid[:14, :14].astype(np.float32)
+    np.testing.assert_allclose(out[0, 0], xx / 2.0, atol=1e-3)
+    np.testing.assert_allclose(out[1, 0], yy / 2.0, atol=1e-3)
+
+  def test_nan_poisons_support(self):
+    m = np.zeros((2, 1, 8, 8), dtype=np.float32)
+    m[:, :, 4, 4] = np.nan
+    src_box = BoundingBox(start=(0, 0, 0), size=(8, 8, 1))
+    out = map_utils.resample_map(m, src_box, src_box, 1.0, 1.0)
+    assert np.isnan(out[:, 0, 4, 4]).all()
+    assert np.isfinite(out[:, 0, 0, 0]).all()
+
+
+class TestBoxes:
+
+  def test_outer_box_shift(self):
+    m = np.full((2, 1, 10, 10), 0.0, dtype=np.float32)
+    m[0] = 20.0  # shift +20 px in x
+    box = BoundingBox(start=(0, 0, 0), size=(10, 10, 1))
+    ob = map_utils.outer_box(m, box, 2.0)
+    # x targets range over [20, 20+9*2] = [20,38] -> node units [10,19]
+    assert ob.start[0] == 10
+    assert ob.end[0] >= 19
+
+  def test_inner_box_identity(self):
+    m = np.zeros((2, 1, 10, 10), dtype=np.float32)
+    box = BoundingBox(start=(0, 0, 0), size=(10, 10, 1))
+    ib = map_utils.inner_box(m, box, 1.0)
+    np.testing.assert_array_equal(ib.start, [0, 0, 0])
+    np.testing.assert_array_equal(ib.size, [10, 10, 1])
+
+
+class TestMaskIrregular:
+
+  def test_folded_region_masked(self):
+    m = np.zeros((2, 10, 10), dtype=np.float32)
+    # Create a fold: node (5,5) displaced left past its neighbor.
+    m[0, 5, 5] = -3.0
+    bad = map_utils.mask_irregular(m, stride=(1.0, 1.0), frac=0.5)
+    assert bad[5, 5] or bad[5, 4]
+    assert np.isnan(m[0][bad]).all()
+
+  def test_regular_map_untouched(self):
+    m = np.zeros((2, 6, 6), dtype=np.float32)
+    bad = map_utils.mask_irregular(m, stride=(1.0, 1.0), frac=0.5)
+    assert not bad.any()
+    assert np.all(np.isfinite(m))
+
+
+class TestAffineMap:
+
+  def test_translation(self):
+    matrix = np.array([[1, 0, 0, 5], [0, 1, 0, -3], [0, 0, 1, 0]],
+                      dtype=np.float64)
+    box = BoundingBox(start=(0, 0, 0), size=(4, 4, 2))
+    m = map_utils.make_affine_map(matrix, box, 1.0)
+    assert m.shape == (3, 2, 4, 4)
+    np.testing.assert_allclose(m[0], 5.0)
+    np.testing.assert_allclose(m[1], -3.0)
+    np.testing.assert_allclose(m[2], 0.0)
