@@ -1,0 +1,205 @@
+"""Tests for the flow estimator (impulse/analytic test vectors)."""
+
+import numpy as np
+import pytest
+
+from sofima_tpu import flow_field
+
+
+class TestNextFastLen:
+
+  def test_values(self):
+    assert flow_field.next_fast_len(1) == 1
+    assert flow_field.next_fast_len(7) == 8
+    assert flow_field.next_fast_len(9) == 9
+    assert flow_field.next_fast_len(159) == 160
+    assert flow_field.next_fast_len(319) == 320
+    assert flow_field.next_fast_len(321) == 324
+
+  def test_is_smooth(self):
+    for n in range(1, 300):
+      m = flow_field.next_fast_len(n)
+      assert m >= n
+      k = m
+      for p in (2, 3, 5):
+        while k % p == 0:
+          k //= p
+      assert k == 1, (n, m)
+
+
+class TestMaskedXcorr:
+
+  def test_unmasked_impulse(self):
+    prev = np.zeros((16, 16), np.float32)
+    curr = np.zeros((16, 16), np.float32)
+    prev[8, 8] = 1.0
+    curr[10, 5] = 1.0
+    xc = np.asarray(flow_field.masked_xcorr(prev, curr, dim=2))
+    assert xc.shape == (31, 31)
+    peak = np.unravel_index(np.argmax(xc), xc.shape)
+    center = (15, 15)
+    # Peak offset = pre - post position.
+    assert peak[0] - center[0] == 8 - 10
+    assert peak[1] - center[1] == 8 - 5
+
+  def test_masked_decoy_excluded(self):
+    rng = np.random.RandomState(0)
+    base = rng.rand(24, 24).astype(np.float32)
+    prev = base
+    curr = np.roll(base, (2, -3), axis=(0, 1))
+    # Corrupt a corner of curr; mask it out.
+    curr = curr.copy()
+    curr[:8, :8] = rng.rand(8, 8)
+    curr_mask = np.zeros((24, 24), bool)
+    curr_mask[:8, :8] = True
+    xc = np.asarray(
+        flow_field.masked_xcorr(prev - prev.mean(), curr - curr.mean(),
+                                curr_mask=curr_mask, dim=2))
+    peak = np.unravel_index(np.nanargmax(xc), xc.shape)
+    assert (peak[0] - 23, peak[1] - 23) == (-2, 3)
+    # Normalized output bounded.
+    assert np.nanmax(xc) <= 1.0 + 1e-5
+
+  def test_batched(self):
+    prev = np.zeros((3, 12, 12), np.float32)
+    curr = np.zeros((3, 12, 12), np.float32)
+    for b, (dy, dx) in enumerate([(0, 0), (2, 1), (-3, 2)]):
+      prev[b, 6, 6] = 1.0
+      curr[b, 6 + dy, 6 + dx] = 1.0
+    xc = np.asarray(flow_field.masked_xcorr(prev, curr, dim=2))
+    assert xc.shape == (3, 23, 23)
+    for b, (dy, dx) in enumerate([(0, 0), (2, 1), (-3, 2)]):
+      peak = np.unravel_index(np.argmax(xc[b]), xc[b].shape)
+      assert (peak[0] - 11, peak[1] - 11) == (-dy, -dx)
+
+
+class TestBatchedPeaks:
+
+  def test_analytic_gaussian(self):
+    hy, hx = np.mgrid[:50, :50]
+    cy, cx = 20, 28
+    r = np.sqrt(2.0 * (cx - hx) ** 2 + (cy - hy) ** 2)
+    xcorr = 10.0 * np.exp(-r / 4)
+    peaks = np.asarray(
+        flow_field._batched_peaks(
+            xcorr[np.newaxis].astype(np.float32), (25, 25),
+            min_distance=2, threshold_rel=0.5, peak_radius=(2, 3)))
+    assert peaks.shape == (1, 4)
+    support = np.min(xcorr[cy - 2:cy + 3, cx - 3:cx + 4])
+    assert peaks[0, 0] == 3  # x
+    assert peaks[0, 1] == -5  # y
+    np.testing.assert_allclose(peaks[0, 2], 10.0 / support, rtol=1e-5)
+    assert peaks[0, 3] == 0  # single peak -> ratio 0
+
+  def test_two_peaks_ratio(self):
+    img = np.zeros((1, 30, 30), np.float32)
+    img[0, 10, 10] = 1.0
+    img[0, 20, 22] = 0.8
+    peaks = np.asarray(
+        flow_field._batched_peaks(img, (15, 15), min_distance=2,
+                                  threshold_rel=0.5, peak_radius=2))
+    np.testing.assert_allclose(peaks[0, 3], 1.0 / 0.8, rtol=1e-5)
+    assert peaks[0, 0] == -5 and peaks[0, 1] == -5
+
+  def test_no_peak_nan(self):
+    img = np.zeros((1, 20, 20), np.float32)
+    peaks = np.asarray(
+        flow_field._batched_peaks(img, (10, 10), min_distance=2,
+                                  threshold_rel=0.5, peak_radius=2))
+    assert np.isnan(peaks).all()
+
+
+class TestFlowField:
+
+  def test_impulse_2d(self):
+    pre = np.zeros((120, 120), np.uint8)
+    post = np.zeros((120, 120), np.uint8)
+    pre[60, 60] = 255
+    post[70, 53] = 255
+
+    mfc = flow_field.JAXMaskedXCorrWithStatsCalculator()
+    field = mfc.flow_field(pre, post, patch_size=80, step=40, batch_size=4)
+    assert field.shape == (4, 2, 2)
+    np.testing.assert_array_equal(field[0], 7.0)   # x: 60 - 53
+    np.testing.assert_array_equal(field[1], -10.0)  # y: 60 - 70
+    np.testing.assert_array_equal(field[3], 0.0)   # single peak
+
+  def test_impulse_2d_with_decoy_mask(self):
+    pre = np.zeros((120, 120), np.uint8)
+    post = np.zeros((120, 120), np.uint8)
+    pre[60, 60] = 255
+    post[70, 53] = 255
+    post[54, 68] = 255  # decoy
+    post_mask = np.zeros((120, 120), bool)
+    post_mask[:55, :70] = True  # mask covers the decoy
+
+    mfc = flow_field.JAXMaskedXCorrWithStatsCalculator()
+    field = mfc.flow_field(pre, post, patch_size=80, step=40,
+                           post_mask=post_mask, batch_size=4)
+    np.testing.assert_array_equal(field[0], 7.0)
+    np.testing.assert_array_equal(field[1], -10.0)
+
+  def test_impulse_3d(self):
+    pre = np.zeros((50, 100, 100), np.uint8)
+    post = np.zeros((50, 100, 100), np.uint8)
+    pre[25, 50, 50] = 255
+    post[22, 45, 54] = 255
+
+    mfc = flow_field.JAXMaskedXCorrWithStatsCalculator()
+    field = mfc.flow_field(pre, post, patch_size=(40, 80, 80), step=10,
+                           batch_size=2)
+    assert field.shape == (5, 2, 3, 3)
+    np.testing.assert_array_equal(field[0], -4.0)  # x: 50 - 54
+    np.testing.assert_array_equal(field[1], 5.0)   # y: 50 - 45
+    np.testing.assert_array_equal(field[2], 3.0)   # z: 25 - 22
+
+  def test_selection_mask(self):
+    pre = np.zeros((120, 120), np.uint8)
+    post = np.zeros((120, 120), np.uint8)
+    pre[60, 60] = 255
+    post[62, 57] = 255
+    sel = np.zeros((2, 2), bool)
+    sel[0, 1] = True
+    mfc = flow_field.JAXMaskedXCorrWithStatsCalculator()
+    field = mfc.flow_field(pre, post, patch_size=80, step=40, batch_size=4,
+                           selection_mask=sel)
+    assert np.isfinite(field[:, 0, 1]).all()
+    assert np.isnan(field[:, 0, 0]).all()
+    assert np.isnan(field[:, 1, 1]).all()
+
+  def test_mask_occupancy_deselects(self):
+    pre = np.random.RandomState(0).rand(120, 120).astype(np.float32)
+    post = pre.copy()
+    pre_mask = np.zeros((120, 120), bool)
+    pre_mask[:, :80] = True  # left patches >75% masked
+    mfc = flow_field.JAXMaskedXCorrWithStatsCalculator()
+    field = mfc.flow_field(pre, post, patch_size=80, step=40,
+                           pre_mask=pre_mask,
+                           mask_only_for_patch_selection=True, batch_size=4)
+    assert np.isnan(field[:, :, 0]).all()  # fully masked column deselected
+    assert np.isfinite(field[0, 0, 1])
+
+  def test_post_targeting_extends_range(self):
+    pre = np.zeros((120, 120), np.uint8)
+    post = np.zeros((120, 120), np.uint8)
+    pre[50, 55] = 255
+    post[100, 100] = 255
+
+    mfc = flow_field.JAXMaskedXCorrWithStatsCalculator()
+    field = mfc.flow_field(pre, post, patch_size=80, step=40, batch_size=4)
+    assert np.isnan(field[:, 0, 0]).all()
+
+    tgt = np.full((2, 2, 2), 40.0, dtype=np.float32)
+    field = mfc.flow_field(pre, post, patch_size=80, step=40, batch_size=4,
+                           post_targeting_field=tgt, post_targeting_step=40)
+    np.testing.assert_array_equal(field[0], -45.0)
+    np.testing.assert_array_equal(field[1], -50.0)
+
+  def test_identical_images_zero_flow(self):
+    img = np.random.RandomState(1).rand(160, 160).astype(np.float32)
+    mfc = flow_field.JAXMaskedXCorrWithStatsCalculator()
+    field = mfc.flow_field(img, img, patch_size=60, step=20, batch_size=8)
+    valid = np.isfinite(field[0])
+    assert valid.any()
+    np.testing.assert_array_equal(field[0][valid], 0.0)
+    np.testing.assert_array_equal(field[1][valid], 0.0)
