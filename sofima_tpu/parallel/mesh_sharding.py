@@ -1,0 +1,205 @@
+"""Multi-chip spatially-sharded mesh relaxation (shard_map + ICI halos).
+
+The reference solves each mesh on a single device and scales out only by
+z-blocks (SURVEY.md §2.6). Here the relaxation *stencil itself* is sharded
+across a device mesh: the [2 or 3, z, y, x] node grid is split along y,
+every integration step exchanges a 1-row halo with ring neighbors via
+`lax.ppermute` (rides ICI on real hardware), and FIRE's global scalars
+(power, v_max, drift means) become `psum`/`pmax` collectives.
+
+Boundary contract: missing halos at the global grid edges are NaN, which
+`mesh._spring_force` already treats as absent springs, so the sharded
+force field is bitwise-equivalent (modulo reduction order) to the
+single-device computation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sofima_tpu import mesh as mesh_lib
+
+shard_map = jax.shard_map if hasattr(jax, 'shard_map') else (
+    jax.experimental.shard_map.shard_map)
+
+
+def _halo_pad_y(x_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+  """Pads the local block with 1-row halos from ring neighbors along y.
+
+  `x_local`: [c, ..., y_local, x]. Edge devices receive NaN halos
+  (= no springs across the global boundary).
+  """
+  n = jax.lax.axis_size(axis_name)
+  idx = jax.lax.axis_index(axis_name)
+  y_axis = x_local.ndim - 2
+
+  top_row = jax.lax.slice_in_dim(x_local, 0, 1, axis=y_axis)
+  bot_row = jax.lax.slice_in_dim(
+      x_local, x_local.shape[y_axis] - 1, x_local.shape[y_axis], axis=y_axis)
+
+  if n > 1:
+    # Send my last row down (to i+1) -> becomes their top halo.
+    halo_top = jax.lax.ppermute(
+        bot_row, axis_name, [(i, i + 1) for i in range(n - 1)])
+    # Send my first row up (to i-1) -> becomes their bottom halo.
+    halo_bot = jax.lax.ppermute(
+        top_row, axis_name, [(i + 1, i) for i in range(n - 1)])
+  else:
+    halo_top = top_row
+    halo_bot = bot_row
+
+  halo_top = jnp.where(idx == 0, jnp.nan, halo_top)
+  halo_bot = jnp.where(idx == n - 1, jnp.nan, halo_bot)
+  return jnp.concatenate([halo_top, x_local, halo_bot], axis=y_axis)
+
+
+def _sharded_force_2d(axis_name: str):
+  def force(x_local, k, stride, prefer_orig_order=False):
+    padded = _halo_pad_y(x_local, axis_name)
+    f = mesh_lib.inplane_force(padded, k, stride, prefer_orig_order)
+    y_axis = f.ndim - 2
+    return jax.lax.slice_in_dim(f, 1, f.shape[y_axis] - 1, axis=y_axis)
+  return force
+
+
+def _sharded_force_3d(axis_name: str):
+  def force(x_local, k, stride, prefer_orig_order=False):
+    padded = _halo_pad_y(x_local, axis_name)
+    f = mesh_lib.elastic_mesh_3d(padded, k, stride, prefer_orig_order)
+    y_axis = f.ndim - 2
+    return jax.lax.slice_in_dim(f, 1, f.shape[y_axis] - 1, axis=y_axis)
+  return force
+
+
+def make_mesh(n_devices: int | None = None,
+              axis_name: str = 'mesh_y') -> Mesh:
+  devices = jax.devices()
+  if n_devices is not None:
+    devices = devices[:n_devices]
+  return Mesh(np.array(devices), (axis_name,))
+
+
+def relax_mesh_sharded(
+    x: jnp.ndarray,
+    prev: jnp.ndarray | None,
+    config: mesh_lib.IntegrationConfig,
+    device_mesh: Mesh,
+    axis_name: str = 'mesh_y',
+    dim: int = 2,
+):
+  """Relaxes a y-sharded mesh to convergence entirely on device.
+
+  Semantics of `mesh.relax_mesh_fused`, with the node grid split along y
+  over `device_mesh` and per-step 1-row halo exchange. The y extent must
+  be divisible by the device count.
+
+  Args:
+    x: [2 or 3, z, y, x] initial positions (global array)
+    prev: optional [2 or 3, z, y, x] zero-length spring targets
+    config: integration parameters (FIRE required)
+    device_mesh: 1d jax.sharding.Mesh
+    axis_name: mesh axis to shard y over
+    dim: 2 for in-plane forces, 3 for the volumetric stencil
+
+  Returns:
+    (x_final, e_kin history [max_chunks], steps executed)
+  """
+  if not config.fire:
+    raise NotImplementedError('Sharded relaxation requires FIRE.')
+  n_dev = device_mesh.shape[axis_name]
+  if x.shape[-2] % n_dev:
+    raise ValueError(f'y extent {x.shape[-2]} not divisible by {n_dev} '
+                     'devices')
+
+  force_fn = _sharded_force_2d(axis_name) if dim == 2 else (
+      _sharded_force_3d(axis_name))
+
+  def psum(v):
+    return jax.lax.psum(v, axis_name)
+
+  def pmean_keepdims(v, axes):
+    local = jnp.sum(v, axis=axes, keepdims=True)
+    count = np.prod([v.shape[a] for a in axes])
+    return psum(local) / (psum(jnp.asarray(count, jnp.float32)))
+
+  spec = P(*([None] * (x.ndim - 2) + [axis_name, None]))
+  has_prev = prev is not None
+
+  max_chunks = int(np.ceil(config.max_iters / config.num_iters))
+
+  @functools.partial(
+      shard_map, mesh=device_mesh,
+      in_specs=(spec, spec) if has_prev else (spec,),
+      out_specs=(spec, P(None), P()))
+  def run(x_local, *maybe_prev):
+    prev_local = maybe_prev[0] if maybe_prev else None
+    force, _, fire_step = mesh_lib._make_step_fns(
+        config, force_fn, None, reduce_fn=psum, mean_fn=pmean_keepdims)
+
+    a0 = force(x_local, prev_local, jnp.float32(config.start_cap))
+    state0 = (x_local, jnp.zeros_like(x_local), a0, jnp.float32(config.dt),
+              jnp.float32(config.alpha), 0, jnp.float32(config.start_cap))
+    e_kin0 = jnp.full((max_chunks,), jnp.nan, jnp.float32)
+
+    def chunk(carry):
+      state, chunk_idx, e_hist, _ = carry
+      state = jax.lax.fori_loop(
+          0, config.num_iters, lambda t, s: fire_step(s, prev_local), state)
+      v = state[1]
+      v_sq = jnp.sum(jnp.square(v), axis=0)
+      e_hist = e_hist.at[chunk_idx].set(psum(jnp.sum(v_sq)))
+      v_max = jnp.sqrt(jax.lax.pmax(jnp.max(v_sq), axis_name))
+      cap = state[-1]
+      done = (v_max < config.stop_v_max) & (cap >= config.final_cap)
+      new_cap = jnp.where(
+          (v_max < config.stop_v_max) & (cap < config.final_cap),
+          jnp.minimum(cap * config.cap_scale, config.final_cap), cap)
+      state = state[:-1] + (new_cap,)
+      return state, chunk_idx + 1, e_hist, done
+
+    def cond(carry):
+      _, chunk_idx, _, done = carry
+      return (~done) & (chunk_idx < max_chunks)
+
+    state, chunks, e_hist, _ = jax.lax.while_loop(
+        cond, chunk, (state0, 0, e_kin0, jnp.bool_(False)))
+    return state[0], e_hist, chunks * config.num_iters
+
+  with device_mesh:
+    sharding = NamedSharding(device_mesh, spec)
+    x = jax.device_put(x, sharding)
+    if has_prev:
+      prev = jax.device_put(prev, sharding)
+      return run(x, prev)
+    return run(x)
+
+
+def sharded_flow_step(device_mesh: Mesh, axis_name: str = 'mesh_y'):
+  """Returns a jitted data-parallel batched xcorr+peaks step.
+
+  The patch batch is sharded across devices (pure DP: images replicated,
+  starts and outputs split) — the scale-out axis for flow estimation.
+  """
+  from sofima_tpu import flow_field
+
+  def step(pre_image, post_image, starts, patch_size):
+    return flow_field.batched_xcorr_peaks(
+        pre_image, post_image, None, None, patch_size, starts, mean=None)
+
+  def run(pre_image, post_image, starts, patch_size):
+    batch_spec = NamedSharding(device_mesh, P(axis_name, None))
+    repl = NamedSharding(device_mesh, P(None, None))
+    pre_image = jax.device_put(pre_image, repl)
+    post_image = jax.device_put(post_image, repl)
+    starts = jax.device_put(starts, batch_spec)
+    with device_mesh:
+      return jax.jit(step, static_argnames=['patch_size'])(
+          pre_image, post_image, starts, patch_size)
+
+  return run

@@ -1,0 +1,418 @@
+"""Elastic (fine) tile stitching.
+
+Every tile is a spring-mass mesh; all tile meshes are packed into one
+[2 or 3, N, (z,) y, x] array and relaxed *simultaneously*, coupled through
+virtual springs whose targets come from composing inter-tile flow fields
+with the neighboring tiles' meshes (capability parity with
+/root/reference/stitch_elastic.py).
+
+The coupling machinery (`compute_target_mesh`) is built jit/vmap-first:
+a `lax.scan` over the (up to 4) neighbors of each tile, with
+`dynamic_slice`-based paste into an oversized buffer so the whole
+N-tile update runs as `vmap(compute_target_mesh)` inside the solver's
+`prev_fn` — no host involvement during relaxation.
+
+Data contracts preserved: the `NeighborInfo` int-table layout, the flow
+packing produced by `aggregate_arrays`, and the (x, key_to_idx) npz
+format consumed by the 3d renderer.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from typing import Any, Mapping, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sofima_tpu import flow_field
+from sofima_tpu import map_utils
+from sofima_tpu.utils.bounding_box import BoundingBox
+
+Vector = tuple[int, ...]
+TileXY = tuple[int, int]
+ShapeXYZ = tuple[int, int, int]
+TileFlow = dict[TileXY, np.ndarray]
+TileOffset = dict[TileXY, Vector]
+TileFlowData = tuple[np.ndarray, TileFlow, TileOffset]
+
+
+class NeighborInfo(enum.IntEnum):
+  """Indices into a tile-pair metadata row (the `nbors` table)."""
+
+  nbor_idx = 0             # neighboring tile index
+  flow_idx = 1             # index into the flow array
+  coarse_offset_ortho = 2  # offset orthogonal to the overlap dim (px)
+  flow_size_ortho = 3      # flow grid size, orthogonal dim
+  flow_size_overlap = 4    # flow grid size, overlap dim
+  fine_off_x = 5           # XY offset used when computing the flow
+  fine_off_y = 6
+  dim = 7                  # 0: horizontal (x) neighbor, 1: vertical (y)
+  coarse_offset_z = 8      # 3d only
+  flow_size_z = 9
+  fine_off_z = 10
+
+
+def _relative_intersection(box1: BoundingBox, box2: BoundingBox):
+  ibox = box1.intersection(box2)
+  return (BoundingBox(start=ibox.start - box1.start, size=ibox.size),
+          BoundingBox(start=ibox.start - box2.start, size=ibox.size))
+
+
+def compute_flow_map(
+    tile_map: Mapping[TileXY, np.ndarray],
+    offset_map: np.ndarray,
+    axis: int,
+    patch_size: Vector = (120, 120),
+    stride: Vector = (20, 20),
+    batch_size: int = 256,
+) -> tuple[TileFlow, TileOffset]:
+  """Fine flow between adjacent 2d tiles along `axis` (0: x, 1: y).
+
+  For each valid tile pair, crops stride-aligned overlap strips (shifted
+  by the rounded orthogonal offset) from both tiles and estimates patch
+  flow between them.
+
+  Returns ({(x, y): flow padded to the tile mesh grid},
+           {(x, y): xy offset used for the crop}).
+  """
+  yx_shape = offset_map.shape[-2:]
+  mfc = flow_field.JAXMaskedXCorrWithStatsCalculator()
+  flows, offsets = {}, {}
+
+  pad_y = patch_size[0] // 2 // stride[0]
+  pad_x = patch_size[1] // 2 // stride[1]
+
+  for y in range(yx_shape[0] - axis):
+    for x in range(yx_shape[1] - (1 - axis)):
+      if np.isnan(offset_map[0, y, x]):
+        continue
+
+      pre = tile_map[x, y]
+      post = tile_map[x + (1 - axis), y + axis]
+      offset = offset_map[:, y, x]  # (off_x, off_y)
+
+      # Stride-align the overlap: shrink it so the crop start within the
+      # 'pre' tile is a stride multiple.
+      overlap = -int(offset[axis])
+      overlap = pre.shape[1 - axis] - (
+          (pre.shape[1 - axis] - overlap) // stride[1 - axis]
+          * stride[1 - axis])
+      rounded = np.asarray(stride)[::-1] * np.round(
+          offset / np.asarray(stride)[::-1])
+      ortho_offset = int(rounded[1 - axis])
+
+      pre_sel = [np.s_[:], np.s_[:]]
+      post_sel = [np.s_[:], np.s_[:]]
+      pre_sel[1 - axis] = np.s_[-overlap:]
+      post_sel[1 - axis] = np.s_[:overlap]
+      if ortho_offset > 0:
+        pre_sel[axis] = np.s_[ortho_offset:]
+        post_sel[axis] = np.s_[:-ortho_offset]
+      elif ortho_offset < 0:
+        pre_sel[axis] = np.s_[:ortho_offset]
+        post_sel[axis] = np.s_[-ortho_offset:]
+
+      f = mfc.flow_field(pre[tuple(pre_sel)], post[tuple(post_sel)],
+                         patch_size=patch_size, step=stride,
+                         batch_size=batch_size)
+      flows[(x, y)] = np.pad(
+          f, [[0, 0], [pad_y, pad_y - 1], [pad_x, pad_x - 1]],
+          constant_values=np.nan)
+      offsets[(x, y)] = ((-overlap, ortho_offset) if axis == 0
+                         else (ortho_offset, -overlap))
+
+  return flows, offsets
+
+
+def compute_flow_map3d(
+    tile_map: Mapping[TileXY, Any],
+    tile_shape: ShapeXYZ,
+    offset_map: np.ndarray,
+    axis: int,
+    patch_size: Vector = (120, 120, 120),
+    stride: Vector = (40, 40, 40),
+    batch_size: int = 16,
+) -> tuple[TileFlow, TileOffset]:
+  """Fine flow between adjacent 3d tiles along `axis` (0: x, 1: y).
+
+  `tile_map` values are [1, z, y, x] array-likes; `offset_map` is
+  [3, 1, ys, xs] with coarse XYZ offsets. Crop starts are stride-aligned
+  in every dimension. Returns flows padded to the mesh grid and the XYZ
+  offsets at which the neighboring tile was placed for flow computation.
+  """
+  mfc = flow_field.JAXMaskedXCorrWithStatsCalculator()
+  flows, offsets = {}, {}
+  grid_yx = offset_map.shape[-2:]
+  pad_zyx = np.array(patch_size) // 2 // np.asarray(stride)
+
+  for y in range(grid_yx[0] - axis):
+    for x in range(grid_yx[1] - (1 - axis)):
+      nx, ny = x + (1 - axis), y + axis
+      tile_pre = tile_map[(x, y)]
+      tile_post = tile_map[(nx, ny)]
+      offset = offset_map[:, 0, y, x]  # xyz
+
+      curr_box = BoundingBox(start=(0, 0, 0), size=tile_shape)
+      nbor_box = BoundingBox(
+          start=(tile_shape[0] * (1 - axis) + offset[0],
+                 tile_shape[1] * axis + offset[1], offset[2]),
+          size=tile_shape)
+      isec_curr, isec_nbor = _relative_intersection(curr_box, nbor_box)
+
+      s = stride[2 - axis]
+      # Stride-align the overlap dimension...
+      overlap = isec_curr.size[axis]
+      within = tile_shape[axis] - overlap
+      new_overlap = tile_shape[axis] - within // s * s
+      shift = np.zeros(3)
+      shift[axis] = -(new_overlap - overlap)
+      # ...and the orthogonal crop starts.
+      for ax in range(3):
+        if ax == axis:
+          continue
+        if isec_curr.start[ax] > 0:
+          shift[ax] = s * np.round(isec_curr.start[ax] / s) - isec_curr.start[ax]
+        elif isec_nbor.start[ax] > 0:
+          shift[ax] = -(s * np.round(isec_nbor.start[ax] / s)
+                        - isec_nbor.start[ax])
+
+      nbor_box = nbor_box.translate(shift)
+      isec_curr, isec_nbor = _relative_intersection(curr_box, nbor_box)
+      assert np.all(isec_curr.start % s == 0)
+      assert np.all(isec_nbor.start % s == 0)
+
+      final = np.array(nbor_box.start - curr_box.start)
+      final[axis] = -isec_curr.size[axis]
+      offsets[(x, y)] = tuple(int(v) for v in final)
+
+      pre = np.asarray(tile_pre[isec_curr.to_slice4d()]).squeeze(axis=0)
+      post = np.asarray(tile_post[isec_nbor.to_slice4d()]).squeeze(axis=0)
+      assert pre.shape == post.shape
+
+      f = mfc.flow_field(pre, post, patch_size=patch_size, step=stride,
+                         batch_size=batch_size)
+      flows[(x, y)] = np.pad(
+          f, [[0, 0]] + [[p, p - 1] for p in pad_zyx],
+          constant_values=np.nan)
+
+  return flows, offsets
+
+
+def aggregate_arrays(
+    x_data: TileFlowData,
+    y_data: TileFlowData,
+    tile_coords: Sequence[TileXY],
+    coarse_mesh: np.ndarray,
+    stride: Vector,
+    tile_shape: Vector,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+           dict[TileXY, int]]:
+  """Packs per-tile meshes, flows and neighbor metadata into flat arrays.
+
+  Args:
+    x_data: (coarse offsets cx, horizontal flows, crop offsets)
+    y_data: same for vertical neighbors
+    tile_coords: (x, y) coordinates of all tiles
+    coarse_mesh: rigid-stitching solution (per-tile position offsets)
+    stride: [z]yx mesh/flow stride
+    tile_shape: [z]yx tile image shape
+
+  Returns:
+    (fx_all, fy_all, x_all, nbors, key_to_idx) — see NeighborInfo for the
+    layout of each `nbors[i, edge]` row.
+  """
+  cx, fine_x, offsets_x = x_data
+  cy, fine_y, offsets_y = y_data
+  assert cx.ndim == 3 and cy.ndim == 3
+
+  key_to_idx = {tuple(k): i for i, k in enumerate(tile_coords)}
+  dim = len(stride)
+  n = len(key_to_idx)
+
+  def _pack(fine, shapes_floor):
+    shape = np.max([v.shape for v in fine.values()] + [shapes_floor],
+                   axis=0)
+    out = np.full([dim, n] + shape[1:].tolist(), np.nan)
+    for k, i in key_to_idx.items():
+      if k in fine:
+        f = fine[k]
+        sel = (np.s_[:],) + tuple(np.s_[:f.shape[-d]]
+                                  for d in reversed(range(1, dim + 1)))
+        out[:, i][sel] = f[:dim]
+    return out
+
+  floor = (dim,) + (1,) * dim
+  fx_all = _pack(fine_x, floor)
+  fy_all = _pack(fine_y, floor)
+
+  def _nbor_row(key, flow_key, coarse, fine, offsets, axis):
+    sizes = fine[flow_key].shape
+    if dim == 2:
+      ortho, overlap = sizes[-2:]
+    else:
+      size_z, ortho, overlap = sizes[-3:]
+    if axis == 1:
+      overlap, ortho = ortho, overlap
+    off = offsets[flow_key]
+    row = [key_to_idx[key], key_to_idx[flow_key],
+           coarse[1] if axis == 0 else coarse[0],
+           ortho, overlap, off[0], off[1], axis]
+    if dim == 3:
+      row += [coarse[2], size_z, off[2]]
+    return row
+
+  nbors = np.full((n, 4, 8 if dim == 2 else 11), -1, dtype=int)
+  for tx, ty in tile_coords:
+    i = key_to_idx[tx, ty]
+    if (tx - 1, ty) in fine_x:  # left neighbor
+      k = (tx - 1, ty)
+      nbors[i, 0] = _nbor_row(k, k, cx[:, ty, tx - 1], fine_x, offsets_x, 0)
+    if (tx, ty) in fine_x:      # right neighbor
+      nbors[i, 1] = _nbor_row((tx + 1, ty), (tx, ty), cx[:, ty, tx],
+                              fine_x, offsets_x, 0)
+    if (tx, ty - 1) in fine_y:  # top neighbor
+      k = (tx, ty - 1)
+      nbors[i, 2] = _nbor_row(k, k, cy[:, ty - 1, tx], fine_y, offsets_y, 1)
+    if (tx, ty) in fine_y:      # bottom neighbor
+      nbors[i, 3] = _nbor_row((tx, ty + 1), (tx, ty), cy[:, ty, tx],
+                              fine_y, offsets_y, 1)
+
+  mesh_shape = (np.asarray(tile_shape) // np.asarray(stride)).tolist()
+  x_all = np.zeros([dim, n] + mesh_shape, dtype=np.float32)
+  for tx, ty in tile_coords:
+    x_all[:, key_to_idx[tx, ty]] = coarse_mesh[:, ty, tx].reshape(
+        (dim,) + (1,) * dim)
+
+  return fx_all, fy_all, x_all, nbors, key_to_idx
+
+
+@functools.partial(jax.jit, static_argnames=['stride', 'dim'])
+def _apply_flow(base_mesh: jnp.ndarray, nbor_mesh: jnp.ndarray,
+                nbor_flow: jnp.ndarray, mult: jnp.ndarray, stride: Vector,
+                nbor_data: jnp.ndarray, dim: int) -> jnp.ndarray:
+  """Pastes flow∘neighbor-mesh virtual-spring targets into `base_mesh`.
+
+  `mult` = +1 when the flow says how to move this tile to match the
+  neighbor; -1 when it describes the reverse direction.
+  """
+  overlap = nbor_data[NeighborInfo.flow_size_overlap]
+  ortho = nbor_data[NeighborInfo.flow_size_ortho]
+  off_ortho = nbor_data[NeighborInfo.coarse_offset_ortho]
+  channels = base_mesh.shape[0]
+
+  # Where the overlapping flow region sits within the *neighbor* mesh.
+  start_par = jnp.where(mult == 1, nbor_mesh.shape[-dim - 1] - overlap, 0)
+  start_ortho = jnp.where(
+      ((mult == 1) & (off_ortho > 0)) | ((mult == -1) & (off_ortho < 0)),
+      nbor_mesh.shape[dim - 2] - ortho, 0)
+  start = jnp.array(
+      [start_ortho * (1 - dim) + dim * start_par,
+       start_ortho * dim + (1 - dim) * start_par], dtype=int)
+
+  flow = mult * jax.lax.dynamic_index_in_dim(
+      nbor_flow, nbor_data[NeighborInfo.flow_idx], axis=1, keepdims=False)
+
+  if channels == 3:
+    off_z = nbor_data[NeighborInfo.coarse_offset_z]
+    size_z = nbor_data[NeighborInfo.flow_size_z]
+    start_z = jnp.where(
+        ((mult == 1) & (off_z > 0)) | ((mult == -1) & (off_z < 0)),
+        nbor_mesh.shape[-3] - size_z, 0)
+    start = jnp.concatenate([start_z[None], start])
+    flow_3d, mesh_3d = flow, nbor_mesh
+  else:
+    flow_3d = flow[:, None]
+    mesh_3d = nbor_mesh[:, None]
+
+  update = map_utils.compose_maps_fast(
+      flow_3d, start, stride, mesh_3d, jnp.zeros_like(start), stride,
+      mode='constant')
+
+  if channels == 2:
+    update = update[:, 0]
+    fine = jnp.array([nbor_data[NeighborInfo.fine_off_x],
+                      nbor_data[NeighborInfo.fine_off_y]]).reshape(2, 1, 1)
+  else:
+    fine = jnp.array([nbor_data[NeighborInfo.fine_off_x],
+                      nbor_data[NeighborInfo.fine_off_y],
+                      nbor_data[NeighborInfo.fine_off_z]]).reshape(3, 1, 1, 1)
+  update = update + mult * fine
+
+  # Where the region sits within the *current* mesh (mirrored logic).
+  tg_par = jnp.where(mult == 1, 0, nbor_mesh.shape[-dim - 1] - overlap)
+  tg_ortho = jnp.where(
+      ((mult == 1) & (off_ortho < 0)) | ((mult == -1) & (off_ortho > 0)),
+      nbor_mesh.shape[dim - 2] - ortho, 0)
+  tg_start = (0, tg_par * dim + (1 - dim) * tg_ortho,
+              tg_par * (1 - dim) + dim * tg_ortho)
+  if channels == 3:
+    tg_z = jnp.where(
+        ((mult == 1) & (off_z < 0)) | ((mult == -1) & (off_z > 0)),
+        nbor_mesh.shape[-3] - size_z, 0)
+    tg_start = (0, tg_z) + tg_start[1:]
+
+  previous = jax.lax.dynamic_slice(base_mesh, tg_start, flow.shape)
+  return jax.lax.dynamic_update_slice(
+      base_mesh, jnp.where(jnp.isnan(update), previous, update), tg_start)
+
+
+@functools.partial(jax.jit, static_argnames=['stride'])
+def _update_mesh(mesh: jnp.ndarray, nbor_data: jnp.ndarray, x: jnp.ndarray,
+                 fx: jnp.ndarray, fy: jnp.ndarray,
+                 stride: Vector = (20, 20)):
+  """Scan body: fold one neighbor's contribution into the target mesh."""
+  nbor_idx = nbor_data[NeighborInfo.nbor_idx]
+  flow_idx = nbor_data[NeighborInfo.flow_idx]
+  # flow_idx == own index: the flow was computed with *us* as 'pre', so it
+  # moves the neighbor toward us (mult=-1 when used as our target).
+  mult = jnp.where(nbor_idx == flow_idx, 1, -1)
+  nbor_mesh = jax.lax.dynamic_index_in_dim(x, nbor_idx, axis=1,
+                                           keepdims=False)
+  updated = jax.lax.cond(
+      nbor_idx == -1,
+      lambda: mesh,
+      lambda: jax.lax.cond(
+          nbor_data[NeighborInfo.dim] == 0,
+          lambda: _apply_flow(mesh, nbor_mesh, fx, mult, stride, nbor_data,
+                              0),
+          lambda: _apply_flow(mesh, nbor_mesh, fy, mult, stride, nbor_data,
+                              1)))
+  return updated, None
+
+
+def compute_target_mesh(nbor_data: jnp.ndarray, x: jnp.ndarray,
+                        fx: jnp.ndarray, fy: jnp.ndarray,
+                        stride: Vector = (20, 20)) -> jnp.ndarray:
+  """Virtual-spring target positions for one tile mesh.
+
+  Composes each neighbor's flow with that neighbor's current mesh and
+  pastes the result into a NaN-filled target array; NaNs where no
+  neighbor constrains a node. Typical use (inside the solver):
+    prev_fn = lambda x: vmap(partial(compute_target_mesh,
+                                     x=x, fx=fx, fy=fy, stride=s))(nbors)
+
+  Args:
+    nbor_data: [4, 8 or 11] neighbor rows (see NeighborInfo); -1 = none
+    x: [2 or 3, n, (z,) y, x] all tile meshes
+    fx/fy: [2 or 3, m, (z,) y, x] packed horizontal/vertical flows
+    stride: [z]yx mesh stride
+
+  Returns:
+    [2 or 3, (z,) y, x] target mesh
+  """
+  dim = x.shape[0]
+  # Oversize the buffer so dynamic_update_slice never clips under vmap.
+  zyx = list(x.shape[-dim:])
+  for i in range(dim):
+    zyx[i] += max(fy.shape[-dim + i], fx.shape[-dim + i])
+
+  mesh0 = jnp.full([dim] + zyx, np.nan)
+  out = jax.lax.scan(
+      functools.partial(_update_mesh, x=x, fx=fx, fy=fy,
+                        stride=tuple(stride)),
+      mesh0, nbor_data)[0]
+  sel = (np.s_[:],) + tuple(np.s_[:s] for s in x.shape[-dim:])
+  return out[sel]

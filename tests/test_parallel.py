@@ -1,0 +1,86 @@
+"""Multi-device tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sofima_tpu import mesh
+from sofima_tpu.parallel import mesh_sharding
+
+
+requires_multi = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason='needs >=4 virtual devices')
+
+
+def _config(**kw):
+  defaults = dict(dt=0.001, gamma=0.0, k0=0.05, k=0.1, stride=(40, 40),
+                  num_iters=200, max_iters=20000, stop_v_max=0.001,
+                  dt_max=100.0)
+  defaults.update(kw)
+  return mesh.IntegrationConfig(**defaults)
+
+
+class TestShardedRelax:
+
+  @requires_multi
+  def test_matches_single_device_2d(self):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 1, 16, 12).astype(np.float32))
+    prev = jnp.zeros_like(x)
+    cfg = _config()
+
+    ref, _, _ = mesh.relax_mesh_fused(x, prev, cfg)
+
+    dmesh = mesh_sharding.make_mesh(4)
+    out, e_hist, steps = mesh_sharding.relax_mesh_sharded(
+        x, prev, cfg, dmesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+    assert np.isfinite(np.asarray(e_hist)[0])
+
+  @requires_multi
+  def test_matches_single_device_3d(self):
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(3, 4, 8, 6).astype(np.float32))
+    prev = jnp.zeros_like(x)
+    cfg = _config(stride=(40, 40, 40))
+
+    ref, _, _ = mesh.relax_mesh_fused(
+        x, prev, cfg, mesh_force=mesh.elastic_mesh_3d)
+    dmesh = mesh_sharding.make_mesh(4)
+    out, _, _ = mesh_sharding.relax_mesh_sharded(x, prev, cfg, dmesh, dim=3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+  @requires_multi
+  def test_halo_force_equivalence(self):
+    # Sharded force field == single-device force field, exactly.
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 1, 16, 8).astype(np.float32)
+    ref = np.asarray(mesh.inplane_force(jnp.asarray(x), 0.1, (40, 40)))
+
+    dmesh = mesh_sharding.make_mesh(4, 'my')
+    from jax.sharding import PartitionSpec as P
+    force = mesh_sharding._sharded_force_2d('my')
+    f = mesh_sharding.shard_map(
+        lambda xl: force(xl, 0.1, (40, 40)), mesh=dmesh,
+        in_specs=P(None, None, 'my', None),
+        out_specs=P(None, None, 'my', None))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(f), ref, atol=1e-5)
+
+  @requires_multi
+  def test_sharded_flow_step(self):
+    rng = np.random.RandomState(0)
+    img = rng.rand(64, 64).astype(np.float32)
+    post = np.roll(img, (2, -1), (0, 1))
+    dmesh = mesh_sharding.make_mesh(4, 'mesh_y')
+    run = mesh_sharding.sharded_flow_step(dmesh, 'mesh_y')
+    starts = jnp.asarray(
+        np.array([[y * 8, x * 8] for y in range(4) for x in range(4)],
+                 np.int32))
+    peaks = np.asarray(run(jnp.asarray(img), jnp.asarray(post), starts,
+                           (24, 24)))
+    assert peaks.shape == (16, 4)
+    valid = np.isfinite(peaks[:, 0])
+    assert valid.any()
+    np.testing.assert_array_equal(peaks[valid, 0], 1.0)   # x = -(-1)
+    np.testing.assert_array_equal(peaks[valid, 1], -2.0)  # y = -2
