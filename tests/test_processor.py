@@ -1,0 +1,312 @@
+"""Processor-layer tests: fake volume backends + chunked runner."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from sofima_tpu import map_utils
+from sofima_tpu import mesh as mesh_lib
+from sofima_tpu.processor import client_utils, flow, maps, mesh, runner
+from sofima_tpu.processor.defaults import em_2d
+from sofima_tpu.utils import metrics
+from sofima_tpu.utils.bounding_box import BoundingBox
+from sofima_tpu.utils.subvolume import Subvolume
+from sofima_tpu.utils.volume import InMemoryVolume
+
+
+def _texture(n, seed=0, sigma=0.1):
+  rng = np.random.RandomState(seed)
+  noise = rng.rand(n, n).astype(np.float32)
+  f = np.fft.rfft2(noise)
+  fy = np.fft.fftfreq(n)[:, None]
+  fx = np.fft.rfftfreq(n)[None, :]
+  f *= np.exp(-((fx**2 + fy**2) / (2 * sigma**2)))
+  tex = np.fft.irfft2(f, s=(n, n))
+  tex = (tex - tex.min()) / np.ptp(tex)
+  return (tex * 255).astype(np.float32)
+
+
+class TestClientUtils:
+
+  def test_forward(self):
+    starts = [0, 50, 100, 150, 200]
+    assert client_utils.get_block_id(10, starts, False) == 1
+    assert client_utils.get_block_id(0, starts, False) == 1
+    assert client_utils.get_block_id(49, starts, False) == 1
+    assert client_utils.get_block_id(50, starts, False) == 2
+
+  def test_backward(self):
+    starts = [50, 100, 150, 200]
+    assert client_utils.get_block_id(10, starts, True) == 0
+    assert client_utils.get_block_id(50, starts, True) == 0
+    assert client_utils.get_block_id(51, starts, True) == 1
+    assert client_utils.get_block_id(100, starts, True) == 1
+
+
+class TestEstimateFlow:
+
+  def test_z_stack_flow(self):
+    # A 3-section stack: each section rolled +2 px in x vs the previous.
+    tex = _texture(240)
+    stack = np.stack([np.roll(tex, 2 * z, axis=1) for z in range(3)])
+    vol = InMemoryVolume(stack[np.newaxis].astype(np.float32),
+                         fill_value=0.0)
+
+    cfg = em_2d.estimate_flow_config({'patch_size': 80, 'stride': 40,
+                                      'batch_size': 16})
+    proc = flow.EstimateFlow(cfg)
+    out = runner.process_volume(proc, vol, subvolume_size=(240, 240, 3))
+
+    # Output volume keeps the input z extent; section 0 has no flow.
+    assert out.meta.num_channels == 4
+    data = out.data
+    assert data.shape[1] == 3
+    assert np.isnan(data[0, 0]).all()
+    # flow x = pre - post = -2 (content moved +2 in post); the np.roll
+    # wrap seam pollutes edge patches, so check the interior.
+    interior = data[:, 1:, 1:-1, 1:-1]
+    valid = np.isfinite(interior[0])
+    assert valid.any()
+    np.testing.assert_array_equal(interior[0][valid], -2.0)
+    np.testing.assert_array_equal(
+        interior[1][np.isfinite(interior[1])], 0.0)
+
+  def test_context_and_overlap(self):
+    cfg = em_2d.estimate_flow_config()
+    proc = flow.EstimateFlow(cfg)
+    pre, post = proc.context()
+    assert pre == (80, 80, 1) and post == (80, 80, 0)
+    assert proc.overlap() == (120, 120, 1)  # shrunk by one stride
+
+
+class TestReconcileAndFilterFlows:
+
+  def test_clean_passthrough(self):
+    flow_data = np.full((4, 1, 10, 10), 0.0, np.float32)
+    flow_data[0] = 3.0
+    flow_data[2] = 10.0  # sharp
+    flow_data[3] = 0.0
+    cfg = em_2d.reconcile_flows_config({'min_patch_size': 0})
+    proc = flow.ReconcileAndFilterFlows(cfg)
+    sv = Subvolume(flow_data,
+                   BoundingBox(start=(0, 0, 0), size=(10, 10, 1)))
+    out = proc.process(sv)
+    assert out.data.shape[0] == 2
+    np.testing.assert_array_equal(out.data[0], 3.0)
+
+  def test_lowres_fill(self):
+    # Base flow invalid everywhere; low-res (2x) flow donates values.
+    base = np.full((4, 1, 10, 10), np.nan, np.float32)
+    lowres = np.zeros((4, 1, 5, 5), np.float32)
+    lowres[0] = 4.0   # 4 px flow at 2x downsampling
+    lowres[2] = 10.0  # sharp
+    low_vol = InMemoryVolume(lowres, pixel_size=(2, 2, 1))
+
+    base_vol = InMemoryVolume(base, pixel_size=(1, 1, 1))
+    cfg = em_2d.reconcile_flows_config({'min_patch_size': 0,
+                                        'max_gradient': 0,
+                                        'max_deviation': 0})
+    proc = flow.ReconcileAndFilterFlows(cfg, base_vol)
+    proc._sources = [None, flow.FlowSource(volume=low_vol)]
+    sv = Subvolume(base, BoundingBox(start=(0, 0, 0), size=(10, 10, 1)))
+    out = proc.process(sv)
+    valid = np.isfinite(out.data[0])
+    assert valid.any()
+    # Magnitude rescaled by the pixel ratio (4 / 0.5 = 8).
+    np.testing.assert_allclose(out.data[0][valid], 8.0, atol=1e-3)
+
+
+class TestEstimateMissingFlow:
+
+  def test_fills_with_lookback(self):
+    # Sections 0..3; flow for section 3 invalid; content matches z=1
+    # (2 sections back) with shift +3 px.
+    tex = _texture(200, seed=2)
+    stack = np.stack([
+        tex,
+        np.roll(tex, 3, axis=1),
+        np.full_like(tex, 128.0),  # featureless -> bad direct flow
+        np.roll(tex, 3, axis=1),
+    ])
+    image_vol = InMemoryVolume(stack[np.newaxis], fill_value=0.0)
+
+    cfg = em_2d.estimate_missing_flow_config({
+        'patch_size': 80, 'stride': 40, 'batch_size': 16,
+        'max_delta_z': 3})
+    proc = flow.EstimateMissingFlow(
+        dataclasses.replace(cfg, image_volinfo=image_vol))
+
+    grid = 200 // 40
+    flow_in = np.full((2, 1, grid, grid), np.nan, np.float32)
+    sv = Subvolume(flow_in, BoundingBox(start=(0, 0, 3),
+                                        size=(grid, grid, 1)))
+    out = proc.process(sv)
+    assert out.data.shape[0] == 3
+    valid = np.isfinite(out.data[0, 0])
+    assert valid.any()
+    # Lookback found z=1 at delta 2; flow = 0 (identical content).
+    assert (out.data[2, 0][valid] == 2).any()
+
+
+class TestMapProcessors:
+
+  def _smooth_map(self, grid_n, z=1):
+    y, x = np.mgrid[:grid_n, :grid_n].astype(np.float32)
+    dx = 2 * np.sin(2 * np.pi * y / grid_n)
+    dy = 2 * np.cos(2 * np.pi * x / grid_n)
+    return np.stack([np.tile(dx, (z, 1, 1)), np.tile(dy, (z, 1, 1))])
+
+  def test_invert_map_processor(self):
+    m = self._smooth_map(20)
+    vol = InMemoryVolume(m)
+    cfg = maps.InvertMap.Config(stride=10.0, crop_output=True,
+                                input_volume=vol)
+    proc = maps.InvertMap(cfg)
+    sv = Subvolume(m, BoundingBox(start=(0, 0, 0), size=(20, 20, 1)))
+    outs = proc.process(sv)
+    assert len(outs) == 1
+    inv = outs[0].data
+    assert np.isfinite(inv).all()  # inner box fully covered
+
+  def test_resample_map_processor(self):
+    m = np.full((2, 1, 8, 8), 5.0, np.float32)
+    cfg = maps.ResampleMap.Config(stride=40, out_stride=80)
+    proc = maps.ResampleMap(cfg)
+    sv = Subvolume(m, BoundingBox(start=(0, 0, 0), size=(8, 8, 1)))
+    outs = proc.process(sv)
+    out = outs[0]
+    assert out.data.shape == (2, 1, 4, 4)
+    np.testing.assert_allclose(out.data, 5.0, atol=1e-4)
+
+  def test_fill_missing_processor(self):
+    m = self._smooth_map(12)
+    m[:, :, 5, 5] = np.nan
+    proc = maps.FillMissing()
+    sv = Subvolume(m, BoundingBox(start=(0, 0, 0), size=(12, 12, 1)))
+    out = proc.process(sv)
+    assert np.isfinite(out.data).all()
+
+  def test_mask_irregularities_processor(self):
+    m = np.zeros((2, 1, 12, 12), np.float32)
+    m[0, 0, 6, 6] = -30.0  # fold at stride 10
+    proc = maps.MaskIrregularities(stride=(10.0, 10.0), frac=0.5)
+    sv = Subvolume(m, BoundingBox(start=(0, 0, 0), size=(12, 12, 1)))
+    out = proc.process(sv)
+    assert np.isnan(out.data[0, 0]).any()
+
+
+class FakeTileRelaxMesh(mesh.RelaxMesh):
+  """RelaxMesh with an in-memory solved-section store."""
+
+  def __init__(self, config, store):
+    super().__init__(config)
+    self._store = store  # z -> [2, 1, y, x]
+
+  def _load_stitched_tile(self, output_dir, box):
+    z = int(box.start[2])
+    if z in self._store:
+      return self._store[z].copy()
+    return None
+
+
+class TestRelaxMesh:
+
+  def test_sequential_solve(self):
+    # Two-section alignment: section 1 must land on flow ∘ mesh(section 0).
+    grid = 12
+    flow_data = np.zeros((2, 1, grid, grid), np.float32)
+    flow_data[0] = 4.0  # +4 px x shift relative to ref section
+    flow_vol = InMemoryVolume(np.tile(flow_data, (1, 2, 1, 1)))
+
+    cfg = em_2d.relax_mesh_config({
+        'integration_config': {'stride': (10, 10), 'num_iters': 200,
+                               'max_iters': 20000, 'k0': 0.1},
+        'block_starts': [0],
+    })
+    cfg = dataclasses.replace(
+        cfg, flows=[mesh.FlowVolume(delta_z=1, volume=flow_vol)])
+
+    store = {0: np.zeros((2, 1, grid, grid), np.float32)}
+    proc = FakeTileRelaxMesh(cfg, store)
+
+    sv = Subvolume(np.zeros((2, 1, grid, grid), np.float32),
+                   BoundingBox(start=(0, 0, 1), size=(grid, grid, 1)))
+    out = proc.process(sv)
+    interior = out.data[:, 0, 2:-2, 2:-2]
+    np.testing.assert_allclose(interior[0], 4.0, atol=0.5)
+    np.testing.assert_allclose(interior[1], 0.0, atol=0.5)
+
+  def test_block_start_not_optimized(self):
+    cfg = em_2d.relax_mesh_config({'block_starts': [5]})
+    proc = FakeTileRelaxMesh(cfg, {})
+    sv = Subvolume(np.zeros((2, 1, 8, 8), np.float32),
+                   BoundingBox(start=(0, 0, 5), size=(8, 8, 1)))
+    out = proc.process(sv)
+    np.testing.assert_array_equal(out.data, 0.0)
+
+  def test_skipped_sections(self):
+    cfg = em_2d.relax_mesh_config()
+    cfg = dataclasses.replace(
+        cfg, sections_to_skip=[3],
+        ranges_to_skip=[mesh.BadSectionRange(
+            start=10, end=12,
+            flow=mesh.FlowVolume(delta_z=1, volume=None))])
+    proc = FakeTileRelaxMesh(cfg, {})
+    assert proc.is_skipped_section(3)
+    assert proc.is_skipped_section(11)
+    assert not proc.is_skipped_section(13)
+
+
+class TestRunner:
+
+  def test_runner_identity_processor(self):
+
+    class Doubler(runner.SubvolumeProcessor):
+
+      def context(self):
+        return (2, 2, 0), (2, 2, 0)
+
+      def process(self, subvol):
+        return self.crop_box_and_data(subvol.bbox, subvol.data * 2)
+
+    rng = np.random.RandomState(0)
+    data = rng.rand(1, 4, 50, 60).astype(np.float32)
+    out = runner.process_volume(Doubler(), InMemoryVolume(data),
+                                subvolume_size=(32, 32, 4))
+    np.testing.assert_allclose(out.data, data * 2, atol=1e-6)
+
+  def test_runner_parallel(self):
+    class Inc(runner.SubvolumeProcessor):
+
+      def process(self, subvol):
+        return Subvolume(subvol.data + 1, subvol.bbox)
+
+    data = np.zeros((1, 2, 40, 40), np.float32)
+    out = runner.process_volume(Inc(), InMemoryVolume(data),
+                                subvolume_size=(16, 16, 2), parallelism=4)
+    np.testing.assert_array_equal(out.data, 1.0)
+    assert metrics.registry().get_counter('Inc', 'subvolumes-done') >= 9
+
+
+class TestDefaults:
+
+  def test_registry_roundtrip(self):
+    from sofima_tpu.pipeline import flow_config
+    cfg = flow_config.default_em_2d()
+    assert cfg.estimate_flow.config.patch_size == 160
+    assert cfg.reconcile_missing_flows.multi_section
+
+    over = flow_config.default_em_2d(
+        {'estimate_flow': {'config': {'patch_size': 80}}})
+    assert over.estimate_flow.config.patch_size == 80
+    assert over.estimate_flow.config.stride == 40
+
+  def test_mesh_pipeline_defaults(self):
+    from sofima_tpu.pipeline import mesh_config
+    cfg = mesh_config.default_em_2d()
+    assert cfg.cross_block_config.integration_config.k0 == 0.001
+    assert cfg.cross_block_config.integration_config.stride == (320, 320)
+    assert (cfg.cross_block_config.options.init_state
+            == mesh.MeshInitState.PREV_MEDIAN)
+    assert cfg.within_block_config.integration_config.k0 == 0.01
