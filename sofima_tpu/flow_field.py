@@ -319,6 +319,79 @@ def _silent_fn(x: list[T]) -> Iterator[T]:
   yield from x
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=['patch_size', 'step', 'batch_size', 'mean',
+                     'min_distance', 'threshold_rel', 'peak_radius',
+                     'post_patch_size'])
+def dense_flow_field(
+    pre_image: jnp.ndarray,
+    post_image: jnp.ndarray,
+    patch_size: Sequence[int],
+    step: Sequence[int],
+    batch_size: int = 1024,
+    mean: float | None = None,
+    min_distance: int | Sequence[int] = 2,
+    threshold_rel: float = 0.5,
+    peak_radius: int | Sequence[int] = 5,
+    post_patch_size: Sequence[int] | None = None,
+) -> jnp.ndarray:
+  """Flow field over the full dense patch grid, entirely on device.
+
+  The production hot path for unmasked dense grids: patch start
+  generation, the batched xcorr+peaks scan, and the grid reshape all run
+  inside ONE jit program — zero host round trips (the result stays on
+  device; fetch reductions, not the full grid, when bandwidth matters).
+
+  Returns [dim+2, *grid] with the same conventions as
+  `JAXMaskedXCorrWithStatsCalculator.flow_field`.
+  """
+  ndim = pre_image.ndim
+  patch_size = tuple(patch_size)
+  step = tuple(step)
+  if post_patch_size is None:
+    post_patch_size = patch_size
+  else:
+    post_patch_size = tuple(post_patch_size)
+
+  grid = tuple(
+      (post_image.shape[a] - (post_patch_size[a] - step[a])) // step[a]
+      for a in range(ndim))
+  n = int(np.prod(grid))
+  batch_size = min(batch_size, n)
+  num_batches = -(-n // batch_size)
+  padded = num_batches * batch_size
+
+  # All patch starts, row-major over the grid ([z]yx coords).
+  axes = [jnp.arange(g, dtype=jnp.int32) * s for g, s in zip(grid, step)]
+  starts = jnp.stack(jnp.meshgrid(*axes, indexing='ij'),
+                     axis=-1).reshape(n, ndim)
+  starts = jnp.pad(starts, ((0, padded - n), (0, 0)), mode='edge')
+
+  patch_offset = jnp.asarray(
+      [(patch_size[a] - post_patch_size[a]) // 2 for a in range(ndim)],
+      jnp.int32)
+  pre_starts = jnp.maximum(starts - patch_offset[None], 0)
+
+  pre_image = jnp.asarray(pre_image, jnp.float32)
+  post_image = jnp.asarray(post_image, jnp.float32)
+
+  def one_batch(args):
+    ps, qs = args
+    return batched_xcorr_peaks(
+        pre_image, post_image, None, None, patch_size, ps, mean,
+        min_distance=min_distance, threshold_rel=threshold_rel,
+        peak_radius=peak_radius, post_patch_size=post_patch_size,
+        post_starts=qs)
+
+  peaks = jax.lax.map(
+      one_batch,
+      (pre_starts.reshape(num_batches, batch_size, ndim),
+       starts.reshape(num_batches, batch_size, ndim)))
+  peaks = peaks.reshape(padded, ndim + 2)[:n]
+  return jnp.moveaxis(peaks.reshape(grid + (ndim + 2,)), -1, 0)
+
+
 class JAXMaskedXCorrWithStatsCalculator:
   """Grid-driven flow-field estimator (the #1 hot path).
 

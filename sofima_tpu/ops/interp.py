@@ -150,7 +150,10 @@ def sample(
         for a, raw in enumerate(raw_idx):
           oob |= (raw < 0) | (raw >= shape[a])
         gathered = jnp.where(oob, cval, gathered)
-      out = out + weight * gathered
+      # Zero-weight taps must not poison the output (0 * NaN = NaN), e.g.
+      # the +1 linear tap at an exact grid point next to the edge.
+      contrib = weight * gathered
+      out = out + jnp.where(weight == 0.0, 0.0, contrib)
       return
     for off, w in zip(offsets_per_axis[axis], weights_per_axis[axis]):
       raw = base[axis] + off
