@@ -61,6 +61,10 @@ def edt(mask: np.ndarray, black_border: bool = True,
         parallel: int = 0) -> np.ndarray:
   """2d Euclidean distance transform of a boolean/integer mask.
 
+  Uses the exact native C++ kernel (separable lower-envelope algorithm,
+  sofima_tpu.native) when available, falling back to on-device jump
+  flooding.
+
   Args:
     mask: nonzero pixels are 'inside'; distance is to the nearest zero
     black_border: treat the image border as background
@@ -70,6 +74,11 @@ def edt(mask: np.ndarray, black_border: bool = True,
     float32 distance map, 0 on background pixels
   """
   del parallel
+  from sofima_tpu import native
+  native_out = native.edt2d(np.asarray(mask), black_border=black_border)
+  if native_out is not None:
+    return native_out
+
   inside = np.asarray(mask) != 0
   if black_border:
     padded = np.pad(inside, 1, constant_values=False)

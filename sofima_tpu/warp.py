@@ -54,9 +54,15 @@ def _normalize_interp(interpolation: str | None, dtype) -> str:
 
 
 def make_contiguous(data: np.ndarray) -> tuple[np.ndarray, list]:
-  """Maps arbitrary uint64 ids to dense [0, n) int space."""
+  """Maps arbitrary uint64 ids to dense [0, n) int space.
+
+  Uses the multithreaded native relabel kernel when available.
+  """
   orig_ids = np.unique(data)
-  low = np.searchsorted(orig_ids, data)
+  from sofima_tpu import native
+  low = native.relabel(data, orig_ids)
+  if low is None:
+    low = np.searchsorted(orig_ids, data)
   return low, list(zip(orig_ids.tolist(), range(len(orig_ids))))
 
 
