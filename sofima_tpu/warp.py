@@ -162,8 +162,40 @@ def warp_subvolume(
       np.moveaxis(image.astype(np.float32), 1, 0))  # [z, c, y, x]
   maps_j = jnp.asarray(np.moveaxis(abs_map, 1, 0))  # [z, 2, my, mx]
 
-  warped = np.array(
-      _warp_sections(images_j, maps_j, jnp.asarray(grid), method))
+  # Displacement bounds (output-pixel space) from the small map arrays:
+  # when the deformation is bounded, use the gather-free shift-decomposed
+  # warp (ops.shift_warp) — the fast path on TPU.
+  from sofima_tpu.ops import shift_warp
+  node_y = ((np.arange(abs_map.shape[2], dtype=np.float64)
+             + map_box.start[1]) * stride - out_box.start[1] + offset)
+  node_x = ((np.arange(abs_map.shape[3], dtype=np.float64)
+             + map_box.start[0]) * stride - out_box.start[0] + offset)
+  disp_y = abs_map[1] - node_y[None, :, None]
+  disp_x = abs_map[0] - node_x[None, None, :]
+  bucket = 16
+
+  def _bounds(v):
+    # Bilinear densification never exceeds the node-value hull; the pad
+    # covers edge extrapolation, rounded to buckets to bound recompiles.
+    lo = np.nanmin(v) - bucket
+    hi = np.nanmax(v) + bucket
+    return (int(np.floor(lo / bucket) * bucket),
+            int(np.ceil(hi / bucket) * bucket))
+
+  use_shift = not (np.all(np.isnan(disp_y)) or np.all(np.isnan(disp_x)))
+  if use_shift:
+    dy_lo, dy_hi = _bounds(disp_y)
+    dx_lo, dx_hi = _bounds(disp_x)
+    use_shift = max(dy_hi - dy_lo,
+                    dx_hi - dx_lo) <= shift_warp.MAX_SHIFT_RANGE
+
+  if use_shift:
+    warped = np.array(shift_warp.warp_sections_shift(
+        images_j, maps_j, jnp.asarray(grid), method,
+        (dy_lo, dy_hi, dx_lo, dx_hi)))
+  else:
+    warped = np.array(
+        _warp_sections(images_j, maps_j, jnp.asarray(grid), method))
   warped = np.moveaxis(warped, 0, 1)  # [c, z, oy, ox]
   warped = np.nan_to_num(warped)
   warped[:, skipped] = 0.0

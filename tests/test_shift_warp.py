@@ -1,0 +1,92 @@
+"""Shift-decomposed warp: equivalence with the gather sampler."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sofima_tpu.ops import interp, shift_warp
+
+
+def _random_coords(shape, amp, seed=0):
+  rng = np.random.RandomState(seed)
+  oy, ox = shape
+  y, x = np.mgrid[:oy, :ox].astype(np.float32)
+  sy = y + amp * np.sin(2 * np.pi * x / ox) * rng.uniform(0.5, 1.0)
+  sx = x + amp * np.cos(2 * np.pi * y / oy) * rng.uniform(0.5, 1.0)
+  return np.stack([sy, sx])
+
+
+class TestShiftWarp:
+
+  @pytest.mark.parametrize('method', ['nearest', 'linear', 'cubic',
+                                      'lanczos'])
+  def test_matches_gather_sampler(self, method):
+    rng = np.random.RandomState(0)
+    img = rng.rand(48, 56).astype(np.float32)
+    coords = _random_coords((48, 56), amp=5.0)
+    ref = np.asarray(interp.sample(
+        jnp.asarray(img), jnp.asarray(coords), method=method,
+        mode='constant', cval=0.0))
+    ref = np.nan_to_num(ref)
+    out = np.asarray(shift_warp.shift_warp_2d(
+        jnp.asarray(img), jnp.asarray(coords), method, -8, 8, -8, 8))
+    interior = np.s_[8:-8, 8:-8]
+    np.testing.assert_allclose(out[interior], ref[interior], atol=2e-3)
+
+  def test_integer_translation_exact(self):
+    rng = np.random.RandomState(1)
+    img = rng.rand(40, 40).astype(np.float32)
+    y, x = np.mgrid[:40, :40].astype(np.float32)
+    coords = np.stack([y + 3, x - 5])
+    for method in ('nearest', 'linear', 'lanczos'):
+      out = np.asarray(shift_warp.shift_warp_2d(
+          jnp.asarray(img), jnp.asarray(coords), method, 0, 8, -8, 0))
+      np.testing.assert_allclose(out[5:-5, 5:-5], img[8:-2, 0:-10],
+                                 atol=1e-4, err_msg=method)
+
+  def test_out_of_image_zero(self):
+    img = np.ones((20, 20), np.float32)
+    y, x = np.mgrid[:20, :20].astype(np.float32)
+    coords = np.stack([y, x - 15.0])  # half the samples off the left edge
+    out = np.asarray(shift_warp.shift_warp_2d(
+        jnp.asarray(img), jnp.asarray(coords), 'linear', 0, 0, -16, 0))
+    assert (out[:, :14] == 0).all()
+    assert (out[:, 16:] == 1).all()
+
+  def test_nan_coords_zero(self):
+    img = np.ones((16, 16), np.float32)
+    y, x = np.mgrid[:16, :16].astype(np.float32)
+    coords = np.stack([y, x])
+    coords[:, 8, 8] = np.nan
+    out = np.asarray(shift_warp.shift_warp_2d(
+        jnp.asarray(img), jnp.asarray(coords), 'linear', -8, 8, -8, 8))
+    assert out[8, 8] == 0.0
+    assert out[0, 0] == 1.0
+
+  def test_out_of_bounds_displacement_reads_zero(self):
+    img = np.ones((20, 20), np.float32)
+    y, x = np.mgrid[:20, :20].astype(np.float32)
+    coords = np.stack([y, x + 30.0])  # beyond declared bounds
+    out = np.asarray(shift_warp.shift_warp_2d(
+        jnp.asarray(img), jnp.asarray(coords), 'linear', 0, 0, 0, 16))
+    np.testing.assert_array_equal(out, 0.0)
+
+
+class TestWarpSubvolumeShiftPath:
+
+  def test_subvolume_uses_shift_path(self):
+    # Same scenario as the warp tests: results must be identical whether
+    # the shift or gather path runs.
+    from sofima_tpu import warp
+    from sofima_tpu.utils import BoundingBox
+    rng = np.random.RandomState(2)
+    img = rng.randint(10, 250, (1, 1, 64, 64)).astype(np.uint8)
+    box = BoundingBox(start=(0, 0, 0), size=(64, 64, 1))
+    cmap = np.zeros((2, 1, 8, 8), np.float32)
+    cmap[0] = 6.0
+    cmap[1] = -3.0
+    mbox = BoundingBox(start=(0, 0, 0), size=(8, 8, 1))
+    out = warp.warp_subvolume(img, box, cmap, mbox, 8.0, box,
+                              interpolation='linear')
+    expected = img[0, 0, 5 - 3:40 - 3, 5 + 6:40 + 6]
+    np.testing.assert_array_equal(out[0, 0, 5:40, 5:40], expected)
