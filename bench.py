@@ -52,7 +52,6 @@ def main():
   import jax
   import jax.numpy as jnp
   from sofima_tpu import flow_field, mesh, warp
-  from sofima_tpu.ops import interp
 
   n = 10000
   stride = 40
@@ -112,10 +111,14 @@ def main():
     g = np.stack(np.meshgrid(gy, ox, indexing='ij'))
     strip_grids.append(jax.device_put(g.astype(np.float32)))
 
+  from sofima_tpu.ops import shift_warp
+  bounds = (-16, 32, -32, 16)  # bucketed displacement (dy=7, dx=-12)
+
   def run_warp():
     outs = []
-    for g in strip_grids:
-      outs.append(warp._warp_sections(images, abs_map_j, g, 'lanczos'))
+    for i, g in enumerate(strip_grids):
+      outs.append(shift_warp.warp_sections_shift(
+          images, abs_map_j, g, 'lanczos', bounds, origin=(i * h, 0)))
     return outs
 
   strips, t_warp = _time(run_warp)

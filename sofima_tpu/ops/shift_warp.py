@@ -63,23 +63,27 @@ _LEFT = {'nearest': 0, 'linear': 0, 'cubic': 1, 'lanczos': 3}
 
 @functools.partial(
     jax.jit,
-    static_argnames=['method', 'dy_lo', 'dy_hi', 'dx_lo', 'dx_hi'])
+    static_argnames=['method', 'dy_lo', 'dy_hi', 'dx_lo', 'dx_hi',
+                     'origin_y', 'origin_x'])
 def shift_warp_2d(
     image: jnp.ndarray,
     coords: jnp.ndarray,
     method: str,
     dy_lo: int, dy_hi: int, dx_lo: int, dx_hi: int,
+    origin_y: int = 0, origin_x: int = 0,
 ) -> jnp.ndarray:
   """Warps a [y, x] image given per-pixel source coords, gather-free.
 
   Args:
     image: [h, w] source
-    coords: [2, oy, ox] (y, x) source sampling positions; out[p] =
-      interp(image, coords[:, p])
+    coords: [2, oy, ox] (y, x) source sampling positions in image
+      coordinates; out[p] = interp(image, coords[:, p])
     method: 'nearest' | 'linear' | 'cubic' | 'lanczos'
     dy_lo/dy_hi/dx_lo/dx_hi: static integer bounds of the displacement
-      coords[c] - output_position[c] (inclusive); samples whose
-      displacement leaves these bounds read zeros
+      coords[c] - (output_position[c] + origin) (inclusive); samples
+      whose displacement leaves these bounds read zeros
+    origin_y/origin_x: image coordinate of output pixel (0, 0) — nonzero
+      when rendering a sub-region (e.g. a strip) of a larger output
 
   Returns:
     [oy, ox] warped image (float32); out-of-image samples are 0, NaN
@@ -95,38 +99,58 @@ def shift_warp_2d(
   sy1 = int(np.floor(dy_hi)) + (taps - 1 - left)
   sx0 = int(np.floor(dx_lo)) - left
   sx1 = int(np.floor(dx_hi)) + (taps - 1 - left)
+  ry = sy1 - sy0 + 1
+  rx = sx1 - sx0 + 1
 
-  yy = jnp.arange(oy, dtype=jnp.float32)[:, None]
-  xx = jnp.arange(ox, dtype=jnp.float32)[None, :]
+  yy = jnp.arange(oy, dtype=jnp.float32)[:, None] + origin_y
+  xx = jnp.arange(ox, dtype=jnp.float32)[None, :] + origin_x
   dy = jnp.nan_to_num(coords[0], nan=1e9) - yy  # [oy, ox]
   dx = jnp.nan_to_num(coords[1], nan=1e9) - xx
 
-  # Pad so that img_padded[y + s - sy0, x + s - sx0] is always in range.
-  pad_top, pad_bot = max(-sy0, 0), max(sy1 + oy - image.shape[0] + 1, 0)
-  pad_lft, pad_rgt = max(-sx0, 0), max(sx1 + ox - image.shape[1] + 1, 0)
+  # Pad so every accessed window (origin + [0, oy) + s) is in range.
+  pad_top = max(-(origin_y + sy0), 0)
+  pad_bot = max(origin_y + sy1 + oy - image.shape[0], 0)
+  pad_lft = max(-(origin_x + sx0), 0)
+  pad_rgt = max(origin_x + sx1 + ox - image.shape[1], 0)
   padded = jnp.pad(image, ((pad_top, pad_bot), (pad_lft, pad_rgt)))
 
-  # Precompute separable weight planes for every absolute shift.
-  wy = [_kernel_weight(dy - s, method) for s in range(sy0, sy1 + 1)]
-  wx = [_kernel_weight(dx - s, method) for s in range(sx0, sx1 + 1)]
-
   if method == 'lanczos':
-    # Lanczos weights are normalized over the 8 contributing taps.
-    norm_y = sum(wy)
-    norm_x = sum(wx)
-    wy = [w / jnp.maximum(norm_y, 1e-12) for w in wy]
-    wx = [w / jnp.maximum(norm_x, 1e-12) for w in wx]
+    # Normalize the 8 contributing taps per axis.
+    def norm_body(i, acc):
+      return acc + _kernel_weight(dy - (sy0 + i), method)
+    norm_y = jax.lax.fori_loop(0, ry, norm_body,
+                               jnp.zeros((oy, ox), jnp.float32))
 
-  out = jnp.zeros((oy, ox), jnp.float32)
-  for iy, s_y in enumerate(range(sy0, sy1 + 1)):
-    row_origin = pad_top + s_y
-    # Accumulate the x-sweep for this row shift first (separable).
-    inner = jnp.zeros((oy, ox), jnp.float32)
-    for ix, s_x in enumerate(range(sx0, sx1 + 1)):
-      window = jax.lax.dynamic_slice(
-          padded, (row_origin, pad_lft + s_x), (oy, ox))
-      inner = inner + wx[ix] * window
-    out = out + wy[iy] * inner
+    def norm_body_x(i, acc):
+      return acc + _kernel_weight(dx - (sx0 + i), method)
+    norm_x = jax.lax.fori_loop(0, rx, norm_body_x,
+                               jnp.zeros((oy, ox), jnp.float32))
+    dy_w = dy
+    dx_w = dx
+  else:
+    norm_y = norm_x = None
+    dy_w = dy
+    dx_w = dx
+
+  # One device loop over the (ry * rx) shift lattice: each iteration is a
+  # dynamic_slice (contiguous window — no gather) + separable kernel
+  # weights + fused multiply-add. Memory stays O(output size).
+  def body(i, acc):
+    iy = i // rx
+    ix = i % rx
+    s_y = sy0 + iy
+    s_x = sx0 + ix
+    window = jax.lax.dynamic_slice(
+        padded, (pad_top + origin_y + s_y, pad_lft + origin_x + s_x),
+        (oy, ox))
+    w = (_kernel_weight(dy_w - s_y, method)
+         * _kernel_weight(dx_w - s_x, method))
+    return acc + w * window
+
+  out = jax.lax.fori_loop(0, ry * rx, body,
+                          jnp.zeros((oy, ox), jnp.float32))
+  if norm_y is not None:
+    out = out / jnp.maximum(norm_y * norm_x, 1e-12)
   return out
 
 
@@ -170,20 +194,24 @@ MAX_SHIFT_RANGE = 160
 
 def warp_sections_shift(images: jnp.ndarray, abs_map: jnp.ndarray,
                         map_grid_coords: jnp.ndarray, method: str,
-                        bounds: tuple[int, int, int, int]) -> jnp.ndarray:
+                        bounds: tuple[int, int, int, int],
+                        origin: tuple[int, int] = (0, 0)) -> jnp.ndarray:
   """Shift-decomposed equivalent of warp._warp_sections.
 
   Args:
     images: [z, c, y, x] source sections
-    abs_map: [z, 2, my, mx] absolute inverse maps (x, y channels)
+    abs_map: [z, 2, my, mx] absolute inverse maps (x, y channels) in
+      source-image pixel coordinates
     map_grid_coords: [2, oy, ox] output coords in map-node units (y, x)
     method: interpolation kernel
     bounds: static displacement bounds (see displacement_bounds)
+    origin: (y, x) source-image coordinate of output pixel (0, 0)
 
   Returns:
     [z, c, oy, ox] warped output
   """
   dy_lo, dy_hi, dx_lo, dx_hi = bounds
+  oy0, ox0 = origin
 
   def one_section(img_c, m):
     dense_x = interp_ops.grid_sample_linear(m[0], map_grid_coords)
@@ -191,6 +219,6 @@ def warp_sections_shift(images: jnp.ndarray, abs_map: jnp.ndarray,
     coords = jnp.stack([dense_y, dense_x])
     return jax.vmap(
         lambda img: shift_warp_2d(img, coords, method, dy_lo, dy_hi,
-                                  dx_lo, dx_hi))(img_c)
+                                  dx_lo, dx_hi, oy0, ox0))(img_c)
 
   return jax.vmap(one_section)(images, abs_map)

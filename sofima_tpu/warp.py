@@ -166,10 +166,11 @@ def warp_subvolume(
   # when the deformation is bounded, use the gather-free shift-decomposed
   # warp (ops.shift_warp) — the fast path on TPU.
   from sofima_tpu.ops import shift_warp
+  # Displacement = map value minus the node's own image-local position.
   node_y = ((np.arange(abs_map.shape[2], dtype=np.float64)
-             + map_box.start[1]) * stride - out_box.start[1] + offset)
+             + map_box.start[1]) * stride - image_box.start[1])
   node_x = ((np.arange(abs_map.shape[3], dtype=np.float64)
-             + map_box.start[0]) * stride - out_box.start[0] + offset)
+             + map_box.start[0]) * stride - image_box.start[0])
   disp_y = abs_map[1] - node_y[None, :, None]
   disp_x = abs_map[0] - node_x[None, None, :]
   bucket = 16
@@ -182,7 +183,11 @@ def warp_subvolume(
     return (int(np.floor(lo / bucket) * bucket),
             int(np.ceil(hi / bucket) * bucket))
 
-  use_shift = not (np.all(np.isnan(disp_y)) or np.all(np.isnan(disp_x)))
+  origin_y = float(out_box.start[1] - image_box.start[1] - offset)
+  origin_x = float(out_box.start[0] - image_box.start[0] - offset)
+  use_shift = (origin_y.is_integer() and origin_x.is_integer()
+               and not np.all(np.isnan(disp_y))
+               and not np.all(np.isnan(disp_x)))
   if use_shift:
     dy_lo, dy_hi = _bounds(disp_y)
     dx_lo, dx_hi = _bounds(disp_x)
@@ -192,7 +197,8 @@ def warp_subvolume(
   if use_shift:
     warped = np.array(shift_warp.warp_sections_shift(
         images_j, maps_j, jnp.asarray(grid), method,
-        (dy_lo, dy_hi, dx_lo, dx_hi)))
+        (dy_lo, dy_hi, dx_lo, dx_hi),
+        origin=(int(origin_y), int(origin_x))))
   else:
     warped = np.array(
         _warp_sections(images_j, maps_j, jnp.asarray(grid), method))

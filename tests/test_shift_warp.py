@@ -90,3 +90,23 @@ class TestWarpSubvolumeShiftPath:
                               interpolation='linear')
     expected = img[0, 0, 5 - 3:40 - 3, 5 + 6:40 + 6]
     np.testing.assert_array_equal(out[0, 0, 5:40, 5:40], expected)
+
+
+class TestStripOrigin:
+
+  def test_strip_warp_matches_full(self):
+    # Warping a sub-box (nonzero origin) must match the same rows of a
+    # full warp.
+    from sofima_tpu import warp
+    from sofima_tpu.utils import BoundingBox
+    rng = np.random.RandomState(3)
+    img = rng.rand(1, 1, 64, 64).astype(np.float32)
+    ibox = BoundingBox(start=(0, 0, 0), size=(64, 64, 1))
+    cmap = rng.uniform(-4, 4, (2, 1, 8, 8)).astype(np.float32)
+    mbox = BoundingBox(start=(0, 0, 0), size=(8, 8, 1))
+    full = warp.warp_subvolume(img, ibox, cmap, mbox, 8.0, ibox,
+                               interpolation='lanczos')
+    strip_box = BoundingBox(start=(0, 16, 0), size=(64, 16, 1))
+    strip = warp.warp_subvolume(img, ibox, cmap, mbox, 8.0, strip_box,
+                                interpolation='lanczos')
+    np.testing.assert_allclose(strip[0, 0], full[0, 0, 16:32], atol=1e-4)
