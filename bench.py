@@ -112,7 +112,7 @@ def main():
     strip_grids.append(jax.device_put(g.astype(np.float32)))
 
   from sofima_tpu.ops import shift_warp
-  bounds = (-16, 32, -32, 16)  # bucketed displacement (dy=7, dx=-12)
+  bounds = (0, 16, -16, -8)  # tight bucketed displacement (dy=7, dx=-12)
 
   def run_warp():
     outs = []

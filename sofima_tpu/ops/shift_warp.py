@@ -188,8 +188,23 @@ def displacement_bounds(abs_map: np.ndarray, map_grid_coords: np.ndarray,
 
 
 # Maximum displacement range (per axis) for which the shift decomposition
-# is profitable; beyond this, fall back to the gather sampler.
+# is supported; beyond this, fall back to the gather sampler.
 MAX_SHIFT_RANGE = 160
+
+# Measured per-pixel costs on TPU v5e: one shift-lattice iteration
+# (slice + weights + fma) vs one gather tap. Used to choose between the
+# shift decomposition and the gather sampler per call.
+SHIFT_COST_PER_ITER = 0.55e-9
+GATHER_COST_PER_TAP = 18e-9
+
+
+def shift_path_profitable(dy_range: int, dx_range: int,
+                          method: str) -> bool:
+  """Cost-model choice: (range+taps)^2 shift iters vs taps^2 gathers."""
+  taps = _TAPS[method]
+  shift_iters = (dy_range + taps) * (dx_range + taps)
+  return (shift_iters * SHIFT_COST_PER_ITER
+          < taps * taps * GATHER_COST_PER_TAP)
 
 
 def warp_sections_shift(images: jnp.ndarray, abs_map: jnp.ndarray,

@@ -173,13 +173,13 @@ def warp_subvolume(
              + map_box.start[0]) * stride - image_box.start[0])
   disp_y = abs_map[1] - node_y[None, :, None]
   disp_x = abs_map[0] - node_x[None, None, :]
-  bucket = 16
+  bucket = 8
 
   def _bounds(v):
-    # Bilinear densification never exceeds the node-value hull; the pad
-    # covers edge extrapolation, rounded to buckets to bound recompiles.
-    lo = np.nanmin(v) - bucket
-    hi = np.nanmax(v) + bucket
+    # Bilinear densification never exceeds the node-value hull; a small
+    # pad covers edge extrapolation; bucketing bounds recompiles.
+    lo = np.nanmin(v) - 4
+    hi = np.nanmax(v) + 4
     return (int(np.floor(lo / bucket) * bucket),
             int(np.ceil(hi / bucket) * bucket))
 
@@ -191,8 +191,10 @@ def warp_subvolume(
   if use_shift:
     dy_lo, dy_hi = _bounds(disp_y)
     dx_lo, dx_hi = _bounds(disp_x)
-    use_shift = max(dy_hi - dy_lo,
-                    dx_hi - dx_lo) <= shift_warp.MAX_SHIFT_RANGE
+    use_shift = (
+        max(dy_hi - dy_lo, dx_hi - dx_lo) <= shift_warp.MAX_SHIFT_RANGE
+        and shift_warp.shift_path_profitable(dy_hi - dy_lo,
+                                             dx_hi - dx_lo, method))
 
   if use_shift:
     warped = np.array(shift_warp.warp_sections_shift(
