@@ -140,13 +140,24 @@ def main():
   vm = jnp.zeros_like(xm)
   prev = jnp.zeros_like(xm)
 
+  from sofima_tpu.ops import pallas_mesh
+  pallas_force = pallas_mesh.make_inplane_force(tile=256)
+
   def run_mesh():
-    return mesh.velocity_verlet(xm, vm, prev, cfg, force_cap=1e6)
+    return mesh.velocity_verlet(xm, vm, prev, cfg, force_cap=1e6,
+                                mesh_force=pallas_force)
 
   _, t_mesh = _time(run_mesh, repeats=2)
   glups = cfg.num_iters * 2048 * 2048 / t_mesh / 1e9
   results['mesh_glups'] = round(glups, 2)
   results['mesh_vs_gpu_baseline'] = round(glups / 2.3, 2)
+
+  def run_mesh_xla():
+    return mesh.velocity_verlet(xm, vm, prev, cfg, force_cap=1e6)
+
+  _, t_mesh_xla = _time(run_mesh_xla)
+  results['mesh_glups_xla_stencil'] = round(
+      cfg.num_iters * 2048 * 2048 / t_mesh_xla / 1e9, 2)
 
   # prefer_orig_order (fold-preventing) variant.
   cfg_po = mesh.IntegrationConfig(
@@ -155,7 +166,8 @@ def main():
       prefer_orig_order=True)
 
   def run_mesh_po():
-    return mesh.velocity_verlet(xm, vm, prev, cfg_po, force_cap=1e6)
+    return mesh.velocity_verlet(xm, vm, prev, cfg_po, force_cap=1e6,
+                                mesh_force=pallas_force)
 
   _, t_mesh_po = _time(run_mesh_po)
   results['mesh_glups_prefer_orig_order'] = round(

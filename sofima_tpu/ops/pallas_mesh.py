@@ -1,0 +1,166 @@
+"""Pallas TPU kernel for the in-plane spring-mesh force.
+
+The XLA formulation of the mesh force (mesh._spring_force) materializes
+per-family shifted differences and padded scatters in HBM; this kernel
+computes the complete 8-neighbor Hookean force in ONE pass: each grid
+step DMAs a (TY+2, TX+2) halo window of the node array into VMEM and
+evaluates all spring families as in-register shifted slices, writing the
+(TY, TX) interior force tile. One HBM read + one write per node per step.
+
+The force at node n is the symmetric per-node sum over its 8 neighbors:
+
+    f(n) = sum_e  k_e (1 - l0_e / |d_e|) d_e,   d_e = x[n+e] - x[n] + s*e
+
+(identical to the pairwise-scatter formulation; NaN neighbors contribute
+zero — the caller pads the array with a NaN ring so borders need no
+special casing).
+
+Used as a drop-in `mesh_force` for the solver via `inplane_force_pallas`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# All 8 in-plane neighbor directions (xy components).
+_DIRECTIONS = ((1, 0), (-1, 0), (0, 1), (0, -1),
+               (1, 1), (-1, -1), (-1, 1), (1, -1))
+
+
+# Halo window margins, chosen so every DMA slice is aligned to the
+# (8, 128) float32 VMEM tiling: nodes sit at window[8 + ty, 128 + tx].
+_MARGIN_Y = 8
+_MARGIN_X = 128
+
+
+def _force_tile(tile: jnp.ndarray, ty: int, tx: int, k: float, stride,
+                prefer_orig_order: bool) -> jnp.ndarray:
+  """Force on the [ty, tx] interior of an aligned halo window."""
+  sx, sy = float(stride[0]), float(stride[1])
+  k_diag = k / np.sqrt(2.0)
+
+  center = tile[:, _MARGIN_Y:_MARGIN_Y + ty, _MARGIN_X:_MARGIN_X + tx]
+  f_acc_x = jnp.zeros((ty, tx), jnp.float32)
+  f_acc_y = jnp.zeros((ty, tx), jnp.float32)
+
+  for ex, ey in _DIRECTIONS:
+    nbor = tile[:, _MARGIN_Y + ey:_MARGIN_Y + ey + ty,
+                _MARGIN_X + ex:_MARGIN_X + ex + tx]
+    l0x = sx * ex
+    l0y = sy * ey
+    dx = nbor[0] - center[0] + l0x
+    dy = nbor[1] - center[1] + l0y
+    l0 = float(np.hypot(l0x, l0y))
+    k_e = k if (ex == 0 or ey == 0) else k_diag
+    l = jnp.sqrt(dx * dx + dy * dy)
+    inv_l = 1.0 / jnp.maximum(l, 1e-30)
+    if prefer_orig_order:
+      fac_x = float(ex) * jnp.sign(dx) if ex != 0 else 1.0
+      fac_y = float(ey) * jnp.sign(dy) if ey != 0 else 1.0
+      fx = k_e * (1.0 - l0 * fac_x * inv_l) * dx
+      fy = k_e * (1.0 - l0 * fac_y * inv_l) * dy
+    else:
+      coef = k_e * (1.0 - l0 * inv_l)
+      fx = coef * dx
+      fy = coef * dy
+    # NaN neighbors (or NaN center) contribute no force.
+    f_acc_x = f_acc_x + jnp.nan_to_num(fx, posinf=0.0, neginf=0.0)
+    f_acc_y = f_acc_y + jnp.nan_to_num(fy, posinf=0.0, neginf=0.0)
+
+  return jnp.stack([f_acc_x, f_acc_y])
+
+
+def _kernel(x_hbm, out_ref, scratch, sem, *, k, stride, prefer_orig_order,
+            tile_y, tile_x):
+  z = pl.program_id(0)
+  iy = pl.program_id(1)
+  ix = pl.program_id(2)
+
+  copy = pltpu.make_async_copy(
+      x_hbm.at[:, z, pl.ds(iy * tile_y, tile_y + 2 * _MARGIN_Y),
+               pl.ds(ix * tile_x, tile_x + 2 * _MARGIN_X)],
+      scratch, sem)
+  copy.start()
+  copy.wait()
+  out_ref[:, 0] = _force_tile(scratch[:], tile_y, tile_x, k, stride,
+                              prefer_orig_order)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=['k', 'stride', 'prefer_orig_order', 'tile',
+                     'interpret'])
+def inplane_force_pallas(x: jnp.ndarray, k: float, stride,
+                         prefer_orig_order: bool = False,
+                         tile: int = 256,
+                         interpret: bool = False) -> jnp.ndarray:
+  """Pallas in-plane mesh force; same contract as mesh.inplane_force.
+
+  Args:
+    x: [2, z, y, x] node positions (relative format)
+    k: spring constant (diagonals get k/sqrt(2))
+    stride: XY grid spacing
+    prefer_orig_order: fold-preventing force formulation
+    tile: spatial tile edge (grid step granularity)
+    interpret: run in interpreter mode (CPU testing)
+
+  Returns:
+    [2, z, y, x] forces
+  """
+  if len(stride) != 2:
+    raise ValueError('stride must be 2D (XY).')
+  c, nz, ny, nx = x.shape
+  assert c == 2
+
+  tile_y = max(8, min(tile, -(-ny // 8) * 8))
+  tile_x = max(128, min(tile, -(-nx // 128) * 128))
+  gy = -(-ny // tile_y)
+  gx = -(-nx // tile_x)
+
+  # NaN ring + alignment margins: DMA windows start at tile origins and
+  # span (tile + 2*margin) — fully (8, 128)-aligned; borders and grid
+  # overhang read NaN neighbors, which contribute zero force.
+  pad_y = gy * tile_y + 2 * _MARGIN_Y - ny - _MARGIN_Y
+  pad_x = gx * tile_x + 2 * _MARGIN_X - nx - _MARGIN_X
+  xp = jnp.pad(x.astype(jnp.float32),
+               ((0, 0), (0, 0), (_MARGIN_Y, pad_y), (_MARGIN_X, pad_x)),
+               constant_values=np.nan)
+
+  kernel = functools.partial(
+      _kernel, k=float(k), stride=tuple(float(s) for s in stride),
+      prefer_orig_order=prefer_orig_order, tile_y=tile_y, tile_x=tile_x)
+
+  out = pl.pallas_call(
+      kernel,
+      grid=(nz, gy, gx),
+      in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+      out_specs=pl.BlockSpec(
+          (2, 1, tile_y, tile_x),
+          lambda z, iy, ix: (0, z, iy, ix),
+          memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((2, nz, gy * tile_y, gx * tile_x),
+                                     jnp.float32),
+      scratch_shapes=[
+          pltpu.VMEM((2, tile_y + 2 * _MARGIN_Y, tile_x + 2 * _MARGIN_X),
+                     jnp.float32),
+          pltpu.SemaphoreType.DMA,
+      ],
+      interpret=interpret,
+  )(xp)
+  return out[:, :, :ny, :nx]
+
+
+def make_inplane_force(tile: int = 256, interpret: bool = False):
+  """Returns a mesh_force callable backed by the Pallas kernel."""
+
+  def force(x, k, stride, prefer_orig_order=False):
+    return inplane_force_pallas(x, k, tuple(stride), prefer_orig_order,
+                                tile=tile, interpret=interpret)
+
+  return force

@@ -1,0 +1,58 @@
+"""Pallas mesh-force kernel: equivalence with the XLA stencil."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sofima_tpu import mesh
+from sofima_tpu.ops import pallas_mesh
+
+# CPU tests run the kernel in interpreter mode.
+FORCE = pallas_mesh.make_inplane_force(tile=16, interpret=True)
+
+
+class TestPallasForce:
+
+  def test_matches_xla_stencil(self):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 2, 20, 24).astype(np.float32) * 3
+    ref = np.asarray(mesh.inplane_force(jnp.asarray(x), 0.1, (40, 40)))
+    out = np.asarray(FORCE(jnp.asarray(x), 0.1, (40, 40)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+  def test_matches_with_nan_nodes(self):
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 1, 16, 16).astype(np.float32)
+    x[:, 0, 5, 7] = np.nan
+    x[:, 0, 0, :3] = np.nan
+    ref = np.asarray(mesh.inplane_force(jnp.asarray(x), 0.1, (40, 40)))
+    out = np.asarray(FORCE(jnp.asarray(x), 0.1, (40, 40)))
+    np.testing.assert_allclose(np.nan_to_num(out), np.nan_to_num(ref),
+                               atol=1e-5)
+
+  def test_prefer_orig_order(self):
+    x = np.zeros((2, 1, 8, 8), np.float32)
+    x[0, 0, 4, 4] = -60.0  # folded node at stride 40
+    ref = np.asarray(
+        mesh.inplane_force(jnp.asarray(x), 0.1, (40, 40), True))
+    out = np.asarray(FORCE(jnp.asarray(x), 0.1, (40, 40), True))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+  def test_non_tile_multiple_shapes(self):
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 1, 19, 23).astype(np.float32)
+    ref = np.asarray(mesh.inplane_force(jnp.asarray(x), 0.1, (40, 40)))
+    out = np.asarray(FORCE(jnp.asarray(x), 0.1, (40, 40)))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+  def test_inside_solver(self):
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 1, 16, 16).astype(np.float32))
+    prev = jnp.zeros_like(x)
+    cfg = mesh.IntegrationConfig(
+        dt=0.001, gamma=0.0, k0=0.05, k=0.1, stride=(40, 40),
+        num_iters=100, max_iters=5000, stop_v_max=0.001, dt_max=100.0)
+    ref, _, _ = mesh.relax_mesh(x, prev, cfg)
+    out, _, _ = mesh.relax_mesh(x, prev, cfg, mesh_force=FORCE)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
