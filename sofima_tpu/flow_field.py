@@ -321,9 +321,62 @@ def _silent_fn(x: list[T]) -> Iterator[T]:
 
 @functools.partial(
     jax.jit,
+    static_argnames=['patch_size', 'mean', 'min_distance', 'threshold_rel',
+                     'peak_radius'])
+def _batched_xcorr_peaks_circular(
+    pre_image: jnp.ndarray,
+    post_image: jnp.ndarray,
+    patch_size: Sequence[int],
+    starts: jnp.ndarray,
+    mean: float | None,
+    min_distance: int | Sequence[int] = 2,
+    threshold_rel: float = 0.5,
+    peak_radius: int | Sequence[int] = 5,
+    post_starts: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+  """Circular-correlation fast path: patch-sized FFTs (no padding).
+
+  Computes the cross-correlation on the patch-periodic torus — ~4x less
+  FFT work than the zero-padded linear correlation. Valid for shifts up
+  to ±patch/2 (beyond that linear correlation peaks are unreliable too);
+  wrap-around products slightly perturb off-peak values, which in
+  practice does not move integer peak locations for textured data.
+  Output format matches `batched_xcorr_peaks`.
+  """
+  if post_starts is None:
+    post_starts = starts
+  dim = len(patch_size)
+
+  def gather(image, pos):
+    return jax.vmap(
+        lambda p: jax.lax.dynamic_slice(image, p, patch_size))(pos)
+
+  pre_b = gather(jnp.asarray(pre_image, jnp.float32), starts)
+  post_b = gather(jnp.asarray(post_image, jnp.float32), post_starts)
+  axes = tuple(range(-dim, 0))
+  if mean is None:
+    pre_b = pre_b - jnp.mean(pre_b, axis=axes, keepdims=True)
+    post_b = post_b - jnp.mean(post_b, axis=axes, keepdims=True)
+  else:
+    pre_b = pre_b - mean
+    post_b = post_b - mean
+
+  f_pre = jnp.fft.rfftn(pre_b, axes=axes)
+  f_post = jnp.fft.rfftn(post_b, axes=axes)
+  corr = jnp.fft.irfftn(f_pre * jnp.conj(f_post), s=patch_size, axes=axes)
+  # corr[s] = sum_t pre(t + s) * post(t): the peak sits at s = pre - post.
+  # Center the zero-shift bin so peak reporting matches the linear path.
+  center = tuple(p // 2 for p in patch_size)
+  corr = jnp.roll(corr, center, axis=axes)
+  return _batched_peaks(corr, center, min_distance, threshold_rel,
+                        peak_radius)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=['patch_size', 'step', 'batch_size', 'mean',
                      'min_distance', 'threshold_rel', 'peak_radius',
-                     'post_patch_size'])
+                     'post_patch_size', 'circular'])
 def dense_flow_field(
     pre_image: jnp.ndarray,
     post_image: jnp.ndarray,
@@ -335,6 +388,7 @@ def dense_flow_field(
     threshold_rel: float = 0.5,
     peak_radius: int | Sequence[int] = 5,
     post_patch_size: Sequence[int] | None = None,
+    circular: bool = False,
 ) -> jnp.ndarray:
   """Flow field over the full dense patch grid, entirely on device.
 
@@ -342,6 +396,10 @@ def dense_flow_field(
   generation, the batched xcorr+peaks scan, and the grid reshape all run
   inside ONE jit program — zero host round trips (the result stays on
   device; fetch reductions, not the full grid, when bandwidth matters).
+
+  With `circular=True` the correlation runs on the patch-periodic torus
+  (patch-sized FFTs, ~4x faster; see _batched_xcorr_peaks_circular);
+  requires equal pre/post patch sizes.
 
   Returns [dim+2, *grid] with the same conventions as
   `JAXMaskedXCorrWithStatsCalculator.flow_field`.
@@ -376,8 +434,16 @@ def dense_flow_field(
   pre_image = jnp.asarray(pre_image, jnp.float32)
   post_image = jnp.asarray(post_image, jnp.float32)
 
+  if circular and post_patch_size != patch_size:
+    raise ValueError('circular mode requires equal pre/post patch sizes')
+
   def one_batch(args):
     ps, qs = args
+    if circular:
+      return _batched_xcorr_peaks_circular(
+          pre_image, post_image, patch_size, ps, mean,
+          min_distance=min_distance, threshold_rel=threshold_rel,
+          peak_radius=peak_radius, post_starts=qs)
     return batched_xcorr_peaks(
         pre_image, post_image, None, None, patch_size, ps, mean,
         min_distance=min_distance, threshold_rel=threshold_rel,

@@ -61,6 +61,39 @@ _TAPS = {'nearest': 1, 'linear': 2, 'cubic': 4, 'lanczos': 8}
 _LEFT = {'nearest': 0, 'linear': 0, 'cubic': 1, 'lanczos': 3}
 
 
+def make_weight_fn(d: jnp.ndarray, method: str):
+  """Returns s -> K(d - s) with transcendentals hoisted out of the loop.
+
+  For Lanczos4 at integer shifts s:
+    sin(pi (d - s))   = (-1)^s sin(pi d)
+    sin(pi (d - s)/4) = sin(pi d / 4) cos(pi s / 4) - cos(pi d / 4) sin(pi s / 4)
+  so the three transcendental planes are computed ONCE per axis and every
+  lattice iteration only performs cheap arithmetic.
+  """
+  if method != 'lanczos':
+    return lambda s: _kernel_weight(d - s, method)
+
+  sin_pd = jnp.sin(jnp.pi * d)
+  sin_pd4 = jnp.sin(jnp.pi * d / 4.0)
+  cos_pd4 = jnp.cos(jnp.pi * d / 4.0)
+
+  def weight(s) -> jnp.ndarray:
+    # `s` may be a traced integer scalar (loop index): only SCALAR
+    # transcendentals depend on it.
+    s_f = jnp.asarray(s, jnp.float32)
+    t = d - s_f
+    sign = 1.0 - 2.0 * jnp.mod(s_f, 2.0)
+    c_s = jnp.cos(jnp.pi * s_f / 4.0)
+    s_s = jnp.sin(jnp.pi * s_f / 4.0)
+    sin_pt = sign * sin_pd
+    sin_pt4 = sin_pd4 * c_s - cos_pd4 * s_s
+    x2 = jnp.maximum((jnp.pi * t) ** 2, 1e-12)
+    w = jnp.where(jnp.abs(t) < 1e-6, 1.0, 4.0 * sin_pt * sin_pt4 / x2)
+    return jnp.where(jnp.abs(t) < 4.0, w, 0.0)
+
+  return weight
+
+
 @functools.partial(
     jax.jit,
     static_argnames=['method', 'dy_lo', 'dy_hi', 'dx_lo', 'dx_hi',
@@ -114,27 +147,24 @@ def shift_warp_2d(
   pad_rgt = max(origin_x + sx1 + ox - image.shape[1], 0)
   padded = jnp.pad(image, ((pad_top, pad_bot), (pad_lft, pad_rgt)))
 
+  weight_y = make_weight_fn(dy, method)
+  weight_x = make_weight_fn(dx, method)
+
   if method == 'lanczos':
     # Normalize the 8 contributing taps per axis.
-    def norm_body(i, acc):
-      return acc + _kernel_weight(dy - (sy0 + i), method)
-    norm_y = jax.lax.fori_loop(0, ry, norm_body,
-                               jnp.zeros((oy, ox), jnp.float32))
-
-    def norm_body_x(i, acc):
-      return acc + _kernel_weight(dx - (sx0 + i), method)
-    norm_x = jax.lax.fori_loop(0, rx, norm_body_x,
-                               jnp.zeros((oy, ox), jnp.float32))
-    dy_w = dy
-    dx_w = dx
+    norm_y = jax.lax.fori_loop(
+        0, ry, lambda i, acc: acc + weight_y(sy0 + i),
+        jnp.zeros((oy, ox), jnp.float32))
+    norm_x = jax.lax.fori_loop(
+        0, rx, lambda i, acc: acc + weight_x(sx0 + i),
+        jnp.zeros((oy, ox), jnp.float32))
   else:
     norm_y = norm_x = None
-    dy_w = dy
-    dx_w = dx
 
   # One device loop over the (ry * rx) shift lattice: each iteration is a
   # dynamic_slice (contiguous window — no gather) + separable kernel
-  # weights + fused multiply-add. Memory stays O(output size).
+  # weights + fused multiply-add. Memory stays O(output size); the
+  # factored weight functions keep per-iteration work transcendental-free.
   def body(i, acc):
     iy = i // rx
     ix = i % rx
@@ -143,8 +173,7 @@ def shift_warp_2d(
     window = jax.lax.dynamic_slice(
         padded, (pad_top + origin_y + s_y, pad_lft + origin_x + s_x),
         (oy, ox))
-    w = (_kernel_weight(dy_w - s_y, method)
-         * _kernel_weight(dx_w - s_x, method))
+    w = weight_y(s_y) * weight_x(s_x)
     return acc + w * window
 
   out = jax.lax.fori_loop(0, ry * rx, body,

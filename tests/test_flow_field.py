@@ -203,3 +203,36 @@ class TestFlowField:
     assert valid.any()
     np.testing.assert_array_equal(field[0][valid], 0.0)
     np.testing.assert_array_equal(field[1][valid], 0.0)
+
+
+class TestCircularMode:
+
+  def test_agrees_with_linear_correlation(self):
+    rng = np.random.RandomState(0)
+    noise = rng.rand(512, 512).astype(np.float32)
+    f2 = np.fft.rfft2(noise)
+    fy = np.fft.fftfreq(512)[:, None]
+    fx = np.fft.rfftfreq(512)[None, :]
+    f2 *= np.exp(-((fx**2 + fy**2) / (2 * 0.08**2)))
+    tex = (np.fft.irfft2(f2, s=(512, 512)) * 1000).astype(np.float32)
+    post = np.roll(tex, (7, -12), (0, 1))
+    import jax.numpy as jnp
+    ref = np.asarray(flow_field.dense_flow_field(
+        jnp.asarray(tex), jnp.asarray(post), (160, 160), (40, 40),
+        batch_size=16))
+    circ = np.asarray(flow_field.dense_flow_field(
+        jnp.asarray(tex), jnp.asarray(post), (160, 160), (40, 40),
+        batch_size=16, circular=True))
+    assert np.mean((ref[0] == circ[0]) & (ref[1] == circ[1])) > 0.98
+
+  def test_impulse(self):
+    import jax.numpy as jnp
+    pre = np.zeros((120, 120), np.float32)
+    post = np.zeros((120, 120), np.float32)
+    pre[60, 60] = 255
+    post[70, 53] = 255
+    c = np.asarray(flow_field.dense_flow_field(
+        jnp.asarray(pre), jnp.asarray(post), (80, 80), (40, 40),
+        batch_size=4, circular=True))
+    np.testing.assert_array_equal(c[0], 7.0)
+    np.testing.assert_array_equal(c[1], -10.0)
