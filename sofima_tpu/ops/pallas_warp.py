@@ -1,0 +1,179 @@
+"""Pallas TPU kernel for the shift-decomposed warp.
+
+The XLA formulation (ops.shift_warp) streams the full image + coordinate
+planes from HBM on every lattice iteration (~40 GB/s effective). This
+kernel keeps everything VMEM-resident per output tile: one halo-window
+DMA per tile, the displacement planes once, then the statically-unrolled
+shift lattice runs entirely on the VPU — HBM traffic drops to
+O(1 read + 1 write) per pixel.
+
+Same math as shift_warp_2d (separable kernel weights over integer shift
+lattice; factored Lanczos transcendentals).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sofima_tpu.ops.shift_warp import _LEFT, _TAPS, _kernel_weight
+
+
+def _weight_planes(d: jnp.ndarray, method: str):
+  """Per-axis transcendental planes for the factored Lanczos weights."""
+  if method != 'lanczos':
+    return None
+  return (jnp.sin(jnp.pi * d), jnp.sin(jnp.pi * d / 4.0),
+          jnp.cos(jnp.pi * d / 4.0))
+
+
+def _weight_at(d, planes, s: int, method: str):
+  if method != 'lanczos':
+    return _kernel_weight(d - s, method)
+  sin_pd, sin_pd4, cos_pd4 = planes
+  t = d - s
+  sign = 1.0 if s % 2 == 0 else -1.0
+  c_s = float(np.cos(np.pi * s / 4.0))
+  s_s = float(np.sin(np.pi * s / 4.0))
+  sin_pt4 = sin_pd4 * c_s - cos_pd4 * s_s
+  x2 = jnp.maximum((jnp.pi * t) ** 2, 1e-12)
+  w = jnp.where(jnp.abs(t) < 1e-6, 1.0,
+                4.0 * sign * sin_pd * sin_pt4 / x2)
+  return jnp.where(jnp.abs(t) < 4.0, w, 0.0)
+
+
+def _warp_kernel(coords_ref, img_hbm, out_ref, window, sem, *, method,
+                 sy0, ry, sx0, rx, tile_y, tile_x, win_r, win_c,
+                 origin_y, origin_x, pad_top, pad_lft):
+  z = pl.program_id(0)
+  iy = pl.program_id(1)
+  ix = pl.program_id(2)
+
+  row0 = pad_top + origin_y + iy * tile_y + sy0
+  col0 = pad_lft + origin_x + ix * tile_x + sx0
+  copy = pltpu.make_async_copy(
+      img_hbm.at[z, pl.ds(row0, win_r), pl.ds(col0, win_c)], window, sem)
+  copy.start()
+
+  # Displacement planes relative to global output positions.
+  gy = (jax.lax.broadcasted_iota(jnp.float32, (tile_y, tile_x), 0)
+        + (iy * tile_y + origin_y))
+  gx = (jax.lax.broadcasted_iota(jnp.float32, (tile_y, tile_x), 1)
+        + (ix * tile_x + origin_x))
+  dy = coords_ref[0, 0] - gy
+  dx = coords_ref[0, 1] - gx
+
+  planes_y = _weight_planes(dy, method)
+  planes_x = _weight_planes(dx, method)
+
+  wy = [_weight_at(dy, planes_y, sy0 + i, method) for i in range(ry)]
+  wx = [_weight_at(dx, planes_x, sx0 + j, method) for j in range(rx)]
+
+  copy.wait()
+  win = window[:]
+
+  acc = jnp.zeros((tile_y, tile_x), jnp.float32)
+  for i in range(ry):
+    inner = jnp.zeros((tile_y, tile_x), jnp.float32)
+    for j in range(rx):
+      inner = inner + wx[j] * jax.lax.slice(
+          win, (i, j), (i + tile_y, j + tile_x))
+    acc = acc + wy[i] * inner
+
+  if method == 'lanczos':
+    norm = sum(wy) * sum(wx)
+    acc = acc / jnp.maximum(norm, 1e-12)
+  out_ref[0, 0] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=['method', 'dy_lo', 'dy_hi', 'dx_lo', 'dx_hi',
+                     'origin_y', 'origin_x', 'tile', 'interpret'])
+def pallas_shift_warp(
+    images: jnp.ndarray,
+    coords: jnp.ndarray,
+    method: str,
+    dy_lo: int, dy_hi: int, dx_lo: int, dx_hi: int,
+    origin_y: int = 0, origin_x: int = 0,
+    tile: int = 256,
+    interpret: bool = False,
+) -> jnp.ndarray:
+  """Warps [z, h, w] images by per-pixel coords, tile-resident in VMEM.
+
+  Args:
+    images: [z, h, w] source sections
+    coords: [z, 2, oy, ox] (y, x) sampling positions in image coords
+    method: interpolation kernel
+    dy_lo..dx_hi: static displacement bounds (vs output position + origin)
+    origin_y/origin_x: image coordinate of output pixel (0, 0)
+    tile: output tile edge
+    interpret: interpreter mode for CPU tests
+
+  Returns:
+    [z, oy, ox] warped output (0 outside the image / bounds / NaN coords)
+  """
+  nz, oy, ox = coords.shape[0], coords.shape[2], coords.shape[3]
+  left = _LEFT[method]
+  taps = _TAPS[method]
+  sy0 = dy_lo - left
+  sy1 = dy_hi + (taps - 1 - left)
+  sx0 = dx_lo - left
+  sx1 = dx_hi + (taps - 1 - left)
+  ry = sy1 - sy0 + 1
+  rx = sx1 - sx0 + 1
+
+  tile_y = min(tile, -(-oy // 8) * 8)
+  tile_x = min(tile, -(-ox // 128) * 128)
+  gy = -(-oy // tile_y)
+  gx = -(-ox // tile_x)
+
+  win_r = -(-(tile_y + ry) // 8) * 8
+  win_c = -(-(tile_x + rx) // 128) * 128
+
+  # Zero padding (cval=0) so every window access is in range.
+  h, w = images.shape[1:]
+  pad_top = max(-(origin_y + sy0), 0)
+  pad_bot = max(origin_y + (gy - 1) * tile_y + sy0 + win_r - h, 0)
+  pad_lft = max(-(origin_x + sx0), 0)
+  pad_rgt = max(origin_x + (gx - 1) * tile_x + sx0 + win_c - w, 0)
+  padded = jnp.pad(images.astype(jnp.float32),
+                   ((0, 0), (pad_top, pad_bot), (pad_lft, pad_rgt)))
+
+  coords_pad = jnp.pad(
+      jnp.nan_to_num(coords.astype(jnp.float32), nan=1e9),
+      ((0, 0), (0, 0), (0, gy * tile_y - oy), (0, gx * tile_x - ox)),
+      constant_values=1e9)
+
+  kernel = functools.partial(
+      _warp_kernel, method=method, sy0=sy0, ry=ry, sx0=sx0, rx=rx,
+      tile_y=tile_y, tile_x=tile_x, win_r=win_r, win_c=win_c,
+      origin_y=origin_y, origin_x=origin_x, pad_top=pad_top,
+      pad_lft=pad_lft)
+
+  out = pl.pallas_call(
+      kernel,
+      grid=(nz, gy, gx),
+      in_specs=[
+          pl.BlockSpec((1, 2, tile_y, tile_x),
+                       lambda z, iy, ix: (z, 0, iy, ix),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec(memory_space=pltpu.ANY),
+      ],
+      out_specs=pl.BlockSpec((1, 1, tile_y, tile_x),
+                             lambda z, iy, ix: (z, 0, iy, ix),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((nz, 1, gy * tile_y, gx * tile_x),
+                                     jnp.float32),
+      scratch_shapes=[
+          pltpu.VMEM((win_r, win_c), jnp.float32),
+          pltpu.SemaphoreType.DMA,
+      ],
+      interpret=interpret,
+  )(coords_pad, padded)
+  return out[:, 0, :oy, :ox]
