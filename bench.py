@@ -120,13 +120,13 @@ def main():
     g = np.stack(np.meshgrid(gy, ox, indexing='ij'))
     strip_grids.append(jax.device_put(g.astype(np.float32)))
 
-  from sofima_tpu.ops import shift_warp
+  from sofima_tpu.ops import pallas_warp
   bounds = (0, 16, -16, -8)  # tight bucketed displacement (dy=7, dx=-12)
 
   def run_warp():
     outs = []
     for i, g in enumerate(strip_grids):
-      outs.append(shift_warp.warp_sections_shift(
+      outs.append(pallas_warp.warp_sections_pallas(
           images, abs_map_j, g, 'lanczos', bounds, origin=(i * h, 0)))
     return outs
 

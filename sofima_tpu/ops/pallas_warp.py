@@ -61,33 +61,38 @@ def _warp_kernel(coords_ref, img_hbm, out_ref, window, sem, *, method,
   copy.start()
 
   # Displacement planes relative to global output positions.
-  gy = (jax.lax.broadcasted_iota(jnp.float32, (tile_y, tile_x), 0)
-        + (iy * tile_y + origin_y))
-  gx = (jax.lax.broadcasted_iota(jnp.float32, (tile_y, tile_x), 1)
-        + (ix * tile_x + origin_x))
+  gy = (jax.lax.broadcasted_iota(jnp.int32, (tile_y, tile_x), 0)
+        .astype(jnp.float32) + (iy * tile_y + origin_y))
+  gx = (jax.lax.broadcasted_iota(jnp.int32, (tile_y, tile_x), 1)
+        .astype(jnp.float32) + (ix * tile_x + origin_x))
   dy = coords_ref[0, 0] - gy
   dx = coords_ref[0, 1] - gx
 
   planes_y = _weight_planes(dy, method)
   planes_x = _weight_planes(dx, method)
 
-  wy = [_weight_at(dy, planes_y, sy0 + i, method) for i in range(ry)]
-  wx = [_weight_at(dx, planes_x, sx0 + j, method) for j in range(rx)]
-
   copy.wait()
   win = window[:]
 
+  # x-weights are recomputed per lattice point (cheap arithmetic via the
+  # factored planes) — precomputing all planes overflows VMEM.
   acc = jnp.zeros((tile_y, tile_x), jnp.float32)
+  norm_y = jnp.zeros((tile_y, tile_x), jnp.float32)
   for i in range(ry):
+    w_y = _weight_at(dy, planes_y, sy0 + i, method)
+    norm_y = norm_y + w_y
     inner = jnp.zeros((tile_y, tile_x), jnp.float32)
     for j in range(rx):
-      inner = inner + wx[j] * jax.lax.slice(
+      w_x = _weight_at(dx, planes_x, sx0 + j, method)
+      inner = inner + w_x * jax.lax.slice(
           win, (i, j), (i + tile_y, j + tile_x))
-    acc = acc + wy[i] * inner
+    acc = acc + w_y * inner
 
   if method == 'lanczos':
-    norm = sum(wy) * sum(wx)
-    acc = acc / jnp.maximum(norm, 1e-12)
+    norm_x = jnp.zeros((tile_y, tile_x), jnp.float32)
+    for j in range(rx):
+      norm_x = norm_x + _weight_at(dx, planes_x, sx0 + j, method)
+    acc = acc / jnp.maximum(norm_y * norm_x, 1e-12)
   out_ref[0, 0] = acc
 
 
@@ -128,7 +133,7 @@ def pallas_shift_warp(
   ry = sy1 - sy0 + 1
   rx = sx1 - sx0 + 1
 
-  tile_y = min(tile, -(-oy // 8) * 8)
+  tile_y = min(max(tile // 2, 8), -(-oy // 8) * 8)
   tile_x = min(tile, -(-ox // 128) * 128)
   gy = -(-oy // tile_y)
   gx = -(-ox // tile_x)
@@ -139,8 +144,12 @@ def pallas_shift_warp(
   # Zero padding (cval=0) so every window access is in range.
   h, w = images.shape[1:]
   pad_top = max(-(origin_y + sy0), 0)
-  pad_bot = max(origin_y + (gy - 1) * tile_y + sy0 + win_r - h, 0)
   pad_lft = max(-(origin_x + sx0), 0)
+  # DMA window starts must be (8, 128)-aligned: tile strides already are,
+  # so align the static residue by growing the leading pads.
+  pad_top += (-(pad_top + origin_y + sy0)) % 8
+  pad_lft += (-(pad_lft + origin_x + sx0)) % 128
+  pad_bot = max(origin_y + (gy - 1) * tile_y + sy0 + win_r - h, 0)
   pad_rgt = max(origin_x + (gx - 1) * tile_x + sx0 + win_c - w, 0)
   padded = jnp.pad(images.astype(jnp.float32),
                    ((0, 0), (pad_top, pad_bot), (pad_lft, pad_rgt)))
@@ -177,3 +186,30 @@ def pallas_shift_warp(
       interpret=interpret,
   )(coords_pad, padded)
   return out[:, 0, :oy, :ox]
+
+
+def warp_sections_pallas(images: jnp.ndarray, abs_map: jnp.ndarray,
+                         map_grid_coords: jnp.ndarray, method: str,
+                         bounds: tuple[int, int, int, int],
+                         origin: tuple[int, int] = (0, 0),
+                         interpret: bool = False) -> jnp.ndarray:
+  """Pallas equivalent of shift_warp.warp_sections_shift.
+
+  Densifies the per-section maps (bilinear, extrapolating) and renders
+  every (section, channel) plane with the VMEM-resident tile kernel.
+  """
+  from sofima_tpu.ops import interp as interp_ops
+
+  def densify(m):
+    dense_x = interp_ops.grid_sample_linear(m[0], map_grid_coords)
+    dense_y = interp_ops.grid_sample_linear(m[1], map_grid_coords)
+    return jnp.stack([dense_y, dense_x])
+
+  coords = jax.vmap(densify)(abs_map)  # [z, 2, oy, ox]
+  dy_lo, dy_hi, dx_lo, dx_hi = bounds
+  outs = []
+  for c in range(images.shape[1]):
+    outs.append(pallas_shift_warp(
+        images[:, c], coords, method, dy_lo, dy_hi, dx_lo, dx_hi,
+        origin_y=origin[0], origin_x=origin[1], interpret=interpret))
+  return jnp.stack(outs, axis=1)

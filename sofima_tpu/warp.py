@@ -197,10 +197,18 @@ def warp_subvolume(
                                              dx_hi - dx_lo, method))
 
   if use_shift:
-    warped = np.array(shift_warp.warp_sections_shift(
-        images_j, maps_j, jnp.asarray(grid), method,
-        (dy_lo, dy_hi, dx_lo, dx_hi),
-        origin=(int(origin_y), int(origin_x))))
+    bounds = (dy_lo, dy_hi, dx_lo, dx_hi)
+    origin_yx = (int(origin_y), int(origin_x))
+    if jax.devices()[0].platform in ('tpu', 'axon'):
+      # VMEM-resident Pallas tile kernel: the fast path on TPU.
+      from sofima_tpu.ops import pallas_warp
+      warped = np.array(pallas_warp.warp_sections_pallas(
+          images_j, maps_j, jnp.asarray(grid), method, bounds,
+          origin=origin_yx))
+    else:
+      warped = np.array(shift_warp.warp_sections_shift(
+          images_j, maps_j, jnp.asarray(grid), method, bounds,
+          origin=origin_yx))
   else:
     warped = np.array(
         _warp_sections(images_j, maps_j, jnp.asarray(grid), method))

@@ -110,3 +110,41 @@ class TestStripOrigin:
     strip = warp.warp_subvolume(img, ibox, cmap, mbox, 8.0, strip_box,
                                 interpolation='lanczos')
     np.testing.assert_allclose(strip[0, 0], full[0, 0, 16:32], atol=1e-4)
+
+
+class TestPallasWarp:
+
+  @pytest.mark.parametrize('method', ['linear', 'lanczos'])
+  def test_matches_xla_shift_warp(self, method):
+    from sofima_tpu.ops import pallas_warp
+    rng = np.random.RandomState(0)
+    img = rng.rand(40, 150).astype(np.float32)
+    y, x = np.mgrid[:40, :150].astype(np.float32)
+    coords = np.stack([y + 3 * np.sin(2 * np.pi * x / 150),
+                       x + 4 * np.cos(2 * np.pi * y / 40)])
+    ref = np.asarray(shift_warp.shift_warp_2d(
+        jnp.asarray(img), jnp.asarray(coords), method, -8, 8, -8, 8))
+    out = np.asarray(pallas_warp.pallas_shift_warp(
+        jnp.asarray(img[None]), jnp.asarray(coords[None]), method,
+        -8, 8, -8, 8, tile=16, interpret=True))[0]
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+  def test_warp_sections_pallas_matches(self):
+    from sofima_tpu.ops import pallas_warp
+    rng = np.random.RandomState(1)
+    images = rng.rand(2, 1, 48, 256).astype(np.float32)
+    cmap = rng.uniform(-4, 4, (2, 2, 7, 33)).astype(np.float32)
+    my, mx = np.mgrid[:7, :33].astype(np.float32)
+    am = cmap.copy()
+    am[:, 0] += mx * 8
+    am[:, 1] += my * 8
+    gy = np.arange(48, dtype=np.float32) / 8
+    gx = np.arange(256, dtype=np.float32) / 8
+    grid = np.stack(np.meshgrid(gy, gx, indexing='ij'))
+    ref = np.asarray(shift_warp.warp_sections_shift(
+        jnp.asarray(images), jnp.asarray(am), jnp.asarray(grid),
+        'lanczos', (-8, 8, -8, 8)))
+    out = np.asarray(pallas_warp.warp_sections_pallas(
+        jnp.asarray(images), jnp.asarray(am), jnp.asarray(grid),
+        'lanczos', (-8, 8, -8, 8), interpret=True))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
