@@ -87,7 +87,7 @@ def main():
   def run_flow_circ():
     return flow_field.dense_flow_field(pre, post, (patch, patch),
                                        (stride, stride), batch_size=512,
-                                       circular=True)
+                                       circular=True, dft_matmul=True)
 
   flow, t_flow = _time(run_flow_circ)
   med_x = float(jnp.nanmedian(flow[0]))
@@ -120,14 +120,17 @@ def main():
     g = np.stack(np.meshgrid(gy, ox, indexing='ij'))
     strip_grids.append(jax.device_put(g.astype(np.float32)))
 
-  from sofima_tpu.ops import pallas_warp
+  from sofima_tpu.ops import interp, pallas_warp
   bounds = (0, 16, -16, -8)  # tight bucketed displacement (dy=7, dx=-12)
 
   def run_warp():
     outs = []
-    for i, g in enumerate(strip_grids):
-      outs.append(pallas_warp.warp_sections_pallas(
-          images, abs_map_j, g, 'lanczos', bounds, origin=(i * h, 0)))
+    for i in range(n_strips):
+      dense = interp.upsample_map_linear(
+          jax.device_put(abs_map[0]), stride, (i * h, 0), (h, n))
+      coords = jnp.stack([dense[1], dense[0]])[None]
+      outs.append(pallas_warp.warp_sections_pallas_coords(
+          images, coords, 'lanczos', bounds, origin=(i * h, 0)))
     return outs
 
   strips, t_warp = _time(run_warp)

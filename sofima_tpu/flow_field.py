@@ -319,10 +319,72 @@ def _silent_fn(x: list[T]) -> Iterator[T]:
   yield from x
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
+  """Real/imag parts of the n-point DFT matrix (host-cached constants)."""
+  k = np.arange(n)
+  ang = -2.0 * np.pi * np.outer(k, k) / n
+  return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
+
+
+def _circular_xcorr_matmul(pre_b: jnp.ndarray,
+                           post_b: jnp.ndarray) -> jnp.ndarray:
+  """Circular cross-correlation via DFT-as-matmul (MXU path).
+
+  For patch-sized transforms the 1d DFT matrices are small enough that
+  routing the transform through the MXU (dense [n, n] matmuls) beats the
+  FFT unit by a wide margin on TPU. Computes
+  irfft(F(pre) * conj(F(post))) exactly (up to float32 rounding).
+  """
+  n1, n2 = pre_b.shape[-2:]
+  wr1, wi1 = (jnp.asarray(m) for m in _dft_mats(n1))
+  wr2, wi2 = (jnp.asarray(m) for m in _dft_mats(n2))
+
+  def dft2(img):
+    # rows: F1 = W1 @ img ; cols: F = F1 @ W2^T (W symmetric).
+    ar = jnp.einsum('kn,bnm->bkm', wr1, img,
+                    preferred_element_type=jnp.float32)
+    ai = jnp.einsum('kn,bnm->bkm', wi1, img,
+                    preferred_element_type=jnp.float32)
+    fr = (jnp.einsum('bkm,ml->bkl', ar, wr2,
+                     preferred_element_type=jnp.float32)
+          - jnp.einsum('bkm,ml->bkl', ai, wi2,
+                       preferred_element_type=jnp.float32))
+    fi = (jnp.einsum('bkm,ml->bkl', ar, wi2,
+                     preferred_element_type=jnp.float32)
+          + jnp.einsum('bkm,ml->bkl', ai, wr2,
+                       preferred_element_type=jnp.float32))
+    return fr, fi
+
+  pr, pi = dft2(pre_b)
+  qr, qi = dft2(post_b)
+  # F(pre) * conj(F(post))
+  cr = pr * qr + pi * qi
+  ci = pi * qr - pr * qi
+
+  # Inverse 2d DFT, real part: conj(W)/n on both axes.
+  def idft2_real(fr, fi):
+    ar = (jnp.einsum('kn,bnm->bkm', wr1, fr,
+                     preferred_element_type=jnp.float32)
+          + jnp.einsum('kn,bnm->bkm', wi1, fi,
+                       preferred_element_type=jnp.float32))
+    ai = (jnp.einsum('kn,bnm->bkm', wr1, fi,
+                     preferred_element_type=jnp.float32)
+          - jnp.einsum('kn,bnm->bkm', wi1, fr,
+                       preferred_element_type=jnp.float32))
+    out = (jnp.einsum('bkm,ml->bkl', ar, wr2,
+                      preferred_element_type=jnp.float32)
+           + jnp.einsum('bkm,ml->bkl', ai, wi2,
+                        preferred_element_type=jnp.float32))
+    return out / (n1 * n2)
+
+  return idft2_real(cr, ci)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=['patch_size', 'mean', 'min_distance', 'threshold_rel',
-                     'peak_radius'])
+                     'peak_radius', 'dft_matmul'])
 def _batched_xcorr_peaks_circular(
     pre_image: jnp.ndarray,
     post_image: jnp.ndarray,
@@ -333,6 +395,7 @@ def _batched_xcorr_peaks_circular(
     threshold_rel: float = 0.5,
     peak_radius: int | Sequence[int] = 5,
     post_starts: jnp.ndarray | None = None,
+    dft_matmul: bool = False,
 ) -> jnp.ndarray:
   """Circular-correlation fast path: patch-sized FFTs (no padding).
 
@@ -361,9 +424,13 @@ def _batched_xcorr_peaks_circular(
     pre_b = pre_b - mean
     post_b = post_b - mean
 
-  f_pre = jnp.fft.rfftn(pre_b, axes=axes)
-  f_post = jnp.fft.rfftn(post_b, axes=axes)
-  corr = jnp.fft.irfftn(f_pre * jnp.conj(f_post), s=patch_size, axes=axes)
+  if dft_matmul and dim == 2:
+    corr = _circular_xcorr_matmul(pre_b, post_b)
+  else:
+    f_pre = jnp.fft.rfftn(pre_b, axes=axes)
+    f_post = jnp.fft.rfftn(post_b, axes=axes)
+    corr = jnp.fft.irfftn(f_pre * jnp.conj(f_post), s=patch_size,
+                          axes=axes)
   # corr[s] = sum_t pre(t + s) * post(t): the peak sits at s = pre - post.
   # Center the zero-shift bin so peak reporting matches the linear path.
   center = tuple(p // 2 for p in patch_size)
@@ -376,7 +443,7 @@ def _batched_xcorr_peaks_circular(
     jax.jit,
     static_argnames=['patch_size', 'step', 'batch_size', 'mean',
                      'min_distance', 'threshold_rel', 'peak_radius',
-                     'post_patch_size', 'circular'])
+                     'post_patch_size', 'circular', 'dft_matmul'])
 def dense_flow_field(
     pre_image: jnp.ndarray,
     post_image: jnp.ndarray,
@@ -389,6 +456,7 @@ def dense_flow_field(
     peak_radius: int | Sequence[int] = 5,
     post_patch_size: Sequence[int] | None = None,
     circular: bool = False,
+    dft_matmul: bool = False,
 ) -> jnp.ndarray:
   """Flow field over the full dense patch grid, entirely on device.
 
@@ -443,7 +511,8 @@ def dense_flow_field(
       return _batched_xcorr_peaks_circular(
           pre_image, post_image, patch_size, ps, mean,
           min_distance=min_distance, threshold_rel=threshold_rel,
-          peak_radius=peak_radius, post_starts=qs)
+          peak_radius=peak_radius, post_starts=qs,
+          dft_matmul=dft_matmul)
     return batched_xcorr_peaks(
         pre_image, post_image, None, None, patch_size, ps, mean,
         min_distance=min_distance, threshold_rel=threshold_rel,

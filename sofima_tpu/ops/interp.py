@@ -236,6 +236,74 @@ def grid_sample_linear(
   return out
 
 
+@functools.partial(jax.jit, static_argnames=['scale', 'phase', 'out_shape'])
+def upsample_map_linear(values: jnp.ndarray, scale: int,
+                        phase: tuple[int, int],
+                        out_shape: tuple[int, int]) -> jnp.ndarray:
+  """Gather-free dense upsampling of a regular grid (integer scale).
+
+  Equivalent to `grid_sample_linear(values, ((y + phase_y) / scale,
+  (x + phase_x) / scale))` — i.e. bilinear interpolation with linear
+  edge-cell extrapolation — but built from `jnp.repeat` + static slices
+  and periodic fraction planes, avoiding TPU-hostile gathers entirely.
+
+  Args:
+    values: [c, my, mx] grid values
+    scale: integer upsampling factor (grid spacing in output pixels)
+    phase: (py, px) integer offsets: output pixel p samples grid
+      coordinate (p + phase) / scale
+    out_shape: (oy, ox) output extent
+
+  Returns:
+    [c, oy, ox] densified field
+  """
+  oy, ox = out_shape
+  py, px = phase
+  c, my, mx = values.shape
+  values = values.astype(jnp.float32)
+
+  def extend(v, axis, needed):
+    """Appends linearly-extrapolated nodes; prepends for negative bases."""
+    n = v.shape[axis]
+    lo = 0
+    hi = needed - n + 1  # +1: the interpolation uses base and base+1
+    out = v
+    if hi > 0:
+      last = jax.lax.slice_in_dim(out, n - 1, n, axis=axis)
+      prev = jax.lax.slice_in_dim(out, n - 2, n - 1, axis=axis)
+      grad = last - prev
+      ext = [last + (k + 1) * grad for k in range(hi)]
+      out = jnp.concatenate([out] + ext, axis=axis)
+    if lo > 0:  # pragma: no cover - negative phases are normalized out
+      first = jax.lax.slice_in_dim(out, 0, 1, axis=axis)
+      second = jax.lax.slice_in_dim(out, 1, 2, axis=axis)
+      grad = first - second
+      ext = [first + (lo - k) * grad for k in range(lo)]
+      out = jnp.concatenate(ext + [out], axis=axis)
+    return out
+
+  if py < 0 or px < 0:
+    raise ValueError('phases must be non-negative (shift the output box)')
+
+  max_by = (oy - 1 + py) // scale
+  max_bx = (ox - 1 + px) // scale
+  v = extend(values, 1, max_by + 1)
+  v = extend(v, 2, max_bx + 1)
+
+  # y axis: rows repeat `scale` times; frac plane is periodic.
+  r0 = jnp.repeat(v, scale, axis=1)[:, py:py + oy]
+  r1 = jnp.repeat(v[:, 1:], scale, axis=1)[:, py:py + oy]
+  fy = (((jnp.arange(oy, dtype=jnp.float32) + py) % scale)
+        / scale)[None, :, None]
+  a = (1.0 - fy) * r0 + fy * r1
+
+  c0 = jnp.repeat(a, scale, axis=2)[:, :, px:px + ox]
+  c1 = jnp.repeat(a[:, :, 1:], scale, axis=2)[:, :, px:px + ox]
+  fx = (((jnp.arange(ox, dtype=jnp.float32) + px) % scale)
+        / scale)[None, None, :]
+  return (1.0 - fx) * c0 + fx * c1
+
+
 def sample_channels(
     image: jnp.ndarray,
     coords: jnp.ndarray,

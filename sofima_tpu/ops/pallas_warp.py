@@ -206,6 +206,17 @@ def warp_sections_pallas(images: jnp.ndarray, abs_map: jnp.ndarray,
     return jnp.stack([dense_y, dense_x])
 
   coords = jax.vmap(densify)(abs_map)  # [z, 2, oy, ox]
+  return warp_sections_pallas_coords(images, coords, method, bounds,
+                                     origin, interpret)
+
+
+def warp_sections_pallas_coords(images: jnp.ndarray, coords: jnp.ndarray,
+                                method: str,
+                                bounds: tuple[int, int, int, int],
+                                origin: tuple[int, int] = (0, 0),
+                                interpret: bool = False) -> jnp.ndarray:
+  """Renders [z, c, h, w] images given precomputed dense [z, 2, oy, ox]
+  (y, x) sampling coords."""
   dy_lo, dy_hi, dx_lo, dx_hi = bounds
   outs = []
   for c in range(images.shape[1]):

@@ -202,9 +202,21 @@ def warp_subvolume(
     if jax.devices()[0].platform in ('tpu', 'axon'):
       # VMEM-resident Pallas tile kernel: the fast path on TPU.
       from sofima_tpu.ops import pallas_warp
-      warped = np.array(pallas_warp.warp_sections_pallas(
-          images_j, maps_j, jnp.asarray(grid), method, bounds,
-          origin=origin_yx))
+      # Prefer gather-free periodic densification (integer stride/phase).
+      phase_y = float(out_box.start[1] - offset - map_box.start[1] * stride)
+      phase_x = float(out_box.start[0] - offset - map_box.start[0] * stride)
+      if (float(stride).is_integer() and phase_y.is_integer()
+          and phase_x.is_integer() and phase_y >= 0 and phase_x >= 0):
+        dense = jax.vmap(lambda m: interp.upsample_map_linear(
+            m, int(stride), (int(phase_y), int(phase_x)),
+            (int(out_box.size[1]), int(out_box.size[0]))))(maps_j)
+        coords = jnp.stack([dense[:, 1], dense[:, 0]], axis=1)
+        warped = np.array(pallas_warp.warp_sections_pallas_coords(
+            images_j, coords, method, bounds, origin=origin_yx))
+      else:
+        warped = np.array(pallas_warp.warp_sections_pallas(
+            images_j, maps_j, jnp.asarray(grid), method, bounds,
+            origin=origin_yx))
     else:
       warped = np.array(shift_warp.warp_sections_shift(
           images_j, maps_j, jnp.asarray(grid), method, bounds,
