@@ -564,15 +564,46 @@ class JAXMaskedXCorrWithStatsCalculator:
       post_targeting_field: np.ndarray | None = None,
       post_targeting_step: int | Sequence[int] | None = None,
       progress_fn: Callable[[list[T]], Iterator[T]] = _silent_fn,
+      mode: str = 'padfield',
   ) -> np.ndarray:
     """Computes the flow field from `post` to `pre`.
 
     Returns a [dim+2, *grid] array (channels: x, y[, z], sharpness, peak
     ratio) on the grid implied by `patch_size`/`step`, NaN where no
     estimate was made. See the module docstring for conventions.
+
+    `mode` selects the correlation backend for dense unmasked runs:
+      'padfield'      zero-padded linear correlation (reference parity)
+      'circular'      patch-periodic correlation (~4x faster)
+      'circular_dft'  circular via MXU DFT-matmuls (fastest on TPU)
+    Masked / selected / targeted runs always use the padfield path.
     """
     assert pre_image.ndim == post_image.ndim
     ndim = pre_image.ndim
+
+    dense_ok = (mode != 'padfield' and pre_mask is None
+                and post_mask is None and selection_mask is None
+                and pre_targeting_field is None
+                and post_targeting_field is None)
+    if dense_ok:
+      out = dense_flow_field(
+          jnp.asarray(pre_image, jnp.float32),
+          jnp.asarray(post_image, jnp.float32),
+          tuple((patch_size,) * ndim
+                if not isinstance(patch_size, collections.abc.Sequence)
+                else patch_size),
+          tuple((step,) * ndim
+                if not isinstance(step, collections.abc.Sequence)
+                else step),
+          batch_size=batch_size, mean=self._mean,
+          min_distance=self._min_distance, peak_radius=self._peak_radius,
+          post_patch_size=(tuple(post_patch_size)
+                           if isinstance(post_patch_size,
+                                         collections.abc.Sequence)
+                           else ((post_patch_size,) * ndim
+                                 if post_patch_size is not None else None)),
+          circular=True, dft_matmul=(mode == 'circular_dft'))
+      return np.array(out)
 
     def _vec(v, default=None):
       if v is None:

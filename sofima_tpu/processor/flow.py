@@ -55,6 +55,9 @@ class EstimateFlow(SubvolumeProcessor):
     mask_only_for_patch_selection: bool = False
     selection_mask_configs: Any = None
     batch_size: int = 1024
+    # Correlation backend for dense unmasked runs:
+    # 'padfield' | 'circular' | 'circular_dft' (see flow_field.flow_field).
+    flow_mode: str = 'padfield'
 
   def __init__(self, config: 'EstimateFlow.Config',
                input_volinfo_or_ts_spec=None):
@@ -113,7 +116,7 @@ class EstimateFlow(SubvolumeProcessor):
           None if mask is None else mask[z_curr],
           mask_only_for_patch_selection=config.mask_only_for_patch_selection,
           selection_mask=None if sel_mask is None else sel_mask[z_curr],
-          batch_size=config.batch_size)
+          batch_size=config.batch_size, mode=config.flow_mode)
 
     with self.timer('flow'):
       flows = []
