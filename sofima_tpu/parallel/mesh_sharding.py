@@ -59,10 +59,19 @@ def _halo_pad_y(x_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
   return jnp.concatenate([halo_top, x_local, halo_bot], axis=y_axis)
 
 
-def _sharded_force_2d(axis_name: str):
+def _sharded_force_2d(axis_name: str, base_force=None):
+  """Wraps an in-plane force with per-step 1-row halo exchange.
+
+  `base_force` defaults to the XLA stencil; pass
+  `ops.pallas_mesh.make_inplane_force()` to run the fused Pallas kernel
+  per shard (halo rows arrive via ppermute exactly as for the XLA path).
+  """
+  if base_force is None:
+    base_force = mesh_lib.inplane_force
+
   def force(x_local, k, stride, prefer_orig_order=False):
     padded = _halo_pad_y(x_local, axis_name)
-    f = mesh_lib.inplane_force(padded, k, stride, prefer_orig_order)
+    f = base_force(padded, k, stride, prefer_orig_order)
     y_axis = f.ndim - 2
     return jax.lax.slice_in_dim(f, 1, f.shape[y_axis] - 1, axis=y_axis)
   return force
@@ -92,6 +101,7 @@ def relax_mesh_sharded(
     device_mesh: Mesh,
     axis_name: str = 'mesh_y',
     dim: int = 2,
+    base_force=None,
 ):
   """Relaxes a y-sharded mesh to convergence entirely on device.
 
@@ -117,8 +127,8 @@ def relax_mesh_sharded(
     raise ValueError(f'y extent {x.shape[-2]} not divisible by {n_dev} '
                      'devices')
 
-  force_fn = _sharded_force_2d(axis_name) if dim == 2 else (
-      _sharded_force_3d(axis_name))
+  force_fn = (_sharded_force_2d(axis_name, base_force) if dim == 2
+              else _sharded_force_3d(axis_name))
 
   def psum(v):
     return jax.lax.psum(v, axis_name)
@@ -136,7 +146,10 @@ def relax_mesh_sharded(
   @functools.partial(
       shard_map, mesh=device_mesh,
       in_specs=(spec, spec) if has_prev else (spec,),
-      out_specs=(spec, P(None), P()))
+      out_specs=(spec, P(None), P()),
+      # Pallas kernels inside the body have no varying-mesh-axes
+      # annotations; skip the vma check.
+      check_vma=False)
   def run(x_local, *maybe_prev):
     prev_local = maybe_prev[0] if maybe_prev else None
     force, _, fire_step = mesh_lib._make_step_fns(

@@ -205,8 +205,10 @@ def warp_subvolume(
       # Prefer gather-free periodic densification (integer stride/phase).
       phase_y = float(out_box.start[1] - offset - map_box.start[1] * stride)
       phase_x = float(out_box.start[0] - offset - map_box.start[0] * stride)
+      max_phase = 8 * stride  # repeat-based upsampling scales with phase
       if (float(stride).is_integer() and phase_y.is_integer()
-          and phase_x.is_integer() and phase_y >= 0 and phase_x >= 0):
+          and phase_x.is_integer() and 0 <= phase_y <= max_phase
+          and 0 <= phase_x <= max_phase):
         dense = jax.vmap(lambda m: interp.upsample_map_linear(
             m, int(stride), (int(phase_y), int(phase_x)),
             (int(out_box.size[1]), int(out_box.size[0]))))(maps_j)

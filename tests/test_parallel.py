@@ -84,3 +84,19 @@ class TestShardedRelax:
     assert valid.any()
     np.testing.assert_array_equal(peaks[valid, 0], 1.0)   # x = -(-1)
     np.testing.assert_array_equal(peaks[valid, 1], -2.0)  # y = -2
+
+  @requires_multi
+  def test_sharded_with_injected_force(self):
+    # Injected base force (the Pallas kernel in interpret mode) must give
+    # the same sharded solution.
+    from sofima_tpu.ops import pallas_mesh
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 1, 16, 8).astype(np.float32))
+    prev = jnp.zeros_like(x)
+    cfg = _config(num_iters=100, max_iters=2000)
+    dmesh = mesh_sharding.make_mesh(4)
+    ref, _, _ = mesh_sharding.relax_mesh_sharded(x, prev, cfg, dmesh)
+    out, _, _ = mesh_sharding.relax_mesh_sharded(
+        x, prev, cfg, dmesh,
+        base_force=pallas_mesh.make_inplane_force(tile=8, interpret=True))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
