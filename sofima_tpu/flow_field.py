@@ -327,58 +327,68 @@ def _dft_mats(n: int) -> tuple[np.ndarray, np.ndarray]:
   return (np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32))
 
 
+@functools.lru_cache(maxsize=8)
+def _rdft_mats(n: int):
+  """Half-spectrum DFT matrices exploiting real-input symmetry.
+
+  Returns (fr, fi) [n, h] for the forward rDFT (h = n//2 + 1 retained
+  frequencies) and (br, bi) [h, n] for the inverse with the Hermitian
+  doubling weights folded in: x = br^T-style reconstruction
+  x[m] = sum_k alpha_k (Re F_k cos + Im F_k (-sin)) with alpha = 1 at DC
+  and Nyquist, 2 elsewhere.
+  """
+  h = n // 2 + 1
+  k = np.arange(h)
+  m = np.arange(n)
+  ang = -2.0 * np.pi * np.outer(m, k) / n  # [n, h]
+  fr = np.cos(ang).astype(np.float32)
+  fi = np.sin(ang).astype(np.float32)
+  alpha = np.full(h, 2.0, np.float32)
+  alpha[0] = 1.0
+  if n % 2 == 0:
+    alpha[-1] = 1.0
+  br = (np.cos(-ang) * alpha[None]).astype(np.float32).T  # [h, n]
+  bi = (-np.sin(-ang) * alpha[None]).astype(np.float32).T
+  return fr, fi, br, bi
+
+
 def _circular_xcorr_matmul(pre_b: jnp.ndarray,
                            post_b: jnp.ndarray) -> jnp.ndarray:
   """Circular cross-correlation via DFT-as-matmul (MXU path).
 
-  For patch-sized transforms the 1d DFT matrices are small enough that
-  routing the transform through the MXU (dense [n, n] matmuls) beats the
-  FFT unit by a wide margin on TPU. Computes
+  For patch-sized transforms the DFT matrices are small enough that
+  routing the transform through the MXU (dense matmuls) beats the FFT
+  unit by a wide margin on TPU. Uses the half-spectrum (rfft) form along
+  the last axis — real inputs need only n//2+1 frequencies. Computes
   irfft(F(pre) * conj(F(post))) exactly (up to float32 rounding).
   """
   n1, n2 = pre_b.shape[-2:]
   wr1, wi1 = (jnp.asarray(m) for m in _dft_mats(n1))
-  wr2, wi2 = (jnp.asarray(m) for m in _dft_mats(n2))
+  fr2, fi2, br2, bi2 = (jnp.asarray(m) for m in _rdft_mats(n2))
 
-  def dft2(img):
-    # rows: F1 = W1 @ img ; cols: F = F1 @ W2^T (W symmetric).
-    ar = jnp.einsum('kn,bnm->bkm', wr1, img,
-                    preferred_element_type=jnp.float32)
-    ai = jnp.einsum('kn,bnm->bkm', wi1, img,
-                    preferred_element_type=jnp.float32)
-    fr = (jnp.einsum('bkm,ml->bkl', ar, wr2,
-                     preferred_element_type=jnp.float32)
-          - jnp.einsum('bkm,ml->bkl', ai, wi2,
-                       preferred_element_type=jnp.float32))
-    fi = (jnp.einsum('bkm,ml->bkl', ar, wi2,
-                     preferred_element_type=jnp.float32)
-          + jnp.einsum('bkm,ml->bkl', ai, wr2,
-                       preferred_element_type=jnp.float32))
+  mm = functools.partial(jnp.einsum,
+                         preferred_element_type=jnp.float32)
+
+  def rdft2(img):
+    # Last axis: half-spectrum rDFT; first axis: full DFT.
+    ar = mm('bnm,mh->bnh', img, fr2)
+    ai = mm('bnm,mh->bnh', img, fi2)
+    fr = mm('kn,bnh->bkh', wr1, ar) - mm('kn,bnh->bkh', wi1, ai)
+    fi = mm('kn,bnh->bkh', wr1, ai) + mm('kn,bnh->bkh', wi1, ar)
     return fr, fi
 
-  pr, pi = dft2(pre_b)
-  qr, qi = dft2(post_b)
-  # F(pre) * conj(F(post))
+  pr, pi = rdft2(pre_b)
+  qr, qi = rdft2(post_b)
+  # F(pre) * conj(F(post)) on the half spectrum.
   cr = pr * qr + pi * qi
   ci = pi * qr - pr * qi
 
-  # Inverse 2d DFT, real part: conj(W)/n on both axes.
-  def idft2_real(fr, fi):
-    ar = (jnp.einsum('kn,bnm->bkm', wr1, fr,
-                     preferred_element_type=jnp.float32)
-          + jnp.einsum('kn,bnm->bkm', wi1, fi,
-                       preferred_element_type=jnp.float32))
-    ai = (jnp.einsum('kn,bnm->bkm', wr1, fi,
-                     preferred_element_type=jnp.float32)
-          - jnp.einsum('kn,bnm->bkm', wi1, fr,
-                       preferred_element_type=jnp.float32))
-    out = (jnp.einsum('bkm,ml->bkl', ar, wr2,
-                      preferred_element_type=jnp.float32)
-           + jnp.einsum('bkm,ml->bkl', ai, wi2,
-                        preferred_element_type=jnp.float32))
-    return out / (n1 * n2)
-
-  return idft2_real(cr, ci)
+  # Inverse: full complex inverse along the first axis (conj(W1)/n1),
+  # then the Hermitian-weighted inverse along the last axis.
+  gr = (mm('kn,bnh->bkh', wr1, cr) + mm('kn,bnh->bkh', wi1, ci)) / n1
+  gi = (mm('kn,bnh->bkh', wr1, ci) - mm('kn,bnh->bkh', wi1, cr)) / n1
+  out = (mm('bkh,hm->bkm', gr, br2) + mm('bkh,hm->bkm', gi, bi2)) / n2
+  return out
 
 
 @functools.partial(
