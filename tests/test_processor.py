@@ -310,3 +310,38 @@ class TestDefaults:
     assert (cfg.cross_block_config.options.init_state
             == mesh.MeshInitState.PREV_MEDIAN)
     assert cfg.within_block_config.integration_config.k0 == 0.01
+
+
+class TestWarpByMap:
+
+  def test_downsample_area(self):
+    from sofima_tpu.processor import warp as warp_proc
+    data = np.arange(16, dtype=np.float64).reshape(1, 1, 4, 4)
+    down = warp_proc.area_downsample(data, 2)
+    assert down.shape == (1, 1, 2, 2)
+    np.testing.assert_allclose(down[0, 0], [[2.5, 4.5], [10.5, 12.5]])
+
+  def test_warp_by_map_with_downsample(self):
+    import dataclasses as dc
+    from sofima_tpu.processor import warp as warp_proc
+    rng = np.random.RandomState(0)
+    src = rng.randint(0, 250, (1, 1, 64, 64)).astype(np.float32)
+    data_vol = InMemoryVolume(src, fill_value=0.0)
+    # Identity inverse map at source stride 16 (stride 8 * downsample 2).
+    cmap = np.zeros((2, 1, 8, 8), np.float32)
+    map_vol = InMemoryVolume(cmap)
+    cfg = em_2d.warp_config({
+        'stride': 8.0, 'interpolation': 'linear', 'downsample': 2})
+    cfg = dc.replace(cfg, map_volinfo=map_vol, data_volinfo=data_vol)
+    proc = warp_proc.WarpByMap(cfg)
+    from sofima_tpu.utils.bounding_box import BoundingBox
+    from sofima_tpu.utils.subvolume import Subvolume
+    box = BoundingBox(start=(0, 0, 0), size=(32, 32, 1))
+    outs = proc.process(Subvolume(np.zeros((1, 1, 32, 32), np.float32),
+                                  box))
+    out = outs[0].data
+    assert out.shape == (1, 1, 32, 32)
+    # Area-averaged 2x downsample of the identity warp.
+    expected = src.reshape(1, 1, 32, 2, 32, 2).mean(axis=(3, 5))
+    np.testing.assert_allclose(out[0, 0, 2:-2, 2:-2],
+                               expected[0, 0, 2:-2, 2:-2], atol=0.5)

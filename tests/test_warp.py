@@ -187,3 +187,40 @@ class TestClahe:
     out = clahe.equalize_adapthist(img)
     assert np.ptp(out) > 3 * (20 / 255)  # contrast expanded >3x
     assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+class TestRenderTilesExtras:
+
+  def test_tile_masks_and_clahe(self):
+    rng = np.random.RandomState(5)
+    t0 = rng.randint(60, 200, (48, 48)).astype(np.uint8)
+    tiles = {(0, 0): t0}
+    cmaps = {(0, 0): np.zeros((2, 1, 6, 6), np.float32)}
+    tile_mask = np.ones((48, 48), np.uint8)
+    tile_mask[:, 24:] = 0  # right half excluded
+    canvas, mask = warp.render_tiles(
+        tiles, cmaps, stride=(8, 8), margin=4, use_clahe=True,
+        clahe_kwargs={'clip_limit': 0.02},
+        tile_masks={(0, 0): tile_mask})
+    assert mask[24, 10]
+    assert not mask[24, 40]  # masked-out half not rendered
+
+  def test_margin_overrides(self):
+    t0 = np.full((32, 32), 120, np.uint8)
+    tiles = {(0, 0): t0}
+    cmaps = {(0, 0): np.zeros((2, 1, 4, 4), np.float32)}
+    canvas, mask = warp.render_tiles(
+        tiles, cmaps, stride=(8, 8), margin=2,
+        margin_overrides={(0, 0): (10, 10, 2, 2)})
+    assert not mask[5, 16]  # top margin 10 excluded
+    assert mask[16, 16]
+
+  def test_return_warped_tiles(self):
+    t0 = np.full((32, 32), 99, np.uint8)
+    tiles = {(0, 0): t0}
+    cmaps = {(0, 0): np.zeros((2, 1, 4, 4), np.float32)}
+    canvas, mask, warped = warp.render_tiles(
+        tiles, cmaps, stride=(8, 8), margin=4, return_warped_tiles=True)
+    assert (0, 0) in warped
+    x0, y0, img = warped[(0, 0)]
+    assert img.ndim == 2
