@@ -10,7 +10,7 @@ instead of OpenCV/skimage.
 
 from __future__ import annotations
 
-from typing import Any, Mapping, MutableMapping, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

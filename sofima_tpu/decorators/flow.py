@@ -9,7 +9,7 @@ use the `fc, fz, fy, fx` label convention.
 
 from __future__ import annotations
 
-from typing import Any, Mapping, MutableMapping, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

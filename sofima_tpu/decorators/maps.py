@@ -7,7 +7,7 @@ coordinate-map generation from 3x4 matrices (`MakeAffineCoordMap`).
 
 from __future__ import annotations
 
-from typing import Any, Mapping, MutableMapping, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

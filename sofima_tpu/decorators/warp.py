@@ -10,8 +10,7 @@ numerical cross-checks.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Mapping, MutableMapping, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

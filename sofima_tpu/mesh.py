@@ -30,7 +30,7 @@ from __future__ import annotations
 import collections.abc
 import dataclasses
 import functools
-from typing import Callable, Sequence
+from typing import Sequence
 
 from absl import logging
 import jax

@@ -10,8 +10,6 @@ which is inconsequential for blending weights.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -83,7 +83,6 @@ def partition_work(work_boxes: Sequence[BoundingBox],
 def barrier(name: str = 'sofima-barrier') -> None:
   """Cross-host synchronization point (psum over all devices)."""
   import jax
-  import jax.numpy as jnp
   if jax.process_count() == 1:
     return
   from jax.experimental import multihost_utils

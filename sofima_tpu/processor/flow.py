@@ -8,14 +8,12 @@ multi-Δz re-estimation of missing flow entries.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Any
 
-from absl import logging
 import numpy as np
 
 from sofima_tpu import flow_field
 from sofima_tpu import flow_utils
-from sofima_tpu import map_utils
 from sofima_tpu.ops import interp
 from sofima_tpu.processor.base import (SubvolumeProcessor, SubvolumeOrMany,
                                        SuggestedXyz)

@@ -13,7 +13,6 @@ from typing import Any
 import numpy as np
 
 from sofima_tpu import map_utils
-from sofima_tpu.processor import client_utils
 from sofima_tpu.processor.base import (OutputNums, SubvolumeProcessor,
                                        SubvolumeOrMany)
 from sofima_tpu.utils.bounding_box import BoundingBox

@@ -17,7 +17,7 @@ masks are computed with on-device moving max/min windows.
 from __future__ import annotations
 
 import functools
-from typing import Any, Mapping
+from typing import Mapping
 
 import jax
 import jax.numpy as jnp
