@@ -391,6 +391,80 @@ def _circular_xcorr_matmul(pre_b: jnp.ndarray,
   return out
 
 
+def _rdft2(img: jnp.ndarray):
+  """Half-spectrum 2d DFT via MXU matmuls; returns (re, im) [b, n1, h2]."""
+  n1, n2 = img.shape[-2:]
+  wr1, wi1 = (jnp.asarray(m) for m in _dft_mats(n1))
+  fr2, fi2, _, _ = (jnp.asarray(m) for m in _rdft_mats(n2))
+  mm = functools.partial(jnp.einsum, preferred_element_type=jnp.float32)
+  ar = mm('bnm,mh->bnh', img, fr2)
+  ai = mm('bnm,mh->bnh', img, fi2)
+  fr = mm('kn,bnh->bkh', wr1, ar) - mm('kn,bnh->bkh', wi1, ai)
+  fi = mm('kn,bnh->bkh', wr1, ai) + mm('kn,bnh->bkh', wi1, ar)
+  return fr, fi
+
+
+def _irdft2_of_product(a, b, n1: int, n2: int):
+  """real(iDFT2( A * conj(B) )) for half-spectrum (re, im) pairs."""
+  wr1, wi1 = (jnp.asarray(m) for m in _dft_mats(n1))
+  _, _, br2, bi2 = (jnp.asarray(m) for m in _rdft_mats(n2))
+  mm = functools.partial(jnp.einsum, preferred_element_type=jnp.float32)
+  ar_, ai_ = a
+  br_, bi_ = b
+  cr = ar_ * br_ + ai_ * bi_
+  ci = ai_ * br_ - ar_ * bi_
+  gr = (mm('kn,bnh->bkh', wr1, cr) + mm('kn,bnh->bkh', wi1, ci)) / n1
+  gi = (mm('kn,bnh->bkh', wr1, ci) - mm('kn,bnh->bkh', wi1, cr)) / n1
+  return (mm('bkh,hm->bkm', gr, jnp.asarray(br2))
+          + mm('bkh,hm->bkm', gi, jnp.asarray(bi2))) / n2
+
+
+def _masked_xcorr_circular(pre_b, post_b, pre_valid, post_valid):
+  """Circular masked NCC (Padfield) on the MXU.
+
+  All correlation terms of the Padfield normalization
+  (/root/reference/flow_field.py:61-156 describes the linear version)
+  become circular correlations of the masked images and their
+  valid-pixel masks, evaluated with half-spectrum DFT matmuls:
+  6 forward transforms + 6 inverse transforms per patch pair.
+  """
+  n1, n2 = pre_b.shape[-2:]
+  eps = jnp.float32(np.finfo(np.float32).eps)
+
+  pre_z = jnp.where(pre_valid, pre_b, 0.0)
+  post_z = jnp.where(post_valid, post_b, 0.0)
+
+  f_p = _rdft2(pre_z)
+  f_c = _rdft2(post_z)
+  f_mp = _rdft2(pre_valid.astype(jnp.float32))
+  f_mc = _rdft2(post_valid.astype(jnp.float32))
+  f_p2 = _rdft2(jnp.square(pre_z))
+  f_c2 = _rdft2(jnp.square(post_z))
+
+  xcorr = _irdft2_of_product(f_p, f_c, n1, n2)
+  overlap = jnp.fmax(jnp.round(_irdft2_of_product(f_mp, f_mc, n1, n2)),
+                     eps)
+  inv_overlap = 1.0 / overlap
+  sum_p = _irdft2_of_product(f_p, f_mc, n1, n2)
+  sum_c = _irdft2_of_product(f_mp, f_c, n1, n2)
+
+  numerator = xcorr - sum_p * sum_c * inv_overlap
+  var_p = jnp.fmax(
+      _irdft2_of_product(f_p2, f_mc, n1, n2)
+      - jnp.square(sum_p) * inv_overlap, 0.0)
+  var_c = jnp.fmax(
+      _irdft2_of_product(f_mp, f_c2, n1, n2)
+      - jnp.square(sum_c) * inv_overlap, 0.0)
+  denom = jnp.sqrt(var_p * var_c)
+
+  tol = 1e3 * eps * jnp.max(jnp.abs(denom), keepdims=True)
+  out = jnp.where(denom > tol,
+                  numerator / jnp.where(denom > tol, denom, 1.0), 0.0)
+  out = jnp.clip(out, -1.0, 1.0)
+  return jnp.where(overlap < 0.3 * jnp.max(overlap, keepdims=True), 0.0,
+                   out)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=['patch_size', 'mean', 'min_distance', 'threshold_rel',
@@ -406,6 +480,8 @@ def _batched_xcorr_peaks_circular(
     peak_radius: int | Sequence[int] = 5,
     post_starts: jnp.ndarray | None = None,
     dft_matmul: bool = False,
+    pre_mask: jnp.ndarray | None = None,
+    post_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
   """Circular-correlation fast path: patch-sized FFTs (no padding).
 
@@ -427,14 +503,37 @@ def _batched_xcorr_peaks_circular(
   pre_b = gather(jnp.asarray(pre_image, jnp.float32), starts)
   post_b = gather(jnp.asarray(post_image, jnp.float32), post_starts)
   axes = tuple(range(-dim, 0))
+
+  pre_valid = post_valid = None
+  if pre_mask is not None:
+    pre_valid = jnp.logical_not(gather(jnp.asarray(pre_mask), starts))
+  if post_mask is not None:
+    post_valid = jnp.logical_not(
+        gather(jnp.asarray(post_mask), post_starts))
+
+  def masked_mean(batch, valid):
+    if valid is None:
+      return jnp.mean(batch, axis=axes, keepdims=True)
+    count = jnp.maximum(jnp.sum(valid, axis=axes, keepdims=True), 1)
+    return (jnp.sum(jnp.where(valid, batch, 0.0), axis=axes,
+                    keepdims=True) / count)
+
   if mean is None:
-    pre_b = pre_b - jnp.mean(pre_b, axis=axes, keepdims=True)
-    post_b = post_b - jnp.mean(post_b, axis=axes, keepdims=True)
+    pre_b = pre_b - masked_mean(pre_b, pre_valid)
+    post_b = post_b - masked_mean(post_b, post_valid)
   else:
     pre_b = pre_b - mean
     post_b = post_b - mean
 
-  if dft_matmul and dim == 2:
+  if pre_valid is not None or post_valid is not None:
+    if dim != 2:
+      raise NotImplementedError('masked circular mode is 2d only')
+    if pre_valid is None:
+      pre_valid = jnp.ones_like(pre_b, bool)
+    if post_valid is None:
+      post_valid = jnp.ones_like(post_b, bool)
+    corr = _masked_xcorr_circular(pre_b, post_b, pre_valid, post_valid)
+  elif dft_matmul and dim == 2:
     corr = _circular_xcorr_matmul(pre_b, post_b)
   else:
     f_pre = jnp.fft.rfftn(pre_b, axes=axes)
@@ -467,6 +566,8 @@ def dense_flow_field(
     post_patch_size: Sequence[int] | None = None,
     circular: bool = False,
     dft_matmul: bool = False,
+    pre_mask: jnp.ndarray | None = None,
+    post_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
   """Flow field over the full dense patch grid, entirely on device.
 
@@ -514,6 +615,8 @@ def dense_flow_field(
 
   if circular and post_patch_size != patch_size:
     raise ValueError('circular mode requires equal pre/post patch sizes')
+  if (pre_mask is not None or post_mask is not None) and not circular:
+    raise ValueError('dense masked mode requires circular=True')
 
   def one_batch(args):
     ps, qs = args
@@ -522,7 +625,7 @@ def dense_flow_field(
           pre_image, post_image, patch_size, ps, mean,
           min_distance=min_distance, threshold_rel=threshold_rel,
           peak_radius=peak_radius, post_starts=qs,
-          dft_matmul=dft_matmul)
+          dft_matmul=dft_matmul, pre_mask=pre_mask, post_mask=post_mask)
     return batched_xcorr_peaks(
         pre_image, post_image, None, None, patch_size, ps, mean,
         min_distance=min_distance, threshold_rel=threshold_rel,
@@ -591,29 +694,63 @@ class JAXMaskedXCorrWithStatsCalculator:
     assert pre_image.ndim == post_image.ndim
     ndim = pre_image.ndim
 
-    dense_ok = (mode != 'padfield' and pre_mask is None
-                and post_mask is None and selection_mask is None
+    # Dense fast path: the whole grid in one device program. Masks are
+    # supported (2d): occupancy/selection deselection is applied to the
+    # result (NaN), and unless mask_only_for_patch_selection the masked
+    # circular NCC kernel consumes the pixel masks directly.
+    dense_ok = (mode != 'padfield'
                 and pre_targeting_field is None
-                and post_targeting_field is None)
+                and post_targeting_field is None
+                and (ndim == 2 or (pre_mask is None and post_mask is None
+                                   and selection_mask is None)))
     if dense_ok:
+      patch_t = tuple((patch_size,) * ndim
+                      if not isinstance(patch_size,
+                                        collections.abc.Sequence)
+                      else patch_size)
+      post_patch_t = (tuple(post_patch_size)
+                      if isinstance(post_patch_size,
+                                    collections.abc.Sequence)
+                      else ((post_patch_size,) * ndim
+                            if post_patch_size is not None else None))
+      step_t = tuple((step,) * ndim
+                     if not isinstance(step, collections.abc.Sequence)
+                     else step)
+
+      # Host-side deselection (occupancy + explicit selection mask).
+      eff_post_patch = post_patch_t or patch_t
+      out_shape = (np.array(post_image.shape)
+                   - (np.array(eff_post_patch) - step_t)) // step_t
+      out_sel = tuple(np.s_[:s] for s in out_shape)
+      keep = np.ones(out_shape, dtype=bool)
+      if selection_mask is not None:
+        keep &= np.array(selection_mask[out_sel], dtype=bool)
+      if pre_mask is not None:
+        occ = geom.query_integral_image(
+            geom.integral_image(pre_mask), patch_t, step_t)
+        keep &= ~(occ / np.prod(patch_t) >= max_masked)[out_sel]
+      if post_mask is not None:
+        occ = geom.query_integral_image(
+            geom.integral_image(post_mask), eff_post_patch, step_t)
+        keep &= ~(occ / np.prod(eff_post_patch) >= max_masked)[out_sel]
+
+      use_pixel_masks = not mask_only_for_patch_selection
       out = dense_flow_field(
           jnp.asarray(pre_image, jnp.float32),
           jnp.asarray(post_image, jnp.float32),
-          tuple((patch_size,) * ndim
-                if not isinstance(patch_size, collections.abc.Sequence)
-                else patch_size),
-          tuple((step,) * ndim
-                if not isinstance(step, collections.abc.Sequence)
-                else step),
+          patch_t, step_t,
           batch_size=batch_size, mean=self._mean,
           min_distance=self._min_distance, peak_radius=self._peak_radius,
-          post_patch_size=(tuple(post_patch_size)
-                           if isinstance(post_patch_size,
-                                         collections.abc.Sequence)
-                           else ((post_patch_size,) * ndim
-                                 if post_patch_size is not None else None)),
-          circular=True, dft_matmul=(mode == 'circular_dft'))
-      return np.array(out)
+          post_patch_size=post_patch_t,
+          circular=True, dft_matmul=(mode == 'circular_dft'),
+          pre_mask=(jnp.asarray(pre_mask)
+                    if use_pixel_masks and pre_mask is not None else None),
+          post_mask=(jnp.asarray(post_mask)
+                     if use_pixel_masks and post_mask is not None
+                     else None))
+      result = np.array(out)
+      result[:, ~keep] = np.nan
+      return result
 
     def _vec(v, default=None):
       if v is None:

@@ -236,3 +236,53 @@ class TestCircularMode:
         batch_size=4, circular=True))
     np.testing.assert_array_equal(c[0], 7.0)
     np.testing.assert_array_equal(c[1], -10.0)
+
+
+class TestCircularMaskedMode:
+
+  def test_masked_circular_matches_padfield_peaks(self):
+    # Decoy feature excluded by mask: both backends must find the true
+    # shift.
+    pre = np.zeros((120, 120), np.uint8)
+    post = np.zeros((120, 120), np.uint8)
+    pre[60, 60] = 255
+    post[70, 53] = 255
+    post[54, 68] = 255  # decoy
+    post_mask = np.zeros((120, 120), bool)
+    post_mask[:55, :70] = True
+
+    mfc = flow_field.JAXMaskedXCorrWithStatsCalculator()
+    ref = mfc.flow_field(pre, post, patch_size=80, step=40,
+                         post_mask=post_mask, batch_size=4)
+    fast = mfc.flow_field(pre, post, patch_size=80, step=40,
+                          post_mask=post_mask, batch_size=4,
+                          mode='circular')
+    np.testing.assert_array_equal(fast[0], ref[0])
+    np.testing.assert_array_equal(fast[1], ref[1])
+
+  def test_mask_only_for_patch_selection_fast(self):
+    pre = np.random.RandomState(0).rand(120, 120).astype(np.float32)
+    post = pre.copy()
+    pre_mask = np.zeros((120, 120), bool)
+    pre_mask[:, :80] = True
+    mfc = flow_field.JAXMaskedXCorrWithStatsCalculator()
+    fast = mfc.flow_field(pre, post, patch_size=80, step=40,
+                          pre_mask=pre_mask,
+                          mask_only_for_patch_selection=True, batch_size=4,
+                          mode='circular_dft')
+    assert np.isnan(fast[:, :, 0]).all()
+    assert np.isfinite(fast[0, 0, 1])
+    np.testing.assert_array_equal(fast[0][np.isfinite(fast[0])], 0.0)
+
+  def test_selection_mask_fast(self):
+    pre = np.zeros((120, 120), np.uint8)
+    post = np.zeros((120, 120), np.uint8)
+    pre[60, 60] = 255
+    post[62, 57] = 255
+    sel = np.zeros((2, 2), bool)
+    sel[0, 1] = True
+    mfc = flow_field.JAXMaskedXCorrWithStatsCalculator()
+    fast = mfc.flow_field(pre, post, patch_size=80, step=40, batch_size=4,
+                          selection_mask=sel, mode='circular')
+    assert np.isfinite(fast[:2, 0, 1]).all()
+    assert np.isnan(fast[:, 0, 0]).all()
