@@ -141,3 +141,37 @@ class TestRegistration:
     shift, _, _ = registration.phase_cross_correlation(
         vol, moved, normalization=None)
     np.testing.assert_array_equal(shift, [-2, 4, -6])
+
+
+class TestMultiProcess:
+
+  def test_two_process_distributed_run(self, tmp_path):
+    import os
+    import socket
+    import subprocess
+    import sys
+    # Pick a free port for the coordinator.
+    with socket.socket() as s:
+      s.bind(('localhost', 0))
+      port = s.getsockname()[1]
+    coordinator = f'localhost:{port}'
+    worker = os.path.join(os.path.dirname(__file__),
+                          'distributed_worker.py')
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, '2', str(i),
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+      try:
+        out, _ = p.communicate(timeout=180)
+      except subprocess.TimeoutExpired:
+        for q in procs:
+          q.kill()
+        pytest.fail('distributed workers timed out')
+      outs.append(out)
+    assert all(p.returncode == 0 for p in procs), outs
+    assert 'DISTRIBUTED_OK' in outs[0], outs[0][-2000:]
