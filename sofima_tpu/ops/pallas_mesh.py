@@ -164,3 +164,132 @@ def make_inplane_force(tile: int = 256, interpret: bool = False):
                                 tile=tile, interpret=interpret)
 
   return force
+
+
+# ---------------------------------------------------------------------------
+# 3d volumetric mesh force (26-neighborhood), for the LICONN-style solves.
+
+def _force_tile_3d(tile: jnp.ndarray, ty: int, tx: int, k: float, stride,
+                   prefer_orig_order: bool) -> jnp.ndarray:
+  """Force on the [nz, ty, tx] interior of an aligned 3d halo window.
+
+  `tile`: [3, nz + 2, ty + 2*MY, tx + 2*MX] node positions (z fully
+  resident with a 1-plane halo).
+  """
+  import numpy as _np
+  sx, sy, sz = (float(s) for s in stride)
+  nz = tile.shape[1] - 2
+
+  center = tile[:, 1:1 + nz, _MARGIN_Y:_MARGIN_Y + ty,
+                _MARGIN_X:_MARGIN_X + tx]
+  acc = [jnp.zeros((nz, ty, tx), jnp.float32) for _ in range(3)]
+
+  for ez in (-1, 0, 1):
+    for ey in (-1, 0, 1):
+      for ex in (-1, 0, 1):
+        if ex == 0 and ey == 0 and ez == 0:
+          continue
+        nbor = tile[:, 1 + ez:1 + ez + nz,
+                    _MARGIN_Y + ey:_MARGIN_Y + ey + ty,
+                    _MARGIN_X + ex:_MARGIN_X + ex + tx]
+        l0v = (_np.float32(sx * ex), _np.float32(sy * ey),
+               _np.float32(sz * ez))
+        l0 = float(_np.linalg.norm(l0v))
+        k_eff = k * sx / l0
+        d = [nbor[c] - center[c] + l0v[c] for c in range(3)]
+        l = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+        inv_l = 1.0 / jnp.maximum(l, 1e-30)
+        e = (ex, ey, ez)
+        for c in range(3):
+          if prefer_orig_order:
+            fac = (float(e[c]) * jnp.sign(d[c]) if e[c] != 0 else 1.0)
+            f = k_eff * (1.0 - l0 * fac * inv_l) * d[c]
+          else:
+            f = k_eff * (1.0 - l0 * inv_l) * d[c]
+          acc[c] = acc[c] + jnp.nan_to_num(f, posinf=0.0, neginf=0.0)
+
+  return jnp.stack(acc)
+
+
+def _kernel_3d(x_hbm, out_ref, scratch, sem, *, k, stride,
+               prefer_orig_order, tile_y, tile_x, nz):
+  iy = pl.program_id(0)
+  ix = pl.program_id(1)
+  copy = pltpu.make_async_copy(
+      x_hbm.at[:, :, pl.ds(iy * tile_y, tile_y + 2 * _MARGIN_Y),
+               pl.ds(ix * tile_x, tile_x + 2 * _MARGIN_X)],
+      scratch, sem)
+  copy.start()
+  copy.wait()
+  out_ref[...] = _force_tile_3d(scratch[:], tile_y, tile_x, k, stride,
+                                prefer_orig_order)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=['k', 'stride', 'prefer_orig_order', 'tile',
+                     'interpret'])
+def elastic_mesh_3d_pallas(x: jnp.ndarray, k: float, stride,
+                           prefer_orig_order: bool = False,
+                           tile: int = 128,
+                           interpret: bool = False) -> jnp.ndarray:
+  """Pallas 3d mesh force (26-neighborhood); contract of elastic_mesh_3d.
+
+  The z extent stays VMEM-resident per tile (volumetric tile stacks are
+  shallow); y/x are tiled with aligned halo windows.
+  """
+  if not hasattr(stride, '__len__'):
+    stride = (float(stride),) * 3
+  c, nz, ny, nx = x.shape
+  assert c == 3
+
+  tile_y = max(8, min(tile, -(-ny // 8) * 8))
+  tile_x = max(128, min(tile * 2, -(-nx // 128) * 128))
+  gy = -(-ny // tile_y)
+  gx = -(-nx // tile_x)
+
+  pad_y = gy * tile_y + 2 * _MARGIN_Y - ny - _MARGIN_Y
+  pad_x = gx * tile_x + 2 * _MARGIN_X - nx - _MARGIN_X
+  xp = jnp.pad(x.astype(jnp.float32),
+               ((0, 0), (1, 1), (_MARGIN_Y, pad_y), (_MARGIN_X, pad_x)),
+               constant_values=np.nan)
+
+  kernel = functools.partial(
+      _kernel_3d, k=float(k), stride=tuple(float(s) for s in stride),
+      prefer_orig_order=prefer_orig_order, tile_y=tile_y, tile_x=tile_x,
+      nz=nz)
+
+  out = pl.pallas_call(
+      kernel,
+      grid=(gy, gx),
+      in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+      out_specs=pl.BlockSpec(
+          (3, nz, tile_y, tile_x),
+          lambda iy, ix: (0, 0, iy, ix),
+          memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((3, nz, gy * tile_y, gx * tile_x),
+                                     jnp.float32),
+      scratch_shapes=[
+          pltpu.VMEM((3, nz + 2, tile_y + 2 * _MARGIN_Y,
+                      tile_x + 2 * _MARGIN_X), jnp.float32),
+          pltpu.SemaphoreType.DMA,
+      ],
+      interpret=interpret,
+  )(xp)
+  return out[:, :, :ny, :nx]
+
+
+def make_elastic_mesh_3d(tile: int = 128, interpret: bool = False):
+  """Returns a 3d mesh_force callable backed by the Pallas kernel.
+
+  Note: supports [3, z, y, x] inputs (no extra batch dims) and the full
+  26-neighborhood link set.
+  """
+
+  def force(x, k, stride, prefer_orig_order=False, links=None):
+    del links
+    return elastic_mesh_3d_pallas(
+        x, k, stride if hasattr(stride, '__len__') else (stride,) * 3,
+        prefer_orig_order, tile=tile, interpret=interpret)
+
+  return force

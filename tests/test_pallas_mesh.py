@@ -56,3 +56,33 @@ class TestPallasForce:
     ref, _, _ = mesh.relax_mesh(x, prev, cfg)
     out, _, _ = mesh.relax_mesh(x, prev, cfg, mesh_force=FORCE)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+FORCE3 = pallas_mesh.make_elastic_mesh_3d(tile=16, interpret=True)
+
+
+class TestPallas3dForce:
+
+  def test_matches_xla_3d(self):
+    rng = np.random.RandomState(0)
+    x = rng.randn(3, 5, 10, 12).astype(np.float32) * 3
+    ref = np.asarray(mesh.elastic_mesh_3d(jnp.asarray(x), 0.1, 40.0))
+    out = np.asarray(FORCE3(jnp.asarray(x), 0.1, 40.0))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+  def test_matches_with_nans_and_anisotropic_stride(self):
+    rng = np.random.RandomState(1)
+    x = rng.randn(3, 4, 8, 9).astype(np.float32)
+    x[:, 1, 3, 4] = np.nan
+    ref = np.asarray(mesh.elastic_mesh_3d(jnp.asarray(x), 0.2,
+                                          (30.0, 40.0, 20.0)))
+    out = np.asarray(FORCE3(jnp.asarray(x), 0.2, (30.0, 40.0, 20.0)))
+    np.testing.assert_allclose(np.nan_to_num(out), np.nan_to_num(ref),
+                               atol=1e-4)
+
+  def test_prefer_orig_order_3d(self):
+    x = np.zeros((3, 3, 6, 6), np.float32)
+    x[0, 1, 3, 3] = -60.0
+    ref = np.asarray(mesh.elastic_mesh_3d(jnp.asarray(x), 0.1, 40.0, True))
+    out = np.asarray(FORCE3(jnp.asarray(x), 0.1, 40.0, True))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
