@@ -75,10 +75,13 @@ def _sharded_force_2d(axis_name: str, base_force=None):
   return force
 
 
-def _sharded_force_3d(axis_name: str):
+def _sharded_force_3d(axis_name: str, base_force=None):
+  if base_force is None:
+    base_force = mesh_lib.elastic_mesh_3d
+
   def force(x_local, k, stride, prefer_orig_order=False):
     padded = _halo_pad_y(x_local, axis_name)
-    f = mesh_lib.elastic_mesh_3d(padded, k, stride, prefer_orig_order)
+    f = base_force(padded, k, stride, prefer_orig_order)
     y_axis = f.ndim - 2
     return jax.lax.slice_in_dim(f, 1, f.shape[y_axis] - 1, axis=y_axis)
   return force
@@ -126,7 +129,7 @@ def relax_mesh_sharded(
                      'devices')
 
   force_fn = (_sharded_force_2d(axis_name, base_force) if dim == 2
-              else _sharded_force_3d(axis_name))
+              else _sharded_force_3d(axis_name, base_force))
 
   def psum(v):
     return jax.lax.psum(v, axis_name)
