@@ -117,7 +117,6 @@ class EstimateFlow(SubvolumeProcessor):
           batch_size=config.batch_size, mode=config.flow_mode)
 
     with self.timer('flow'):
-      flows = []
       nz = image.shape[0]
       if config.fixed_current:
         if config.z_stride > 0:
@@ -131,10 +130,31 @@ class EstimateFlow(SubvolumeProcessor):
         else:
           pairs = [(z, z + config.z_stride)
                    for z in range(-config.z_stride, nz)]
-      for z_prev, z_curr in pairs:
-        flows.append(estimate(z_prev, z_curr))
 
-    ret = np.array(flows)  # [z, c, gy, gx]
+      fast_batch = (config.flow_mode != 'padfield' and mask is None
+                    and sel_mask is None and len(pairs) > 1)
+      if fast_batch:
+        # All section pairs in ONE vmapped device dispatch.
+        import jax
+        import jax.numpy as jnp
+        pre_stack = jnp.asarray(
+            np.stack([image[zp] for zp, _ in pairs]), jnp.float32)
+        post_stack = jnp.asarray(
+            np.stack([image[zc] for _, zc in pairs]), jnp.float32)
+        per_pair_batch = max(64, config.batch_size // len(pairs))
+        patch_t = (config.patch_size, config.patch_size)
+        step_t = (config.stride, config.stride)
+        ret = np.array(jax.vmap(
+            lambda a, b: flow_field.dense_flow_field(
+                a, b, patch_t, step_t, batch_size=per_pair_batch,
+                circular=True,
+                dft_matmul=(config.flow_mode == 'circular_dft')))(
+                    pre_stack, post_stack))
+      else:
+        flows = []
+        for z_prev, z_curr in pairs:
+          flows.append(estimate(z_prev, z_curr))
+        ret = np.array(flows)  # [z, c, gy, gx]
 
     out_box = self.crop_box(box)
     out_box = BoundingBox(
