@@ -216,9 +216,276 @@ def displacement_bounds(abs_map: np.ndarray, map_grid_coords: np.ndarray,
   return lo(dy), hi(dy), lo(dx), hi(dx)
 
 
-# Maximum displacement range (per axis) for which the shift decomposition
-# is supported; beyond this, fall back to the gather sampler.
+# Maximum displacement range (per axis) for which the single-lattice
+# shift decomposition is used; beyond this, the TILED decomposition
+# (per-tile integer base offsets, see tiled_shift_plan) removes the
+# dependence on the global displacement magnitude.
 MAX_SHIFT_RANGE = 160
+
+# Output tile for the tiled decomposition: y a multiple of the f32
+# sublane count (8), x a multiple of the lane count (128).
+TILE_SHAPE = (256, 256)
+
+
+def tiled_shift_plan(
+    disp_y: np.ndarray,
+    disp_x: np.ndarray,
+    node_out_y: np.ndarray,
+    node_out_x: np.ndarray,
+    out_shape: tuple[int, int],
+    tile: tuple[int, int] | None = None,
+    pad: float = 4.0,
+    bucket: int = 8,
+):
+  """Host-side plan for the tiled shift decomposition.
+
+  Splits the output into `tile`-sized tiles and derives, per tile, an
+  integer base displacement (the rounded midpoint of the nodewise
+  displacement hull over the tile). The device kernel then only sweeps
+  the RESIDUAL displacement lattice, whose size is set by the local
+  variation of the warp — independent of its global magnitude.
+
+  Args:
+    disp_y/disp_x: [z, my, mx] displacement at map nodes (map value minus
+      the node's own position, output-pixel space)
+    node_out_y: [my] node y positions in output-pixel coordinates
+    node_out_x: [mx] node x positions in output-pixel coordinates
+    out_shape: (oy, ox) output size in pixels
+    tile: (tile_y, tile_x) output tile shape
+    pad: safety margin added to the residual bounds (edge extrapolation
+      of the map densification)
+    bucket: residual bounds are rounded outward to multiples of this to
+      limit the number of distinct compiled programs
+
+  Returns:
+    None when no node is finite; otherwise a dict with
+      bases: int32 [z, nty, ntx, 2] per-tile (y, x) base displacements
+      residual_bounds: (ry_lo, ry_hi, rx_lo, rx_hi) static ints
+      base_bounds: (by_lo, by_hi, bx_lo, bx_hi) static ints (bucketed to
+        64) bounding every base — used for image padding
+      tile: the tile shape actually used
+  """
+  oy, ox = int(out_shape[0]), int(out_shape[1])
+  ty, tx = tile if tile is not None else TILE_SHAPE
+  nty = -(-oy // ty)
+  ntx = -(-ox // tx)
+  z = disp_y.shape[0]
+
+  def axis_ranges(node_pos: np.ndarray, n_tiles: int, t: int):
+    m = len(node_pos)
+    ranges = []
+    for i in range(n_tiles):
+      a, b = i * t, (i + 1) * t
+      i0 = np.searchsorted(node_pos, a, side='right') - 1
+      i1 = np.searchsorted(node_pos, b - 1, side='left')
+      ranges.append((max(i0 - 1, 0), min(i1 + 1, m - 1)))
+    return ranges
+
+  yr = axis_ranges(np.asarray(node_out_y, np.float64), nty, ty)
+  xr = axis_ranges(np.asarray(node_out_x, np.float64), ntx, tx)
+
+  def pool(disp):
+    with np.errstate(all='ignore'):
+      rows_min = np.stack(
+          [np.nanmin(disp[:, i0:i1 + 1, :], axis=1) for i0, i1 in yr], axis=1)
+      rows_max = np.stack(
+          [np.nanmax(disp[:, i0:i1 + 1, :], axis=1) for i0, i1 in yr], axis=1)
+      tmin = np.stack(
+          [np.nanmin(rows_min[:, :, j0:j1 + 1], axis=2) for j0, j1 in xr],
+          axis=2)
+      tmax = np.stack(
+          [np.nanmax(rows_max[:, :, j0:j1 + 1], axis=2) for j0, j1 in xr],
+          axis=2)
+    return tmin, tmax  # [z, nty, ntx]
+
+  ymin, ymax = pool(np.asarray(disp_y, np.float64))
+  xmin, xmax = pool(np.asarray(disp_x, np.float64))
+  if not (np.isfinite(ymin).any() and np.isfinite(xmin).any()):
+    return None
+
+  def bases_and_residual(tmin, tmax):
+    with np.errstate(all='ignore'):
+      base = np.rint((tmin + tmax) / 2.0)
+    valid = np.isfinite(base)
+    base = np.where(valid, base, 0.0)
+    if not valid.any():
+      return base.astype(np.int32), 0, 0
+    r_lo = np.nanmin(np.where(valid, tmin - base, np.nan)) - pad
+    r_hi = np.nanmax(np.where(valid, tmax - base, np.nan)) + pad
+    r_lo = int(np.floor(r_lo / bucket) * bucket)
+    r_hi = int(np.ceil(r_hi / bucket) * bucket)
+    return base.astype(np.int32), r_lo, r_hi
+
+  base_y, ry_lo, ry_hi = bases_and_residual(ymin, ymax)
+  base_x, rx_lo, rx_hi = bases_and_residual(xmin, xmax)
+
+  def bb(base):
+    lo = int(np.floor(base.min() / 64.0) * 64)
+    hi = int(np.ceil(base.max() / 64.0) * 64)
+    return lo, hi
+
+  by_lo, by_hi = bb(base_y)
+  bx_lo, bx_hi = bb(base_x)
+  bases = np.stack([base_y, base_x], axis=-1).astype(np.int32)
+  assert bases.shape == (z, nty, ntx, 2)
+  return dict(
+      bases=bases,
+      residual_bounds=(ry_lo, ry_hi, rx_lo, rx_hi),
+      base_bounds=(by_lo, by_hi, bx_lo, bx_hi),
+      tile=(ty, tx),
+  )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=['method', 'ry_lo', 'ry_hi', 'rx_lo', 'rx_hi',
+                     'by_lo', 'by_hi', 'bx_lo', 'bx_hi',
+                     'tile_y', 'tile_x', 'origin_y', 'origin_x'])
+def shift_warp_2d_tiled(
+    image: jnp.ndarray,
+    coords: jnp.ndarray,
+    bases: jnp.ndarray,
+    method: str,
+    ry_lo: int, ry_hi: int, rx_lo: int, rx_hi: int,
+    by_lo: int, by_hi: int, bx_lo: int, bx_hi: int,
+    tile_y: int, tile_x: int,
+    origin_y: int = 0, origin_x: int = 0,
+) -> jnp.ndarray:
+  """Tiled shift-decomposed warp: gather-free for arbitrary magnitudes.
+
+  Like shift_warp_2d, but the output is processed in (tile_y, tile_x)
+  tiles, each with its own integer base displacement (bases[ti, tj]);
+  the static shift lattice only spans the residual displacement
+  [ry_lo, ry_hi] x [rx_lo, rx_hi]. Samples whose residual leaves these
+  bounds (including all-NaN tiles, whose base is 0) read as zeros.
+
+  Args:
+    image: [h, w] source
+    coords: [2, oy, ox] (y, x) source sampling positions
+    bases: int32 [nty, ntx, 2] per-tile (y, x) integer base displacement
+    ry_lo..rx_hi: static inclusive residual-displacement bounds
+    by_lo..bx_hi: static bounds on every base (image padding)
+    tile_y/tile_x: static tile shape; nty = ceil(oy / tile_y) etc.
+    origin_y/origin_x: image coordinate of output pixel (0, 0)
+
+  Returns:
+    [oy, ox] warped image (float32)
+  """
+  oy, ox = coords.shape[1:]
+  image = image.astype(jnp.float32)
+  nty = -(-oy // tile_y)
+  ntx = -(-ox // tile_x)
+  oyp, oxp = nty * tile_y, ntx * tile_x
+  coords = jnp.pad(coords, ((0, 0), (0, oyp - oy), (0, oxp - ox)),
+                   mode='edge')
+
+  left = _LEFT[method]
+  taps = _TAPS[method]
+  sy0 = ry_lo - left
+  sy1 = ry_hi + (taps - 1 - left)
+  sx0 = rx_lo - left
+  sx1 = rx_hi + (taps - 1 - left)
+  ry = sy1 - sy0 + 1
+  rx = sx1 - sx0 + 1
+
+  yy = jnp.arange(oyp, dtype=jnp.float32)[:, None] + origin_y
+  xx = jnp.arange(oxp, dtype=jnp.float32)[None, :] + origin_x
+  dy_full = jnp.nan_to_num(coords[0], nan=1e9) - yy
+  dx_full = jnp.nan_to_num(coords[1], nan=1e9) - xx
+
+  # Pad so every access (origin + tile + base + s) stays in range.
+  ay0, ay1 = by_lo + sy0, by_hi + sy1
+  ax0, ax1 = bx_lo + sx0, bx_hi + sx1
+  pad_top = max(-(origin_y + ay0), 0)
+  pad_bot = max(origin_y + ay1 + oyp - image.shape[0], 0)
+  pad_lft = max(-(origin_x + ax0), 0)
+  pad_rgt = max(origin_x + ax1 + oxp - image.shape[1], 0)
+  padded = jnp.pad(image, ((pad_top, pad_bot), (pad_lft, pad_rgt)))
+
+  def tile_body(t, out):
+    ti = t // ntx
+    tj = t % ntx
+    y0 = ti * tile_y
+    x0 = tj * tile_x
+    b = jax.lax.dynamic_slice(bases, (ti, tj, 0), (1, 1, 2))[0, 0]
+    by = b[0]
+    bx = b[1]
+    dyt = jax.lax.dynamic_slice(
+        dy_full, (y0, x0), (tile_y, tile_x)) - by.astype(jnp.float32)
+    dxt = jax.lax.dynamic_slice(
+        dx_full, (y0, x0), (tile_y, tile_x)) - bx.astype(jnp.float32)
+    weight_y = make_weight_fn(dyt, method)
+    weight_x = make_weight_fn(dxt, method)
+
+    if method == 'lanczos':
+      norm_y = jax.lax.fori_loop(
+          0, ry, lambda i, acc: acc + weight_y(sy0 + i),
+          jnp.zeros((tile_y, tile_x), jnp.float32))
+      norm_x = jax.lax.fori_loop(
+          0, rx, lambda i, acc: acc + weight_x(sx0 + i),
+          jnp.zeros((tile_y, tile_x), jnp.float32))
+      norm = jnp.maximum(norm_y * norm_x, 1e-12)
+    else:
+      norm = None
+
+    base_start_y = pad_top + origin_y + y0 + by
+    base_start_x = pad_lft + origin_x + x0 + bx
+
+    def body(i, acc):
+      s_y = sy0 + i // rx
+      s_x = sx0 + i % rx
+      window = jax.lax.dynamic_slice(
+          padded, (base_start_y + s_y, base_start_x + s_x),
+          (tile_y, tile_x))
+      return acc + weight_y(s_y) * weight_x(s_x) * window
+
+    acc = jax.lax.fori_loop(0, ry * rx, body,
+                            jnp.zeros((tile_y, tile_x), jnp.float32))
+    if norm is not None:
+      acc = acc / norm
+    return jax.lax.dynamic_update_slice(out, acc, (y0, x0))
+
+  out = jax.lax.fori_loop(0, nty * ntx, tile_body,
+                          jnp.zeros((oyp, oxp), jnp.float32))
+  return out[:oy, :ox]
+
+
+def warp_sections_shift_tiled(images: jnp.ndarray, abs_map: jnp.ndarray,
+                              map_grid_coords: jnp.ndarray, method: str,
+                              plan: dict,
+                              origin: tuple[int, int] = (0, 0)) -> jnp.ndarray:
+  """Tiled-shift equivalent of warp_sections_shift (unbounded magnitude).
+
+  Args:
+    images: [z, c, y, x] source sections
+    abs_map: [z, 2, my, mx] absolute inverse maps (x, y channels)
+    map_grid_coords: [2, oy, ox] output coords in map-node units (y, x)
+    method: interpolation kernel
+    plan: tiled_shift_plan result (bases [z, nty, ntx, 2] + bounds)
+    origin: (y, x) source-image coordinate of output pixel (0, 0)
+
+  Returns:
+    [z, c, oy, ox] warped output
+  """
+  ry_lo, ry_hi, rx_lo, rx_hi = plan['residual_bounds']
+  by_lo, by_hi, bx_lo, bx_hi = plan['base_bounds']
+  tile_y, tile_x = plan['tile']
+  oy0, ox0 = origin
+  bases = jnp.asarray(plan['bases'])
+
+  def one_section(args):
+    img_c, m, b = args
+    dense_x = interp_ops.grid_sample_linear(m[0], map_grid_coords)
+    dense_y = interp_ops.grid_sample_linear(m[1], map_grid_coords)
+    coords = jnp.stack([dense_y, dense_x])
+    return jax.vmap(
+        lambda img: shift_warp_2d_tiled(
+            img, coords, b, method, ry_lo, ry_hi, rx_lo, rx_hi,
+            by_lo, by_hi, bx_lo, bx_hi, tile_y, tile_x, oy0, ox0))(img_c)
+
+  # lax.map (not vmap) over sections: per-section bases feed traced
+  # dynamic_slice starts, which a batched vmap would lower to gathers.
+  return jax.lax.map(one_section, (images, abs_map, bases))
 
 # Measured per-pixel costs on TPU v5e: one shift-lattice iteration
 # (slice + weights + fma) vs one gather tap. Used to choose between the

@@ -185,9 +185,11 @@ def warp_subvolume(
 
   origin_y = float(out_box.start[1] - image_box.start[1] - offset)
   origin_x = float(out_box.start[0] - image_box.start[0] - offset)
-  use_shift = (origin_y.is_integer() and origin_x.is_integer()
-               and not np.all(np.isnan(disp_y))
-               and not np.all(np.isnan(disp_x)))
+  shift_ok = (origin_y.is_integer() and origin_x.is_integer()
+              and not np.all(np.isnan(disp_y))
+              and not np.all(np.isnan(disp_x)))
+  use_shift = shift_ok
+  tiled_plan = None
   if use_shift:
     dy_lo, dy_hi = _bounds(disp_y)
     dx_lo, dx_hi = _bounds(disp_x)
@@ -195,6 +197,20 @@ def warp_subvolume(
         max(dy_hi - dy_lo, dx_hi - dx_lo) <= shift_warp.MAX_SHIFT_RANGE
         and shift_warp.shift_path_profitable(dy_hi - dy_lo,
                                              dx_hi - dx_lo, method))
+  if shift_ok and not use_shift:
+    # Large global displacement: the TILED shift decomposition factors
+    # out a per-tile integer base offset so the lattice only spans the
+    # LOCAL displacement variation (alignment warps are smooth).
+    tiled_plan = shift_warp.tiled_shift_plan(
+        disp_y, disp_x,
+        node_y - origin_y, node_x - origin_x,
+        (int(out_box.size[1]), int(out_box.size[0])))
+    if tiled_plan is not None:
+      ry_lo, ry_hi, rx_lo, rx_hi = tiled_plan['residual_bounds']
+      if not (max(ry_hi - ry_lo, rx_hi - rx_lo) <= shift_warp.MAX_SHIFT_RANGE
+              and shift_warp.shift_path_profitable(ry_hi - ry_lo,
+                                                   rx_hi - rx_lo, method)):
+        tiled_plan = None
 
   if use_shift:
     bounds = (dy_lo, dy_hi, dx_lo, dx_hi)
@@ -223,6 +239,10 @@ def warp_subvolume(
       warped = np.array(shift_warp.warp_sections_shift(
           images_j, maps_j, jnp.asarray(grid), method, bounds,
           origin=origin_yx))
+  elif tiled_plan is not None:
+    warped = np.array(shift_warp.warp_sections_shift_tiled(
+        images_j, maps_j, jnp.asarray(grid), method, tiled_plan,
+        origin=(int(origin_y), int(origin_x))))
   else:
     warped = np.array(
         _warp_sections(images_j, maps_j, jnp.asarray(grid), method))

@@ -148,3 +148,98 @@ class TestPallasWarp:
         jnp.asarray(images), jnp.asarray(am), jnp.asarray(grid),
         'lanczos', (-8, 8, -8, 8), interpret=True))
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+class TestTiledShiftWarp:
+  """Tiled decomposition: large global displacement, small local range."""
+
+  def _large_offset_coords(self, out_shape, off_y, off_x, amp=3.0):
+    oy, ox = out_shape
+    y, x = np.mgrid[:oy, :ox].astype(np.float32)
+    sy = y + off_y + amp * np.sin(2 * np.pi * x / ox)
+    sx = x + off_x + amp * np.cos(2 * np.pi * y / oy)
+    return np.stack([sy, sx])
+
+  @pytest.mark.parametrize('method', ['linear', 'lanczos'])
+  def test_tiled_matches_gather(self, method):
+    rng = np.random.RandomState(3)
+    img = rng.rand(300, 360).astype(np.float32)
+    out_shape = (96, 160)
+    coords = self._large_offset_coords(out_shape, off_y=150.0, off_x=120.0)
+
+    ref = np.nan_to_num(np.asarray(interp.sample(
+        jnp.asarray(img), jnp.asarray(coords), method=method,
+        mode='constant', cval=0.0)))
+
+    # Per-tile integer bases from the exact displacement field.
+    tile = (32, 64)
+    y, x = np.mgrid[:out_shape[0], :out_shape[1]].astype(np.float64)
+    disp = np.stack([coords[0] - y, coords[1] - x])
+    nty, ntx = out_shape[0] // tile[0], out_shape[1] // tile[1]
+    bases = np.zeros((nty, ntx, 2), np.int32)
+    for i in range(nty):
+      for j in range(ntx):
+        sl = np.s_[:, i * tile[0]:(i + 1) * tile[0],
+                   j * tile[1]:(j + 1) * tile[1]]
+        mid = (disp[sl].min(axis=(1, 2)) + disp[sl].max(axis=(1, 2))) / 2
+        bases[i, j] = np.rint(mid)
+
+    out = np.asarray(shift_warp.shift_warp_2d_tiled(
+        jnp.asarray(img), jnp.asarray(coords), jnp.asarray(bases), method,
+        -8, 8, -8, 8, 128, 192, 64, 192, tile[0], tile[1]))
+    np.testing.assert_allclose(out, ref, atol=2e-3)
+
+  def test_plan_small_residual_for_smooth_ramp(self):
+    # 0..200 px ramp across x: global range is huge, per-tile residual is
+    # bounded by slope * tile_x.
+    my, mx = 17, 17
+    stride = 16.0
+    node = np.arange(mx) * stride
+    disp_x = np.broadcast_to(node * 0.78, (1, my, mx)).copy()
+    disp_y = np.zeros((1, my, mx))
+    disp_y[0, 0, 0] = np.nan  # a missing node must not break the plan
+    disp_x[0, 0, 0] = np.nan
+    plan = shift_warp.tiled_shift_plan(
+        disp_y, disp_x, node, node, (256, 256), tile=(64, 64))
+    assert plan is not None
+    ry_lo, ry_hi, rx_lo, rx_hi = plan['residual_bounds']
+    assert rx_hi - rx_lo <= 0.78 * (64 + 3 * stride) + 2 * 4 + 2 * 8
+    assert ry_hi - ry_lo <= 2 * 4 + 2 * 8
+    assert plan['bases'].shape == (1, 4, 4, 2)
+    # Bases follow the ramp.
+    assert plan['bases'][0, 0, -1, 1] > plan['bases'][0, 0, 0, 1] + 100
+
+  def test_warp_subvolume_routes_to_tiled(self, monkeypatch):
+    # Force the tiled path (tiny MAX_SHIFT_RANGE + always-profitable) and
+    # check it matches the gather path bit-for-tolerance.
+    from sofima_tpu import map_utils, warp
+    from sofima_tpu.utils import BoundingBox
+
+    rng = np.random.RandomState(4)
+    img = rng.rand(1, 1, 200, 200).astype(np.float32)
+    box = BoundingBox(start=(0, 0, 0), size=(200, 200, 1))
+    # Inverse map: strong x-ramp (range ~80 px) + smooth sine in y.
+    cmap = np.zeros((2, 1, 11, 11), np.float32)
+    xs = np.arange(11, dtype=np.float32) * 20.0
+    cmap[0] = (0.4 * xs)[None, None, :] - 40.0
+    cmap[1] = 5.0 * np.sin(xs / 60.0)[None, :, None]
+    mbox = BoundingBox(start=(0, 0, 0), size=(11, 11, 1))
+
+    gather = warp.warp_subvolume(img, box, cmap, mbox, 20.0, box,
+                                 interpolation='lanczos')
+
+    from sofima_tpu.ops import shift_warp as sw
+    monkeypatch.setattr(sw, 'MAX_SHIFT_RANGE', 72)
+    monkeypatch.setattr(sw, 'TILE_SHAPE', (40, 40))
+    monkeypatch.setattr(
+        sw, 'shift_path_profitable',
+        lambda dy, dx, m: max(dy, dx) <= 72)  # global range ~88 fails this
+    calls = []
+    orig = sw.warp_sections_shift_tiled
+    monkeypatch.setattr(
+        sw, 'warp_sections_shift_tiled',
+        lambda *a, **kw: (calls.append(1), orig(*a, **kw))[1])
+    tiled = warp.warp_subvolume(img, box, cmap, mbox, 20.0, box,
+                                interpolation='lanczos')
+    assert calls, 'tiled shift path was not taken'
+    np.testing.assert_allclose(tiled, gather, atol=2e-3)
