@@ -214,7 +214,7 @@ def _invert_section(abs_map_xy: jnp.ndarray, src_start_yx: jnp.ndarray,
   dim = abs_map_xy.shape[0]
   # Relative offsets on the grid: d = F(grid) - grid.
   grid_zyx = jnp.meshgrid(
-      *[jnp.arange(n, dtype=jnp.float32) for n in abs_map_xy.shape[1:]],
+      *[jnp.arange(n, dtype=abs_map_xy.dtype) for n in abs_map_xy.shape[1:]],
       indexing='ij')
   d_xy = jnp.stack([
       abs_map_xy[c] -
@@ -246,8 +246,17 @@ def _invert_section(abs_map_xy: jnp.ndarray, src_start_yx: jnp.ndarray,
 
 
 def invert_map(coord_map: np.ndarray, src_box: BoundingBox,
-               dst_box: BoundingBox, stride: StrideZYX) -> np.ndarray:
-  """Inverts an (x, y[, z]) -> (u, v[, w]) map over `dst_box`."""
+               dst_box: BoundingBox, stride: StrideZYX,
+               dtype: np.dtype = np.float32) -> np.ndarray:
+  """Inverts an (x, y[, z]) -> (u, v[, w]) map over `dst_box`.
+
+  With `dtype=np.float64` the inversion runs in double precision on the
+  CPU backend (the reference casts to float64 at
+  /root/reference/map_utils.py:415). The origin shift below already
+  keeps chunked inversions accurate in float32; float64 matters for
+  whole-volume grids whose absolute coordinates exceed ~1e6 pixels.
+  """
+  compute = np.dtype(dtype)
   coord_map = np.asarray(coord_map, np.float32)
   dim = coord_map.shape[0]
   stride_v = _as_vec(stride, dim)
@@ -255,9 +264,9 @@ def invert_map(coord_map: np.ndarray, src_box: BoundingBox,
   src_box = src_box.adjusted_by(start=-dst_box.start, end=-dst_box.start)
   dst_box = dst_box.adjusted_by(start=-dst_box.start, end=-dst_box.start)
 
-  src_start_yx = jnp.asarray(
-      [float(src_box.start[dim - 1 - i]) for i in range(dim)])
-  stride_yx = jnp.asarray(stride_v)
+  src_start_yx = np.asarray(
+      [float(src_box.start[dim - 1 - i]) for i in range(dim)], compute)
+  stride_yx = np.asarray(stride_v, compute)
 
   # Query grid (absolute physical coordinates of dst nodes), xy[z] channels.
   qgrids = np.mgrid[[np.s_[:int(dst_box.size[dim - 1 - i])]
@@ -265,26 +274,36 @@ def invert_map(coord_map: np.ndarray, src_box: BoundingBox,
   query = np.stack([
       (qgrids[dim - 1 - c] + dst_box.start[c]) * stride_v[dim - 1 - c]
       for c in range(dim)
-  ]).astype(np.float32)
-  query_j = jnp.asarray(query)
+  ]).astype(compute)
 
-  abs_map = to_absolute(coord_map, stride_v, src_box)
   # Span holes by interpolation first (Delaunay spans holes across the
-  # triangulation; our dense inversion needs a continuous field).
-  abs_map = fill_missing(abs_map, extrapolate=False)
+  # triangulation; our dense inversion needs a continuous field). Filling
+  # happens on the RELATIVE map — offsets are small, so float32 filling
+  # loses nothing, and linear interpolation commutes with adding the
+  # (linear) identity part.
+  filled = fill_missing(coord_map, extrapolate=False)
+  abs_map = to_absolute(filled.astype(compute), stride_v, src_box)
 
-  if dim == 2:
-    sections = jnp.asarray(np.moveaxis(abs_map, 1, 0))  # [z, 2, y, x]
-    inv = jax.vmap(
-        lambda m: _invert_section(m, src_start_yx, query_j, stride_yx))(
-            sections)
-    inv = np.moveaxis(np.array(inv), 0, 1)
+  def run():
+    src_j = jnp.asarray(src_start_yx)
+    stride_j = jnp.asarray(stride_yx)
+    query_j = jnp.asarray(query)
+    if dim == 2:
+      sections = jnp.asarray(np.moveaxis(abs_map, 1, 0))  # [z, 2, y, x]
+      inv = jax.vmap(
+          lambda m: _invert_section(m, src_j, query_j, stride_j))(sections)
+      return np.moveaxis(np.array(inv), 0, 1)
+    return np.array(
+        _invert_section(jnp.asarray(abs_map), src_j, query_j, stride_j))
+
+  if compute == np.float64:
+    # float64 is a CPU path: TPUs have no native f64.
+    with jax.enable_x64(), jax.default_device(jax.devices('cpu')[0]):
+      inv = run()
   else:
-    inv = np.array(
-        _invert_section(jnp.asarray(abs_map), src_start_yx, query_j,
-                        stride_yx))
+    inv = run()
 
-  return to_relative(inv.astype(np.float32), stride_v, dst_box)
+  return to_relative(inv.astype(compute), stride_v, dst_box).astype(compute)
 
 
 @functools.partial(jax.jit, static_argnames=['method'])

@@ -170,6 +170,9 @@ class InvertMap(SubvolumeProcessor):
     stride: map_utils.StrideZYX
     crop_output: bool = True
     input_volume: Any = None
+    # 'float32' (default) or 'float64' — double precision runs on CPU;
+    # use for whole-volume grids with absolute coordinates beyond ~1e6 px.
+    dtype: str = 'float32'
 
   def __init__(self, config: 'InvertMap.Config',
                input_path_or_metadata=None):
@@ -198,8 +201,9 @@ class InvertMap(SubvolumeProcessor):
     if dst_box is None:
       return []
 
-    inv_map = map_utils.invert_map(rel_map, box, dst_box, config.stride)
-    return [Subvolume(inv_map, dst_box)]
+    inv_map = map_utils.invert_map(rel_map, box, dst_box, config.stride,
+                                   dtype=np.dtype(config.dtype))
+    return [Subvolume(inv_map.astype(np.float32), dst_box)]
 
 
 class ResampleMap(SubvolumeProcessor):

@@ -1,5 +1,6 @@
 """Tests for coordinate-map algebra (algebraic round-trips vs analytics)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -245,3 +246,59 @@ class TestAffineMap:
     np.testing.assert_allclose(m[0], 5.0)
     np.testing.assert_allclose(m[1], -3.0)
     np.testing.assert_allclose(m[2], 0.0)
+
+
+class TestInvertMapFloat64:
+
+  def test_f64_beats_f32_on_extreme_grids(self):
+    # Huge absolute coordinates (stride 1e6, coords up to 2.4e7 where the
+    # float32 ulp is 2 px). Affine forward map: bilinear interpolation is
+    # exact, so the true inverse is known in closed form. The float64
+    # path must match it to well below a pixel; float32 cannot.
+    from sofima_tpu.utils.bounding_box import BoundingBox
+
+    n, stride = 24, 1.0e6
+    yi, xi = np.mgrid[:n, :n].astype(np.float64)
+    px, py = xi * stride, yi * stride
+    a = np.array([[0.002, -0.001], [0.0015, 0.001]])  # d = A p + b
+    b = np.array([3000.0, -2000.0])
+    cmap = np.zeros((2, 1, n, n), np.float32)
+    cmap[0, 0] = a[0, 0] * px + a[0, 1] * py + b[0]
+    cmap[1, 0] = a[1, 0] * px + a[1, 1] * py + b[1]
+    box = BoundingBox(start=(0, 0, 0), size=(n, n, 1))
+
+    # True inverse offsets at the query nodes: p = (I+A)^-1 (q - b).
+    q = np.stack([px, py])  # [2, y, x], xy channels
+    m = np.linalg.inv(np.eye(2) + a)
+    p_true = np.einsum('ij,jyx->iyx', m, q - b[:, None, None])
+    true_rel = p_true - q
+
+    def err(dtype):
+      inv = map_utils.invert_map(cmap, box, box, stride, dtype=dtype)
+      d = np.abs(inv[:, 0].astype(np.float64) - true_rel)
+      interior = np.s_[:, 2:-2, 2:-2]
+      assert np.isfinite(d[interior]).all()
+      return d[interior].mean()
+
+    err64 = err(np.float64)
+    err32 = err(np.float32)
+    assert err64 < 0.01, err64
+    assert err32 > 0.1, err32  # ~0.25 px in practice: 25x worse than f64
+
+  def test_f32_default_unchanged(self):
+    from sofima_tpu.utils.bounding_box import BoundingBox
+    n, stride = 20, 10.0
+    y, x = np.mgrid[:n, :n].astype(np.float32)
+    cmap = np.zeros((2, 1, n, n), np.float32)
+    cmap[0, 0] = 3.0 * np.sin(2 * np.pi * y / n)
+    cmap[1, 0] = 2.0 * np.cos(2 * np.pi * x / n)
+    box = BoundingBox(start=(0, 0, 0), size=(n, n, 1))
+    inv32 = map_utils.invert_map(cmap, box, box, stride)
+    inv64 = map_utils.invert_map(cmap, box, box, stride, dtype=np.float64)
+    assert inv32.dtype == np.float32
+    assert inv64.dtype == np.float64
+    valid = np.isfinite(inv32[0, 0]) & np.isfinite(inv64[0, 0])
+    assert valid.mean() > 0.5
+    np.testing.assert_allclose(inv32[:, 0][:, valid],
+                               inv64[:, 0].astype(np.float32)[:, valid],
+                               atol=0.05)
