@@ -217,3 +217,73 @@ def sharded_flow_step(device_mesh: Mesh, axis_name: str = 'mesh_y'):
           pre_image, post_image, starts, patch_size)
 
   return run
+
+
+def dense_flow_field_sharded(
+    device_mesh: Mesh,
+    pre_image,
+    post_image,
+    patch_size: tuple[int, int],
+    step: tuple[int, int],
+    batch_size: int = 1024,
+    axis_name: str = 'mesh_y',
+    **flow_kwargs,
+):
+  """Spatially-sharded dense flow grid over a 2d section pair.
+
+  The scale-out path for whole-section flow estimation: both images are
+  sharded along y across the device mesh; each device exchanges a
+  (patch - step)-row halo with its +y neighbor over ICI (ppermute) and
+  computes its strip of the flow grid with `dense_flow_field` — zero
+  host round trips, output grid sharded along y.
+
+  Requirements: the image height must be divisible by n_devices, and the
+  per-device strip height by step[0] (pad the section if needed).
+
+  Returns [dim+2, gy, gx] on the global grid, identical to the
+  single-device `dense_flow_field` result.
+  """
+  from sofima_tpu import flow_field
+
+  n_dev = int(np.prod([device_mesh.shape[a] for a in device_mesh.axis_names]))
+  h, w = pre_image.shape
+  assert post_image.shape == pre_image.shape, 'sharded mode: equal shapes'
+  py, px = int(patch_size[0]), int(patch_size[1])
+  sy, sx = int(step[0]), int(step[1])
+  if h % n_dev != 0 or (h // n_dev) % sy != 0:
+    raise ValueError(
+        f'image height {h} must split into {n_dev} strips divisible by '
+        f'step {sy}; pad the section')
+  h_loc = h // n_dev
+  halo = py - sy
+  # Global grid (the valid rows; per-device strips produce h_loc/sy rows
+  # each, the tail rows crossing the global bottom edge are cropped).
+  gy = (h - (py - sy)) // sy
+  gx = (w - (px - sx)) // sx
+
+  # Send each device's TOP halo rows to the PREVIOUS device; the last
+  # device receives zeros (its tail grid rows are cropped anyway).
+  perm = [(i, i - 1) for i in range(1, n_dev)]
+
+  def local(pre_l, post_l):
+    def with_halo(img):
+      if halo == 0:
+        return img
+      top = jax.lax.ppermute(img[:halo], axis_name, perm)
+      return jnp.concatenate([img, top], axis=0)
+
+    return flow_field.dense_flow_field(
+        with_halo(pre_l), with_halo(post_l), (py, px), (sy, sx),
+        batch_size=batch_size, **flow_kwargs)
+
+  shard_fn = functools.partial(
+      shard_map, mesh=device_mesh,
+      in_specs=(P(axis_name, None), P(axis_name, None)),
+      out_specs=P(None, axis_name, None))
+
+  spec = NamedSharding(device_mesh, P(axis_name, None))
+  pre_image = jax.device_put(jnp.asarray(pre_image, jnp.float32), spec)
+  post_image = jax.device_put(jnp.asarray(post_image, jnp.float32), spec)
+  with device_mesh:
+    out = jax.jit(shard_fn(local))(pre_image, post_image)
+  return out[:, :gy, :gx]

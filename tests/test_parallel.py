@@ -100,3 +100,44 @@ class TestShardedRelax:
         x, prev, cfg, dmesh,
         base_force=pallas_mesh.make_inplane_force(tile=8, interpret=True))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+class TestShardedDenseFlow:
+
+  @requires_multi
+  @pytest.mark.parametrize('mode', ['padfield', 'circular'])
+  def test_matches_single_device(self, mode):
+    from sofima_tpu import flow_field
+    rng = np.random.RandomState(1)
+    # Band-limited texture so correlation peaks are well defined.
+    noise = rng.rand(160, 128).astype(np.float32)
+    f = np.fft.rfft2(noise)
+    fy = np.fft.fftfreq(160)[:, None]
+    fx = np.fft.rfftfreq(128)[None, :]
+    f *= np.exp(-((fx**2 + fy**2) / (2 * 0.1**2)))
+    pre = np.fft.irfft2(f, s=(160, 128)).astype(np.float32)
+    post = np.roll(pre, (3, -2), (0, 1))
+
+    patch, step = (40, 40), (10, 10)
+    kw = dict(circular=(mode == 'circular'))
+    ref = np.asarray(flow_field.dense_flow_field(
+        jnp.asarray(pre), jnp.asarray(post), patch, step, batch_size=64,
+        **kw))
+
+    dmesh = mesh_sharding.make_mesh(4, 'mesh_y')
+    out = np.asarray(mesh_sharding.dense_flow_field_sharded(
+        dmesh, pre, post, patch, step, batch_size=64, **kw))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-3, equal_nan=True)
+    # Sanity: the known roll is recovered in the interior.
+    interior = np.s_[2:-2, 2:-2]
+    assert np.nanmedian(ref[0][interior]) == 2.0
+    assert np.nanmedian(out[0][interior]) == 2.0
+
+  @requires_multi
+  def test_rejects_unaligned_strips(self):
+    dmesh = mesh_sharding.make_mesh(4, 'mesh_y')
+    with pytest.raises(ValueError):
+      mesh_sharding.dense_flow_field_sharded(
+          dmesh, np.zeros((150, 128), np.float32),
+          np.zeros((150, 128), np.float32), (40, 40), (10, 10))
