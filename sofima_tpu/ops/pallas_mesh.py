@@ -139,7 +139,7 @@ def inplane_force_pallas(x: jnp.ndarray, k: float, stride,
   out = pl.pallas_call(
       kernel,
       grid=(nz, gy, gx),
-      in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+      in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
       out_specs=pl.BlockSpec(
           (2, 1, tile_y, tile_x),
           lambda z, iy, ix: (0, z, iy, ix),
@@ -262,7 +262,7 @@ def elastic_mesh_3d_pallas(x: jnp.ndarray, k: float, stride,
   out = pl.pallas_call(
       kernel,
       grid=(gy, gx),
-      in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+      in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
       out_specs=pl.BlockSpec(
           (3, nz, tile_y, tile_x),
           lambda iy, ix: (0, 0, iy, ix),

@@ -172,7 +172,7 @@ def pallas_shift_warp(
           pl.BlockSpec((1, 2, tile_y, tile_x),
                        lambda z, iy, ix: (z, 0, iy, ix),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec(memory_space=pltpu.ANY),
+          pl.BlockSpec(memory_space=pl.ANY),
       ],
       out_specs=pl.BlockSpec((1, 1, tile_y, tile_x),
                              lambda z, iy, ix: (z, 0, iy, ix),

@@ -21,7 +21,7 @@ def _texture3d(shape_zyx, seed=0):
                       + [np.fft.rfftfreq(shape_zyx[-1])], indexing='ij')
   r2 = sum(fr**2 for fr in freqs)
   f *= np.exp(-r2 / (2 * 0.12**2))
-  tex = np.fft.irfftn(f, s=shape_zyx)
+  tex = np.fft.irfftn(f, s=shape_zyx, axes=(0, 1, 2))
   tex = (tex - tex.min()) / np.ptp(tex)
   return (tex * 255).astype(np.float32)
 
