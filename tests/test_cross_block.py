@@ -85,6 +85,62 @@ class TestReconcileCrossBlockMaps:
                                  err_msg=f'z={z}')
       np.testing.assert_allclose(result[1, zi], 0.0, atol=0.05)
 
+  def test_constant_map_blend_backward(self):
+    # Backward processing: each block is pinned at its START boundary to
+    # the cross-block solution (xblock_post = xblock[z0]); the LAST block
+    # keeps its blockwise solution at the end (xblock_pre = 0 at z1 =
+    # last boundary); interior scale = (block_size - i) / block_size.
+    n, block, nz = 8, 4, 9
+    data = _const_map((2.0, 0.0), nz, n)
+
+    xblock_vals = {0: (1.0, 0.0), 4: (5.0, 0.0), 8: (9.0, 0.0)}
+    xblock = np.zeros((2, nz, n, n), np.float32)
+    xblock_inv = np.zeros((2, nz, n, n), np.float32)
+    for z, (vx, vy) in xblock_vals.items():
+      xblock[0, z] = vx
+      xblock[1, z] = vy
+      xblock_inv[0, z] = -vx
+      xblock_inv[1, z] = -vy
+
+    last_inv = _const_map((-3.0, 0.0), nz, n)
+    main_inv = _const_map((-2.0, 0.0), nz, n)
+
+    cfg = maps_proc.ReconcileCrossBlockMaps.Config(
+        cross_block=InMemoryVolume(xblock),
+        cross_block_inv=InMemoryVolume(xblock_inv),
+        last_inv=InMemoryVolume(last_inv),
+        main_inv=InMemoryVolume(main_inv),
+        z_map={'0': 0, '4': 4, '8': 8},
+        stride=4,
+        xy_overlap=4,
+        backward=True)
+    proc = maps_proc.ReconcileCrossBlockMaps(cfg)
+
+    box = BoundingBox(start=(0, 0, 0), size=(n, n, nz))
+    out = proc.process(Subvolume(data.copy(), box))
+    result = out.data
+
+    for zi in range(result.shape[1]):
+      z = zi + int(out.bbox.start[2])
+      z0 = 0 if z < block else block
+      z1 = block if z < block else 2 * block
+      i = z - z0
+      xpost = xblock_vals[z0][0]
+      # For the last block, xblock_pre = 0; block_end_inv comes from
+      # last_inv at z0 (or main_inv at the very first boundary).
+      xpre = xblock_vals[z1][0] if z1 != 8 else 0.0
+      bend = 2.0 if z0 == 0 else 3.0
+      if i == 0:
+        expected = xpost
+      elif i == block:
+        expected = xpre
+      else:
+        offset = -xpre - bend + xpost
+        expected = 2.0 + xpre + ((block - i) / block) * offset
+      np.testing.assert_allclose(result[0, zi], expected, atol=0.05,
+                                 err_msg=f'z={z}')
+      np.testing.assert_allclose(result[1, zi], 0.0, atol=0.05)
+
   def test_nan_passthrough(self):
     n, nz = 8, 5
     data = _const_map((1.0, 0.0), nz, n)
