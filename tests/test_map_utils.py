@@ -302,3 +302,76 @@ class TestInvertMapFloat64:
     np.testing.assert_allclose(inv32[:, 0][:, valid],
                                inv64[:, 0].astype(np.float32)[:, valid],
                                atol=0.05)
+
+
+class TestContractIdentities:
+  """The composition identities documented as the compatibility contract
+  (reference map_utils.py:46-50; README 'Data contract')."""
+
+  def _maps(self, n):
+    y, x = np.mgrid[:n, :n].astype(np.float32)
+    a = np.stack([1.5 * np.sin(2 * np.pi * y / n),
+                  1.0 * np.cos(2 * np.pi * x / n)])[:, np.newaxis]
+    b = np.stack([-1.0 * np.cos(2 * np.pi * x / n),
+                  1.2 * np.sin(2 * np.pi * y / n)])[:, np.newaxis]
+    return a.astype(np.float32), b.astype(np.float32)
+
+  def test_inverse_of_composition(self):
+    # comp(a, b)^-1 == comp(b^-1, a^-1)
+    n = 24
+    a, b = self._maps(n)
+    box = BoundingBox(start=(0, 0, 0), size=(n, n, 1))
+
+    comp_ab = np.array(map_utils.compose_maps_fast(
+        a, (0, 0), 1.0, b, (0, 0), 1.0))
+    lhs = map_utils.invert_map(comp_ab, box, box, 1.0)
+
+    a_inv = map_utils.invert_map(a, box, box, 1.0)
+    b_inv = map_utils.invert_map(b, box, box, 1.0)
+    rhs = np.array(map_utils.compose_maps_fast(
+        np.nan_to_num(b_inv), (0, 0), 1.0,
+        np.nan_to_num(a_inv), (0, 0), 1.0))
+
+    sel = np.s_[:, :, 6:-6, 6:-6]
+    assert np.isfinite(lhs[sel]).all()
+    np.testing.assert_allclose(lhs[sel], rhs[sel], atol=0.1)
+
+  def test_warp_of_composition(self):
+    # warp(img, comp(a, b)) == warp(warp(img, b), a)
+    from sofima_tpu import warp
+    n, stride = 96, 8
+    gn = n // stride
+    y, x = np.mgrid[:gn, :gn].astype(np.float32)
+    a = np.stack([3.0 * np.sin(2 * np.pi * y / gn),
+                  2.0 * np.cos(2 * np.pi * x / gn)])[:, np.newaxis]
+    b = np.stack([-2.0 * np.cos(2 * np.pi * x / gn),
+                  2.5 * np.sin(2 * np.pi * y / gn)])[:, np.newaxis]
+    a = a.astype(np.float32)
+    b = b.astype(np.float32)
+
+    rng = np.random.RandomState(0)
+    noise = rng.rand(n, n).astype(np.float32)
+    f = np.fft.rfft2(noise)
+    fy = np.fft.fftfreq(n)[:, None]
+    fx = np.fft.rfftfreq(n)[None, :]
+    f *= np.exp(-((fx**2 + fy**2) / (2 * 0.05**2)))
+    img = np.fft.irfft2(f, s=(n, n)).astype(np.float32)
+    img = (img - img.min()) / np.ptp(img) * 255.0
+
+    ibox = BoundingBox(start=(0, 0, 0), size=(n, n, 1))
+    mbox = BoundingBox(start=(0, 0, 0), size=(gn, gn, 1))
+
+    def w(image, m):
+      return warp.warp_subvolume(image[np.newaxis, np.newaxis], ibox, m,
+                                 mbox, stride, ibox,
+                                 interpolation='linear')[0, 0]
+
+    comp_ab = np.array(map_utils.compose_maps_fast(
+        a, (0, 0), (stride, stride), b, (0, 0), (stride, stride)))
+    lhs = w(img, comp_ab)
+    rhs = w(w(img, b), a)
+
+    sel = np.s_[12:-12, 12:-12]
+    # rhs suffers double interpolation; identity holds to pixel noise.
+    err = np.abs(lhs[sel] - rhs[sel]).mean()
+    assert err < 2.0, err
