@@ -265,25 +265,43 @@ def dense_flow_field_sharded(
   # device receives zeros (its tail grid rows are cropped anyway).
   perm = [(i, i - 1) for i in range(1, n_dev)]
 
-  def local(pre_l, post_l):
+  # Pixel masks (invalid=True) are sharded and halo-exchanged like the
+  # images. Note zero-fill on the last device's halo marks those pixels
+  # VALID; the affected tail grid rows are cropped, so this is benign.
+  pre_mask = flow_kwargs.pop('pre_mask', None)
+  post_mask = flow_kwargs.pop('post_mask', None)
+  masks = [m for m in (pre_mask, post_mask) if m is not None]
+  for m in masks:
+    assert m.shape == pre_image.shape, 'masks must match the image shape'
+
+  def local(pre_l, post_l, *mask_l):
     def with_halo(img):
       if halo == 0:
         return img
       top = jax.lax.ppermute(img[:halo], axis_name, perm)
       return jnp.concatenate([img, top], axis=0)
 
+    mask_kw = {}
+    it = iter(mask_l)
+    if pre_mask is not None:
+      mask_kw['pre_mask'] = with_halo(next(it)) > 0
+    if post_mask is not None:
+      mask_kw['post_mask'] = with_halo(next(it)) > 0
     return flow_field.dense_flow_field(
         with_halo(pre_l), with_halo(post_l), (py, px), (sy, sx),
-        batch_size=batch_size, **flow_kwargs)
+        batch_size=batch_size, **mask_kw, **flow_kwargs)
 
+  n_in = 2 + len(masks)
   shard_fn = functools.partial(
       shard_map, mesh=device_mesh,
-      in_specs=(P(axis_name, None), P(axis_name, None)),
+      in_specs=(P(axis_name, None),) * n_in,
       out_specs=P(None, axis_name, None))
 
   spec = NamedSharding(device_mesh, P(axis_name, None))
   pre_image = jax.device_put(jnp.asarray(pre_image, jnp.float32), spec)
   post_image = jax.device_put(jnp.asarray(post_image, jnp.float32), spec)
+  mask_args = [
+      jax.device_put(jnp.asarray(m, jnp.uint8), spec) for m in masks]
   with device_mesh:
-    out = jax.jit(shard_fn(local))(pre_image, post_image)
+    out = jax.jit(shard_fn(local))(pre_image, post_image, *mask_args)
   return out[:, :gy, :gx]

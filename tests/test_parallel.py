@@ -141,3 +141,28 @@ class TestShardedDenseFlow:
       mesh_sharding.dense_flow_field_sharded(
           dmesh, np.zeros((150, 128), np.float32),
           np.zeros((150, 128), np.float32), (40, 40), (10, 10))
+
+  @requires_multi
+  def test_masked_matches_single_device(self):
+    from sofima_tpu import flow_field
+    rng = np.random.RandomState(2)
+    noise = rng.rand(160, 128).astype(np.float32)
+    f = np.fft.rfft2(noise)
+    fy = np.fft.fftfreq(160)[:, None]
+    fx = np.fft.rfftfreq(128)[None, :]
+    f *= np.exp(-((fx**2 + fy**2) / (2 * 0.1**2)))
+    pre = np.fft.irfft2(f, s=(160, 128)).astype(np.float32)
+    post = np.roll(pre, (3, -2), (0, 1))
+    pre_mask = np.zeros(pre.shape, bool)
+    pre_mask[40:70, :] = True  # invalid band crossing shard boundaries
+
+    patch, step = (40, 40), (10, 10)
+    ref = np.asarray(flow_field.dense_flow_field(
+        jnp.asarray(pre), jnp.asarray(post), patch, step, batch_size=64,
+        circular=True, pre_mask=jnp.asarray(pre_mask)))
+
+    dmesh = mesh_sharding.make_mesh(4, 'mesh_y')
+    out = np.asarray(mesh_sharding.dense_flow_field_sharded(
+        dmesh, pre, post, patch, step, batch_size=64, circular=True,
+        pre_mask=pre_mask))
+    np.testing.assert_allclose(out, ref, atol=1e-3, equal_nan=True)
