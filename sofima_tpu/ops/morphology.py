@@ -66,17 +66,24 @@ def median_filter(x: jnp.ndarray, dims: int = 2,
 def label_components(valid: jnp.ndarray, max_iters: int = 0) -> jnp.ndarray:
   """Labels 4-connected components of a 2d boolean mask.
 
-  Iterative min-label propagation: every valid pixel starts with its
-  linear index and repeatedly takes the minimum over its valid
-  neighborhood until a fixed point. Runs as a single `lax.while_loop`
-  device program. Returns int32 labels (invalid pixels get -1); label
-  values are arbitrary but unique per component.
+  Min-label propagation accelerated by pointer jumping: every valid pixel
+  starts with its linear index; each round takes the minimum over its
+  valid 4-neighborhood and then follows its current label to that pixel's
+  label (`lab <- labels_flat[lab]`, a parallel shortcut in the
+  union-find forest). The combination converges in O(log n) rounds even
+  for serpentine components whose geodesic diameter is O(h*w), where
+  plain neighborhood propagation needs O(h*w) passes. Runs as one
+  `lax.while_loop` device program, exiting at the true fixed point.
+  Returns int32 labels (invalid pixels get -1); label values are
+  arbitrary but unique per component.
   """
   h, w = valid.shape
   n = h * w
   init = jnp.where(valid, jnp.arange(n, dtype=jnp.int32).reshape(h, w), n)
   if max_iters <= 0:
-    max_iters = h + w  # propagation diameter bound for convex-ish blobs
+    # Generous safety ceiling; with pointer jumping the fixed point is
+    # reached in ~2*log2(n) rounds, and the while_loop exits there.
+    max_iters = h + w
 
   def neighbor_min(lab):
     big = jnp.int32(n)
@@ -94,14 +101,20 @@ def label_components(valid: jnp.ndarray, max_iters: int = 0) -> jnp.ndarray:
       out = jnp.minimum(out, s)
     return jnp.where(valid, out, big)
 
+  def jump(lab):
+    # lab values are linear pixel indices within the same component, so
+    # following them to that pixel's (smaller-or-equal) label is safe.
+    padded = jnp.concatenate([lab.reshape(-1), jnp.array([n], jnp.int32)])
+    return jnp.where(valid, jnp.minimum(lab, padded[lab].reshape(h, w)),
+                     jnp.int32(n))
+
   def cond(state):
     lab, prev_lab, it = state
     return (it < max_iters) & jnp.any(lab != prev_lab)
 
   def body(state):
     lab, _, it = state
-    # Two hops per iteration halves the pass count.
-    new = neighbor_min(neighbor_min(lab))
+    new = jump(jump(neighbor_min(lab)))
     return new, lab, it + 1
 
   lab0 = neighbor_min(init)

@@ -51,6 +51,46 @@ class TestMorphology:
     vals = np.unique(labels[mask])
     assert len(vals) == 1
 
+  def test_serpentine_matches_scipy(self):
+    # Boustrophedon path of geodesic length ~h*w/2 >> h+w: the worst case
+    # for plain neighborhood propagation. Pointer jumping must converge to
+    # the exact scipy.ndimage.label partition.
+    h, w = 40, 40
+    mask = np.zeros((h, w), bool)
+    for r in range(0, h, 2):
+      mask[r, :] = True
+      if r + 1 < h:
+        mask[r + 1, w - 1 if (r // 2) % 2 == 0 else 0] = True
+    # A second serpentine, vertical, offset so it stays disjoint: use a
+    # separate quadrant-sized block.
+    mask2 = np.zeros((h, w), bool)
+    for c in range(0, w, 2):
+      mask2[:, c] = True
+      if c + 1 < w:
+        mask2[h - 1 if (c // 2) % 2 == 0 else 0, c + 1] = True
+    for m in (mask, mask2):
+      labels = np.asarray(morphology.label_components(jnp.asarray(m)))
+      ref, nref = ndimage.label(m, structure=np.array(
+          [[0, 1, 0], [1, 1, 1], [0, 1, 0]]))
+      assert len(np.unique(labels[m])) == nref
+      # Identical partition: our labels constant exactly on scipy's
+      # components.
+      for lab in range(1, nref + 1):
+        assert len(np.unique(labels[ref == lab])) == 1
+
+  def test_random_masks_match_scipy(self):
+    rng = np.random.RandomState(42)
+    struct = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]])
+    for density in (0.3, 0.5, 0.7):
+      m = rng.rand(64, 64) < density
+      labels = np.asarray(morphology.label_components(jnp.asarray(m)))
+      ref, nref = ndimage.label(m, structure=struct)
+      assert len(np.unique(labels[m])) == nref
+      # Same partition both ways.
+      pairs = {(int(a), int(b)) for a, b in zip(ref[m].ravel(),
+                                                labels[m].ravel())}
+      assert len(pairs) == nref
+
 
 class TestCleanFlow:
 
