@@ -115,12 +115,19 @@ class SubvolumeProcessor:
         'Mask-config parsing must be provided by a deployment subclass.')
 
   def _build_mask(self, mask_configs, box: BoundingBox):
-    """Returns a ZYX boolean array for `box` (True = masked)."""
+    """Returns a ZYX boolean array for `box` (True = masked).
+
+    Accepts a raw boolean source (ndarray / BaseVolume, read as-is) or a
+    structured mask config (utils.mask.MaskConfigs / MaskConfig / dicts)
+    with threshold/invert/combine semantics mirroring the reference's
+    connectomics MaskConfigs contract
+    (/root/reference/processor/flow.py:75-96).
+    """
     if isinstance(mask_configs, (np.ndarray, volume_lib.BaseVolume)):
       vol = volume_lib.open_volume(mask_configs)
       return vol[box.to_slice4d()][0].astype(bool)
-    raise NotImplementedError(
-        'Mask building must be provided by a deployment subclass.')
+    from sofima_tpu.utils import mask as mask_lib
+    return mask_lib.build_mask(mask_configs, box, opener=self._open_volume)
 
   def _load_stitched_tile(self, output_dir, box: BoundingBox
                           ) -> np.ndarray | None:

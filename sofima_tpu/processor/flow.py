@@ -18,6 +18,7 @@ from sofima_tpu.ops import interp
 from sofima_tpu.processor.base import (SubvolumeProcessor, SubvolumeOrMany,
                                        SuggestedXyz)
 from sofima_tpu.utils import metrics
+from sofima_tpu.utils import volume as volume_lib
 from sofima_tpu.utils.bounding_box import BoundingBox
 from sofima_tpu.utils.subvolume import Subvolume
 
@@ -352,6 +353,15 @@ class EstimateMissingFlow(SubvolumeProcessor):
     if self._search_patch_size % config.stride:
       raise ValueError('search patch size must be a multiple of stride')
     self._config = config
+    self._image_vol = None
+
+  def _open_image_volume(self):
+    """Image volume behind a persistent LRU cache (image_cache_bytes)."""
+    if self._image_vol is None:
+      self._image_vol = volume_lib.maybe_cache(
+          self._open_volume(self._config.image_volinfo),
+          self._config.image_cache_bytes, 'EstimateMissingFlow_image')
+    return self._image_vol
 
   def num_channels(self, input_channels):
     del input_channels
@@ -361,7 +371,7 @@ class EstimateMissingFlow(SubvolumeProcessor):
     config = self._config
     box = subvol.bbox
     self.counter('subvolumes-started').inc()
-    image_volume = self._open_volume(config.image_volinfo)
+    image_volume = self._open_image_volume()
     stride = config.stride
 
     # Image region covered by the flow grid incl. the search context.
@@ -422,10 +432,37 @@ class EstimateMissingFlow(SubvolumeProcessor):
               load_z[1] - load_z[0]))
     load_box = image_volume.clip_box_to_volume(load_box)
 
-    stack = image_volume[load_box.to_slice4d()][0]
-    full_mask = None
+    # Sections are read lazily, one z-row at a time, instead of loading
+    # the whole z-range up front: the retry loop only probes a
+    # data-dependent subset of sections. With image_cache_bytes > 0 the
+    # rows are LRU-cached (the cache lives on the processor instance, so
+    # overlapping work items share it) — the cache contract of
+    # /root/reference/processor/flow.py:531-553.
+    nz = int(load_box.size[2])
+
+    def _section_box(i: int) -> BoundingBox:
+      return BoundingBox(
+          start=(int(load_box.start[0]), int(load_box.start[1]),
+                 int(load_box.start[2]) + i),
+          size=(int(load_box.size[0]), int(load_box.size[1]), 1))
+
+    def image_section(i: int) -> np.ndarray:
+      return image_volume[_section_box(i).to_slice4d()][0, 0]
+
+    mask_section = None
     if config.mask_configs is not None:
-      full_mask = self._build_mask(config.mask_configs, load_box)
+      mask_cache: dict[int, np.ndarray] = {}
+
+      def mask_section(i: int) -> np.ndarray:
+        if i in mask_cache:
+          metrics.counter('EstimateMissingFlow_mask', 'hits').inc()
+          return mask_cache[i]
+        m = self._build_mask(config.mask_configs, _section_box(i))[0]
+        budget = config.mask_cache_bytes
+        if budget > 0 and (len(mask_cache) + 1) * m.nbytes <= budget:
+          mask_cache[i] = m
+        metrics.counter('EstimateMissingFlow_mask', 'misses').inc()
+        return m
 
     rel = curr_image_box.start - load_box.start
     curr_slice = (slice(int(rel[1]), int(rel[1] + curr_image_box.size[1])),
@@ -437,11 +474,11 @@ class EstimateMissingFlow(SubvolumeProcessor):
         continue
 
       curr_z = (int(out_box.start[2]) + z) - int(load_box.start[2])
-      assert 0 <= curr_z < stack.shape[0]
+      assert 0 <= curr_z < nz
 
       curr_mask = None
-      if full_mask is not None:
-        curr_mask = full_mask[curr_z][curr_slice]
+      if mask_section is not None:
+        curr_mask = mask_section(curr_z)[curr_slice]
         if curr_mask.all():
           self.counter('sections-masked').inc()
           continue
@@ -450,23 +487,23 @@ class EstimateMissingFlow(SubvolumeProcessor):
       todo = ~np.isfinite(ret[0, z])
       if sel_mask is not None:
         todo &= sel_mask[z]
-      curr = stack[curr_z][curr_slice]
+      curr = image_section(curr_z)[curr_slice]
 
       for delta_z in search_deltas:
         prev_z = curr_z - delta_z
-        if prev_z < 0 or prev_z >= stack.shape[0]:
+        if prev_z < 0 or prev_z >= nz:
           break
 
         prev_mask = None
-        prev = stack[prev_z]
-        if full_mask is not None:
-          prev_mask = full_mask[prev_z]
+        if mask_section is not None:
+          prev_mask = mask_section(prev_z)
           if prev_mask.all():
             continue
 
         todo &= attempts <= config.max_attempts
         if not todo.any():
           break
+        prev = image_section(prev_z)
 
         with self.timer('flow'):
           flow = mfc.flow_field(

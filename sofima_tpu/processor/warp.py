@@ -26,6 +26,7 @@ from sofima_tpu import warp
 from sofima_tpu.ops import edt as edt_ops
 from sofima_tpu.processor.base import (OutputNums, SubvolumeProcessor,
                                        SubvolumeOrMany)
+from sofima_tpu.utils import volume as volume_lib
 from sofima_tpu.utils.bounding_box import BoundingBox
 from sofima_tpu.utils.box_generator import BoxGenerator
 from sofima_tpu.utils.subvolume import Subvolume
@@ -245,6 +246,26 @@ class WarpByMap(SubvolumeProcessor):
     self._downsample = np.array([config.downsample, config.downsample, 1])
     self._target_stride = config.stride
     self._source_stride = config.stride * config.downsample
+    self._map_vol = None
+    self._data_vol = None
+
+  def _open_map_volume(self):
+    """Map volume with map_decorator_specs applied (cached per instance)."""
+    if self._map_vol is None:
+      cfg = self._config
+      self._map_vol = volume_lib.decorate_volume(
+          self._open_volume(cfg.map_volinfo), cfg.map_decorator_specs)
+    return self._map_vol
+
+  def _open_data_volume(self):
+    """Source volume with data_decorator_specs + LRU chunk cache applied."""
+    if self._data_vol is None:
+      cfg = self._config
+      vol = volume_lib.decorate_volume(
+          self._open_volume(cfg.data_volinfo), cfg.data_decorator_specs)
+      self._data_vol = volume_lib.maybe_cache(
+          vol, cfg.source_cache_bytes, 'WarpByMap_source')
+    return self._data_vol
 
   # Peak-memory bound for a single warp dispatch (pixels per side).
   _max_source_extent = 2**15
@@ -268,7 +289,7 @@ class WarpByMap(SubvolumeProcessor):
     s = 1.0 / self._target_stride
     map_box = box.scale([s, s, 1.0]).adjusted_by(start=(-2, -2, 0),
                                                  end=(2, 2, 0))
-    map_vol = self._open_volume(cfg.map_volinfo)
+    map_vol = self._open_map_volume()
     map_box = map_vol.clip_box_to_volume(map_box)
     if map_box is None or np.any(map_box.size == 0):
       return None, None
@@ -303,7 +324,7 @@ class WarpByMap(SubvolumeProcessor):
   def process(self, subvol: Subvolume) -> SubvolumeOrMany:
     box = subvol.bbox
     cfg = self._config
-    data_vol = self._open_volume(cfg.data_volinfo)
+    data_vol = self._open_data_volume()
 
     warped = np.zeros([subvol.data.shape[0]]
                       + [int(v) for v in box.size[::-1]],

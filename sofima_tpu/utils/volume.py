@@ -167,6 +167,75 @@ class TensorStoreVolume(BaseVolume):
     self._ts[clipped.to_slice4d()].write(data[rel.to_slice4d()]).result()
 
 
+class CachingVolume(BaseVolume):
+  """LRU read cache over another volume, bounded by a byte budget.
+
+  The production counterpart of the reference's chunk caches
+  (`source_cache_bytes` at /root/reference/processor/warp.py:386,562 and
+  `image_cache_bytes`/`mask_cache_bytes` at
+  /root/reference/processor/flow.py:531-553): repeated reads of the same
+  region (e.g. EstimateMissingFlow probing the same sections per work
+  item, WarpByMap re-reading overlapping source boxes) are served from
+  memory. Keys are the exact normalized slice tuples; entries are evicted
+  least-recently-used when the budget is exceeded. Thread-safe.
+  """
+
+  def __init__(self, base: BaseVolume, cache_bytes: int,
+               namespace: str = 'volume_cache'):
+    import collections
+    import threading
+    self._base = base
+    self._budget = int(cache_bytes)
+    self._cache: 'collections.OrderedDict[tuple, np.ndarray]' = (
+        collections.OrderedDict())
+    self._bytes = 0
+    self._lock = threading.Lock()
+    self._namespace = namespace
+    self.hits = 0
+    self.misses = 0
+    self.meta = base.meta
+
+  @staticmethod
+  def _key(slices) -> tuple:
+    out = []
+    for s in slices:
+      if isinstance(s, slice):
+        out.append(('s', s.start, s.stop, s.step))
+      else:
+        out.append(('i', int(s)))
+    return tuple(out)
+
+  def __getitem__(self, slices) -> np.ndarray:
+    from sofima_tpu.utils import metrics
+    key = self._key(slices)
+    with self._lock:
+      if key in self._cache:
+        self._cache.move_to_end(key)
+        self.hits += 1
+        metrics.counter(self._namespace, 'hits').inc()
+        return self._cache[key]
+    data = self._base[slices]
+    with self._lock:
+      self.misses += 1
+      metrics.counter(self._namespace, 'misses').inc()
+      if self._budget > 0 and data.nbytes <= self._budget:
+        self._cache[key] = data
+        self._bytes += data.nbytes
+        while self._bytes > self._budget and self._cache:
+          _, evicted = self._cache.popitem(last=False)
+          self._bytes -= evicted.nbytes
+    return data
+
+  def write(self, data: np.ndarray, box: BoundingBox) -> None:
+    with self._lock:
+      self._cache.clear()
+      self._bytes = 0
+    self._base.write(data, box)
+
+  def clip_box_to_volume(self, box: BoundingBox) -> BoundingBox | None:
+    return self._base.clip_box_to_volume(box)
+
+
 def open_volume(spec) -> BaseVolume:
   """Opens a volume from an ndarray, BaseVolume, or TensorStore spec."""
   if isinstance(spec, BaseVolume):
@@ -174,3 +243,48 @@ def open_volume(spec) -> BaseVolume:
   if isinstance(spec, np.ndarray):
     return InMemoryVolume(spec)
   return TensorStoreVolume.open(spec)
+
+
+def maybe_cache(vol: BaseVolume, cache_bytes: int,
+                namespace: str = 'volume_cache') -> BaseVolume:
+  """Wraps `vol` in a CachingVolume when a positive budget is given."""
+  if cache_bytes and cache_bytes > 0:
+    return CachingVolume(vol, cache_bytes, namespace)
+  return vol
+
+
+def decorate_volume(vol: BaseVolume, decorator_specs) -> BaseVolume:
+  """Applies TensorStore decorator specs to a volume.
+
+  Mirrors the reference's `decorate_volume` application of
+  `map_decorator_specs`/`data_decorator_specs`
+  (/root/reference/processor/warp.py:487-490,546-549): each spec names a
+  registered decorator (sofima_tpu.decorators) plus its constructor
+  kwargs, and the decorators are applied in order to the underlying
+  TensorStore. In-memory volumes are adapted through the TensorStore
+  array driver so decorated reads work everywhere (including tests).
+
+  Spec format: a sequence of `{'decorator': <registered name>, **kwargs}`
+  dicts (or `(name, kwargs)` tuples).
+  """
+  if not decorator_specs:
+    return vol
+  import tensorstore as ts
+  from sofima_tpu.decorators import base as decorators_base
+
+  if isinstance(vol, TensorStoreVolume):
+    store = vol._ts
+  elif isinstance(vol, InMemoryVolume):
+    store = ts.array(vol.data)
+  else:
+    raise TypeError(f'Cannot decorate volume of type {type(vol)!r}')
+
+  for spec in decorator_specs:
+    if isinstance(spec, dict):
+      kwargs = dict(spec)
+      name = kwargs.pop('decorator')
+    else:
+      name, kwargs = spec
+    dec = decorators_base.build(name, **(kwargs or {}))
+    store = dec.decorate(store)
+  return TensorStoreVolume(store, pixel_size=vol.meta.pixel_size)
