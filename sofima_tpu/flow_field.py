@@ -353,7 +353,8 @@ def _rdft_mats(n: int):
 
 
 def _circular_xcorr_matmul(pre_b: jnp.ndarray,
-                           post_b: jnp.ndarray) -> jnp.ndarray:
+                           post_b: jnp.ndarray,
+                           bf16: bool = False) -> jnp.ndarray:
   """Circular cross-correlation via DFT-as-matmul (MXU path).
 
   For patch-sized transforms the DFT matrices are small enough that
@@ -361,18 +362,26 @@ def _circular_xcorr_matmul(pre_b: jnp.ndarray,
   unit by a wide margin on TPU. Uses the half-spectrum (rfft) form along
   the last axis — real inputs need only n//2+1 frequencies. Computes
   irfft(F(pre) * conj(F(post))) exactly (up to float32 rounding).
+
+  With `bf16=True` the matmul INPUTS are bfloat16 while accumulation
+  stays float32 (the MXU-native mode, ~4x peak): mean-subtracted EM
+  patches lose <0.5% relative amplitude to the 8-bit mantissa, which
+  does not move integer correlation peaks (asserted by the
+  bf16-vs-f32 parity test in tests/test_flow_field.py).
   """
   n1, n2 = pre_b.shape[-2:]
-  wr1, wi1 = (jnp.asarray(m) for m in _dft_mats(n1))
-  fr2, fi2, br2, bi2 = (jnp.asarray(m) for m in _rdft_mats(n2))
+  in_t = jnp.bfloat16 if bf16 else jnp.float32
+  wr1, wi1 = (jnp.asarray(m, in_t) for m in _dft_mats(n1))
+  fr2, fi2, br2, bi2 = (jnp.asarray(m, in_t) for m in _rdft_mats(n2))
 
   mm = functools.partial(jnp.einsum,
                          preferred_element_type=jnp.float32)
 
   def rdft2(img):
     # Last axis: half-spectrum rDFT; first axis: full DFT.
-    ar = mm('bnm,mh->bnh', img, fr2)
-    ai = mm('bnm,mh->bnh', img, fi2)
+    img = img.astype(in_t)
+    ar = mm('bnm,mh->bnh', img, fr2).astype(in_t)
+    ai = mm('bnm,mh->bnh', img, fi2).astype(in_t)
     fr = mm('kn,bnh->bkh', wr1, ar) - mm('kn,bnh->bkh', wi1, ai)
     fi = mm('kn,bnh->bkh', wr1, ai) + mm('kn,bnh->bkh', wi1, ar)
     return fr, fi
@@ -380,13 +389,15 @@ def _circular_xcorr_matmul(pre_b: jnp.ndarray,
   pr, pi = rdft2(pre_b)
   qr, qi = rdft2(post_b)
   # F(pre) * conj(F(post)) on the half spectrum.
-  cr = pr * qr + pi * qi
-  ci = pi * qr - pr * qi
+  cr = (pr * qr + pi * qi).astype(in_t)
+  ci = (pi * qr - pr * qi).astype(in_t)
 
   # Inverse: full complex inverse along the first axis (conj(W1)/n1),
   # then the Hermitian-weighted inverse along the last axis.
-  gr = (mm('kn,bnh->bkh', wr1, cr) + mm('kn,bnh->bkh', wi1, ci)) / n1
-  gi = (mm('kn,bnh->bkh', wr1, ci) - mm('kn,bnh->bkh', wi1, cr)) / n1
+  gr = ((mm('kn,bnh->bkh', wr1, cr) + mm('kn,bnh->bkh', wi1, ci))
+        / n1).astype(in_t)
+  gi = ((mm('kn,bnh->bkh', wr1, ci) - mm('kn,bnh->bkh', wi1, cr))
+        / n1).astype(in_t)
   out = (mm('bkh,hm->bkm', gr, br2) + mm('bkh,hm->bkm', gi, bi2)) / n2
   return out
 
@@ -548,11 +559,154 @@ def _batched_xcorr_peaks_circular(
                         peak_radius)
 
 
+def _strip_patches(strip: jnp.ndarray, rows: int, grid_x: int,
+                   patch: tuple[int, int],
+                   step: tuple[int, int]) -> jnp.ndarray:
+  """Rearranges an image strip into its dense patch batch WITHOUT gathers.
+
+  When the stride divides the patch size (the production EM geometry,
+  160/40), every patch is a contiguous group of stride-sized blocks, so
+  patch extraction is pure reshape + static slicing — sequential HBM
+  copies instead of the random-access gather XLA emits for
+  vmap(dynamic_slice) (measured 7x slower on v5e).
+
+  Args:
+    strip: [(rows-1)*step_y + patch_y, (grid_x-1)*step_x + patch_x] image
+    rows: number of consecutive grid rows covered by the strip
+    grid_x: patches per grid row
+    patch: (py, px) patch size
+    step: (sy, sx) grid step; py % sy == 0 and px % sx == 0
+
+  Returns:
+    [rows * grid_x, py, px] patch batch, row-major over (row, gx).
+  """
+  py, px = patch
+  sy, sx = step
+  ry, rx = py // sy, px // sx
+  h, w = strip.shape
+  nby = h // sy
+  nbx = w // sx
+  blocks = strip.reshape(nby, sy, nbx, sx)
+  # Horizontal assembly: patch at column j = blocks j..j+rx-1.
+  parts = [blocks[:, :, b:b + grid_x, :] for b in range(rx)]
+  horiz = jnp.stack(parts, axis=3)  # [nby, sy, grid_x, rx, sx]
+  horiz = horiz.transpose(2, 0, 1, 3, 4).reshape(grid_x, nby, sy, px)
+  # Vertical assembly: patch at row i = block-rows i..i+ry-1.
+  vparts = [horiz[:, b:b + rows, :, :] for b in range(ry)]
+  vert = jnp.stack(vparts, axis=2)  # [grid_x, rows, ry, sy, px]
+  vert = vert.transpose(1, 0, 2, 3, 4).reshape(rows, grid_x, py, px)
+  return vert.reshape(rows * grid_x, py, px)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=['patch_size', 'step', 'mean', 'min_distance',
+                     'threshold_rel', 'peak_radius', 'rows_per_step',
+                     'dft_matmul', 'bf16'])
+def _dense_flow_strips(
+    pre_image: jnp.ndarray,
+    post_image: jnp.ndarray,
+    patch_size: tuple[int, int],
+    step: tuple[int, int],
+    mean: float | None,
+    min_distance,
+    threshold_rel: float,
+    peak_radius,
+    rows_per_step: int = 2,
+    dft_matmul: bool = True,
+    bf16: bool = False,
+    pre_mask: jnp.ndarray | None = None,
+    post_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+  """Dense circular flow over the full grid via strip-sliced patches.
+
+  The production dense-grid hot path: a `lax.map` over groups of
+  `rows_per_step` grid rows; each step slices a contiguous image strip
+  (one dynamic_slice), rearranges it into the patch batch with
+  `_strip_patches` (zero gathers), and runs the MXU DFT-matmul
+  correlation + peak extraction. Replaces the start-list path whose
+  vmap(dynamic_slice) patch gather dominated the kernel (0.28s of 0.53s
+  on a 10k^2 v5e run).
+  """
+  py, px = patch_size
+  sy, sx = step
+  gy = (pre_image.shape[0] - (py - sy)) // sy
+  gx = (pre_image.shape[1] - (px - sx)) // sx
+  num_steps = -(-gy // rows_per_step)
+  strip_h = (rows_per_step - 1) * sy + py
+  strip_w = (gx - 1) * sx + px
+
+  row0 = jnp.arange(num_steps, dtype=jnp.int32) * (rows_per_step * sy)
+  # Clamp the last strip so it stays in bounds; the duplicated rows it
+  # recomputes are cropped after the map.
+  row0 = jnp.minimum(row0, (gy - rows_per_step) * sy)
+
+  pre_image = jnp.asarray(pre_image, jnp.float32)
+  post_image = jnp.asarray(post_image, jnp.float32)
+  axes = (-2, -1)
+
+  def one_strip(y0):
+    def patches(img):
+      strip = jax.lax.dynamic_slice(img, (y0, 0), (strip_h, strip_w))
+      return _strip_patches(strip, rows_per_step, gx, patch_size, step)
+
+    pre_b = patches(pre_image)
+    post_b = patches(post_image)
+
+    pre_valid = post_valid = None
+    if pre_mask is not None:
+      pre_valid = jnp.logical_not(patches(pre_mask.astype(jnp.float32)) > 0)
+    if post_mask is not None:
+      post_valid = jnp.logical_not(
+          patches(post_mask.astype(jnp.float32)) > 0)
+
+    def masked_mean(batch, valid):
+      if valid is None:
+        return jnp.mean(batch, axis=axes, keepdims=True)
+      count = jnp.maximum(jnp.sum(valid, axis=axes, keepdims=True), 1)
+      return (jnp.sum(jnp.where(valid, batch, 0.0), axis=axes,
+                      keepdims=True) / count)
+
+    if mean is None:
+      pre_b = pre_b - masked_mean(pre_b, pre_valid)
+      post_b = post_b - masked_mean(post_b, post_valid)
+    else:
+      pre_b = pre_b - mean
+      post_b = post_b - mean
+
+    if pre_valid is not None or post_valid is not None:
+      if pre_valid is None:
+        pre_valid = jnp.ones_like(pre_b, bool)
+      if post_valid is None:
+        post_valid = jnp.ones_like(post_b, bool)
+      corr = _masked_xcorr_circular(pre_b, post_b, pre_valid, post_valid)
+    elif dft_matmul:
+      corr = _circular_xcorr_matmul(pre_b, post_b, bf16=bf16)
+    else:
+      f_pre = jnp.fft.rfftn(pre_b, axes=axes)
+      f_post = jnp.fft.rfftn(post_b, axes=axes)
+      corr = jnp.fft.irfftn(f_pre * jnp.conj(f_post), s=patch_size,
+                            axes=axes)
+    center = (py // 2, px // 2)
+    corr = jnp.roll(corr, center, axis=axes)
+    return _batched_peaks(corr, center, min_distance, threshold_rel,
+                          peak_radius)
+
+  peaks = jax.lax.map(one_strip, row0)  # [steps, rows*gx, dim+2]
+  peaks = peaks.reshape(num_steps, rows_per_step, gx, 4)
+  # Undo the last-strip clamp: rebuild the row axis by true grid row.
+  out = jnp.zeros((gy, gx, 4), peaks.dtype)
+  rows = (row0[:, None] // sy + jnp.arange(rows_per_step)[None, :])
+  out = out.at[rows.reshape(-1)].set(
+      peaks.reshape(num_steps * rows_per_step, gx, 4))
+  return jnp.moveaxis(out, -1, 0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=['patch_size', 'step', 'batch_size', 'mean',
                      'min_distance', 'threshold_rel', 'peak_radius',
-                     'post_patch_size', 'circular', 'dft_matmul'])
+                     'post_patch_size', 'circular', 'dft_matmul', 'bf16'])
 def dense_flow_field(
     pre_image: jnp.ndarray,
     post_image: jnp.ndarray,
@@ -566,6 +720,7 @@ def dense_flow_field(
     post_patch_size: Sequence[int] | None = None,
     circular: bool = False,
     dft_matmul: bool = False,
+    bf16: bool = False,
     pre_mask: jnp.ndarray | None = None,
     post_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
@@ -594,6 +749,19 @@ def dense_flow_field(
   grid = tuple(
       (post_image.shape[a] - (post_patch_size[a] - step[a])) // step[a]
       for a in range(ndim))
+
+  # Gather-free strip path: stride divides patch (production geometry).
+  if (circular and ndim == 2 and post_patch_size == patch_size
+      and patch_size[0] % step[0] == 0 and patch_size[1] % step[1] == 0
+      and pre_image.shape == post_image.shape):
+    rows = max(1, min(int(grid[0]),
+                      int(round(batch_size / max(int(grid[1]), 1))) or 1))
+    return _dense_flow_strips(
+        jnp.asarray(pre_image, jnp.float32),
+        jnp.asarray(post_image, jnp.float32),
+        patch_size, step, mean, min_distance, threshold_rel, peak_radius,
+        rows_per_step=rows, dft_matmul=dft_matmul, bf16=bf16,
+        pre_mask=pre_mask, post_mask=post_mask)
   n = int(np.prod(grid))
   batch_size = min(batch_size, n)
   num_batches = -(-n // batch_size)
@@ -686,9 +854,12 @@ class JAXMaskedXCorrWithStatsCalculator:
     estimate was made. See the module docstring for conventions.
 
     `mode` selects the correlation backend for dense unmasked runs:
-      'padfield'      zero-padded linear correlation (reference parity)
-      'circular'      patch-periodic correlation (~4x faster)
-      'circular_dft'  circular via MXU DFT-matmuls (fastest on TPU)
+      'padfield'           zero-padded linear correlation (reference parity)
+      'circular'           patch-periodic correlation (~4x faster)
+      'circular_dft'       circular via MXU DFT-matmuls (fast on TPU)
+      'circular_dft_bf16'  DFT-matmuls with bf16 inputs / f32 accumulation
+                           (fastest; integer peaks match circular_dft on
+                           textured data — verified by the parity tests)
     Masked / selected / targeted runs always use the padfield path.
     """
     assert pre_image.ndim == post_image.ndim
@@ -742,7 +913,9 @@ class JAXMaskedXCorrWithStatsCalculator:
           batch_size=batch_size, mean=self._mean,
           min_distance=self._min_distance, peak_radius=self._peak_radius,
           post_patch_size=post_patch_t,
-          circular=True, dft_matmul=(mode == 'circular_dft'),
+          circular=True,
+          dft_matmul=mode in ('circular_dft', 'circular_dft_bf16'),
+          bf16=(mode == 'circular_dft_bf16'),
           pre_mask=(jnp.asarray(pre_mask)
                     if use_pixel_masks and pre_mask is not None else None),
           post_mask=(jnp.asarray(post_mask)

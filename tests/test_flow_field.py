@@ -286,3 +286,82 @@ class TestCircularMaskedMode:
                           selection_mask=sel, mode='circular')
     assert np.isfinite(fast[:2, 0, 1]).all()
     assert np.isnan(fast[:, 0, 0]).all()
+
+
+class TestStripPath:
+  """The gather-free strip-sliced dense path (production hot kernel)."""
+
+  def _tex(self, n, seed=0):
+    rng = np.random.RandomState(seed)
+    noise = rng.rand(n, n).astype(np.float32)
+    f2 = np.fft.rfft2(noise)
+    fy = np.fft.fftfreq(n)[:, None]
+    fx = np.fft.rfftfreq(n)[None, :]
+    f2 *= np.exp(-((fx**2 + fy**2) / (2 * 0.08**2)))
+    return (np.fft.irfft2(f2, s=(n, n)) * 1000).astype(np.float32)
+
+  def test_strip_patches_equals_gather(self):
+    import jax.numpy as jnp
+    rng = np.random.RandomState(1)
+    img = rng.rand(200, 280).astype(np.float32)
+    patch, step = (80, 80), (40, 40)
+    rows, gx = 3, 6
+    strip = img[:(rows - 1) * 40 + 80, :(gx - 1) * 40 + 80]
+    got = np.asarray(flow_field._strip_patches(
+        jnp.asarray(strip), rows, gx, patch, step))
+    for r in range(rows):
+      for j in range(gx):
+        expect = img[r * 40:r * 40 + 80, j * 40:j * 40 + 80]
+        np.testing.assert_array_equal(got[r * gx + j], expect)
+
+  def test_odd_grid_rows_with_clamped_last_strip(self):
+    # gy odd and rows_per_step > 1: the last strip is clamped and its
+    # duplicated rows must land at the correct grid positions.
+    import jax.numpy as jnp
+    tex = self._tex(280, seed=2)
+    post = np.roll(tex, (5, -3), (0, 1))
+    # grid is (6, 6) at patch 80 / step 40; batch_size 12 -> 2 rows/strip.
+    out = np.asarray(flow_field.dense_flow_field(
+        jnp.asarray(tex[:260]), jnp.asarray(post[:260]), (80, 80), (40, 40),
+        batch_size=12, circular=True, dft_matmul=True))
+    assert out.shape[1] == 5  # odd row count
+    valid = np.isfinite(out[0])
+    assert valid.mean() > 0.9
+    np.testing.assert_array_equal(out[0][valid], 3.0)
+    np.testing.assert_array_equal(out[1][valid], -5.0)
+
+  def test_bf16_integer_peak_parity(self):
+    import jax.numpy as jnp
+    tex = self._tex(512, seed=3)
+    post = np.roll(tex, (7, -12), (0, 1))
+    f32 = np.asarray(flow_field.dense_flow_field(
+        jnp.asarray(tex), jnp.asarray(post), (160, 160), (40, 40),
+        batch_size=512, circular=True, dft_matmul=True))
+    b16 = np.asarray(flow_field.dense_flow_field(
+        jnp.asarray(tex), jnp.asarray(post), (160, 160), (40, 40),
+        batch_size=512, circular=True, dft_matmul=True, bf16=True))
+    v = np.isfinite(f32[0]) & np.isfinite(b16[0])
+    agree = np.mean((f32[0][v] == b16[0][v]) & (f32[1][v] == b16[1][v]))
+    assert agree > 0.99, agree
+    assert np.nanmedian(b16[0]) == np.nanmedian(f32[0])
+    assert np.nanmedian(b16[1]) == np.nanmedian(f32[1])
+
+  def test_strip_masked_matches_start_path(self):
+    # Masked circular NCC through strips must match the calculator's
+    # padfield reference on a decoy-masked impulse (same contract as
+    # TestCircularMaskedMode but with a grid wide enough to use strips).
+    pre = np.zeros((200, 200), np.uint8)
+    post = np.zeros((200, 200), np.uint8)
+    pre[100, 100] = 255
+    post[110, 93] = 255
+    post[94, 108] = 255  # decoy
+    post_mask = np.zeros((200, 200), bool)
+    post_mask[:95, :110] = True
+    mfc = flow_field.JAXMaskedXCorrWithStatsCalculator()
+    ref = mfc.flow_field(pre, post, patch_size=80, step=40,
+                         post_mask=post_mask, batch_size=4)
+    fast = mfc.flow_field(pre, post, patch_size=80, step=40,
+                          post_mask=post_mask, batch_size=4,
+                          mode='circular')
+    np.testing.assert_array_equal(fast[0], ref[0])
+    np.testing.assert_array_equal(fast[1], ref[1])
