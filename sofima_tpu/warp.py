@@ -355,6 +355,53 @@ def ndimage_warp(
     offset_zyx = np.zeros(3)
 
   use_builtin = map_coordinates is _default_map_coordinates
+  order_method = {0: 'nearest', 1: 'linear', 3: 'cubic'}
+  image_j = None
+
+  def _shift_warp_box(dense, box_start_zyx):
+    """Gather-free warp of one work box via the shift decomposition.
+
+    Derives a per-box integer base displacement (so the static lattice
+    only spans the box-local displacement variation) and dispatches to
+    shift_warp_2d/3d. Returns None when unprofitable or degenerate.
+    """
+    nonlocal image_j
+    from sofima_tpu.ops import shift_warp
+    if order not in order_method:
+      return None
+    method = order_method[order]
+    own = np.mgrid[tuple(np.s_[0:s] for s in dense[0].shape)]
+    bucket = 4
+    bases, bounds = [], []
+    for d_abs, o, start in zip(dense, own, box_start_zyx):
+      disp = d_abs - (o + float(start))
+      if not np.isfinite(disp).any():
+        return None
+      lo, hi = np.nanmin(disp), np.nanmax(disp)
+      base = int(np.rint((lo + hi) / 2.0))
+      r_lo = int(np.floor((lo - base - 1) / bucket) * bucket)
+      r_hi = int(np.ceil((hi - base + 1) / bucket) * bucket)
+      bases.append(base)
+      bounds.append((r_lo, r_hi))
+    taps = shift_warp._TAPS[method]
+    iters = np.prod([hi - lo + taps for lo, hi in bounds])
+    if (max(hi - lo for lo, hi in bounds) > shift_warp.MAX_SHIFT_RANGE
+        or iters * shift_warp.SHIFT_COST_PER_ITER
+        >= taps**dim * shift_warp.GATHER_COST_PER_TAP):
+      return None
+    if image_j is None:
+      image_j = jnp.asarray(image.astype(np.float32))
+    coords_j = jnp.asarray(np.stack(dense).astype(np.float32))
+    origins = tuple(int(s) + b for s, b in zip(box_start_zyx, bases))
+    if dim == 2:
+      (dy_lo, dy_hi), (dx_lo, dx_hi) = bounds
+      return np.asarray(shift_warp.shift_warp_2d(
+          image_j, coords_j, method, dy_lo, dy_hi, dx_lo, dx_hi,
+          origins[0], origins[1]))
+    (dz_lo, dz_hi), (dy_lo, dy_hi), (dx_lo, dx_hi) = bounds
+    return np.asarray(shift_warp.shift_warp_3d(
+        image_j, coords_j, method, dz_lo, dz_hi, dy_lo, dy_hi,
+        dx_lo, dx_hi, origins[0], origins[1], origins[2]))
 
   for i in range(gen.num_boxes):
     _, in_box = gen.generate(i)
@@ -375,7 +422,13 @@ def ndimage_warp(
     else:
       dense = [map_coordinates(chan, map_coords, order=1)
                for chan in src_map[::-1]]
-    sub_warped = map_coordinates(image, dense, order=order)
+
+    sub_warped = None
+    if use_builtin:
+      sub_warped = _shift_warp_box(
+          dense, in_box.start[::-1][sub_dim:].astype(np.int64))
+    if sub_warped is None:
+      sub_warped = map_coordinates(image, dense, order=order)
     sub_warped = np.nan_to_num(sub_warped)
     if np.issubdtype(image.dtype, np.integer):
       sub_warped = np.rint(sub_warped)

@@ -243,3 +243,75 @@ class TestTiledShiftWarp:
                                 interpolation='lanczos')
     assert calls, 'tiled shift path was not taken'
     np.testing.assert_allclose(tiled, gather, atol=2e-3)
+
+
+class TestShiftWarp3d:
+
+  def test_matches_map_coordinates_linear(self):
+    import jax.numpy as jnp
+    from sofima_tpu.ops import interp, shift_warp
+    rng = np.random.RandomState(0)
+    vol = rng.rand(24, 40, 40).astype(np.float32)
+    zz, yy, xx = np.mgrid[0:24, 0:40, 0:40].astype(np.float32)
+    cz = zz + 1.5 * np.sin(2 * np.pi * yy / 40)
+    cy = yy + 2.0 * np.cos(2 * np.pi * xx / 40)
+    cx = xx - 1.0 + 0.5 * np.sin(2 * np.pi * zz / 24)
+    coords = np.stack([cz, cy, cx])
+    got = np.asarray(shift_warp.shift_warp_3d(
+        jnp.asarray(vol), jnp.asarray(coords), 'linear',
+        -4, 4, -4, 4, -4, 4))
+    ref = np.asarray(interp.map_coordinates(
+        jnp.asarray(vol), jnp.asarray(coords), order=1,
+        mode='constant', cval=np.nan))
+    interior = np.s_[3:-3, 3:-3, 3:-3]
+    np.testing.assert_allclose(got[interior], np.nan_to_num(ref)[interior],
+                               atol=1e-4)
+
+  def test_nan_coords_zero(self):
+    import jax.numpy as jnp
+    from sofima_tpu.ops import shift_warp
+    vol = np.ones((8, 8, 8), np.float32)
+    coords = np.full((3, 4, 4, 4), np.nan, np.float32)
+    out = np.asarray(shift_warp.shift_warp_3d(
+        jnp.asarray(vol), jnp.asarray(coords), 'linear',
+        0, 0, 0, 0, 0, 0))
+    np.testing.assert_array_equal(out, 0.0)
+
+  def test_origin_and_base_offsets(self):
+    # Constant translation handled through the origin argument: exact.
+    import jax.numpy as jnp
+    from sofima_tpu.ops import shift_warp
+    rng = np.random.RandomState(1)
+    vol = rng.rand(16, 20, 20).astype(np.float32)
+    zz, yy, xx = np.mgrid[0:8, 0:10, 0:10].astype(np.float32)
+    coords = np.stack([zz + 5, yy + 7, xx + 6])
+    out = np.asarray(shift_warp.shift_warp_3d(
+        jnp.asarray(vol), jnp.asarray(coords), 'nearest',
+        0, 0, 0, 0, 0, 0, origin_z=5, origin_y=7, origin_x=6))
+    np.testing.assert_array_equal(out, vol[5:13, 7:17, 6:16])
+
+
+class TestNdimageWarpShiftPath:
+
+  def test_3d_shift_path_matches_gather(self):
+    # ndimage_warp must give the same result whether the profitable
+    # shift path or the gather sampler runs.
+    from sofima_tpu import warp as warp_lib
+    from sofima_tpu.ops import shift_warp
+    rng = np.random.RandomState(2)
+    vol = rng.rand(16, 48, 48).astype(np.float32)
+    cmap = np.zeros((3, 2, 3, 3), np.float32)
+    cmap[0] = 2.0   # dx
+    cmap[1] = -1.0  # dy
+    cmap[2] = 0.5   # dz
+    kwargs = dict(stride=(8, 16, 16), work_size=(32, 32, 8),
+                  overlap=(0, 0, 0), order=1)
+    fast = warp_lib.ndimage_warp(vol, cmap, **kwargs)
+    orig = shift_warp.MAX_SHIFT_RANGE
+    try:
+      shift_warp.MAX_SHIFT_RANGE = -1  # force the gather fallback
+      ref = warp_lib.ndimage_warp(vol, cmap, **kwargs)
+    finally:
+      shift_warp.MAX_SHIFT_RANGE = orig
+    np.testing.assert_allclose(fast[2:-2, 4:-4, 4:-4], ref[2:-2, 4:-4, 4:-4],
+                               atol=1e-4)
