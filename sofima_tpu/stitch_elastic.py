@@ -289,70 +289,90 @@ def aggregate_arrays(
   return fx_all, fy_all, x_all, nbors, key_to_idx
 
 
-@functools.partial(jax.jit, static_argnames=['stride', 'dim'])
+def _window_edge_start(at_high_edge: jnp.ndarray, extent: int,
+                       window: jnp.ndarray) -> jnp.ndarray:
+  """Start index of a window abutting one edge of an axis.
+
+  The overlap window always touches an edge of a tile mesh: index 0 at
+  the low edge, or flush against the high edge (`extent - window`).
+  """
+  return jnp.where(at_high_edge, extent - window, 0)
+
+
 def _apply_flow(base_mesh: jnp.ndarray, nbor_mesh: jnp.ndarray,
                 nbor_flow: jnp.ndarray, mult: jnp.ndarray, stride: Vector,
-                nbor_data: jnp.ndarray, dim: int) -> jnp.ndarray:
+                nbor_data: jnp.ndarray, axis: int) -> jnp.ndarray:
   """Pastes flow∘neighbor-mesh virtual-spring targets into `base_mesh`.
+
+  Geometry derived from the NeighborInfo contract: the stride-aligned
+  overlap window touches, on each axis, either the low or the high edge
+  of the tile mesh it is read from. Which edge is a function of who owns
+  the flow (`mult`) and of the sign of the coarse offset on that axis:
+
+    * flow axis (`axis`): the window abuts the shared tile boundary —
+      the high edge of the mesh on the 'pre' side of the flow
+      (`mult == +1` reads the neighbor's far edge; the mirrored window
+      in our own mesh is then at the low edge, and vice versa);
+    * ortho / z axes: the coarse offset sign says which way the
+      neighbor is shifted, so the window sits at the high edge of
+      whichever mesh trails — `mult * offset > 0` on the neighbor,
+      `mult * offset < 0` on ourselves.
 
   `mult` = +1 when the flow says how to move this tile to match the
   neighbor; -1 when it describes the reverse direction.
+  `axis` = 0 for horizontal (x-overlap) neighbors, 1 for vertical.
   """
+  channels = base_mesh.shape[0]
   overlap = nbor_data[NeighborInfo.flow_size_overlap]
   ortho = nbor_data[NeighborInfo.flow_size_ortho]
   off_ortho = nbor_data[NeighborInfo.coarse_offset_ortho]
-  channels = base_mesh.shape[0]
 
-  # Where the overlapping flow region sits within the *neighbor* mesh.
-  start_par = jnp.where(mult == 1, nbor_mesh.shape[-dim - 1] - overlap, 0)
-  start_ortho = jnp.where(
-      ((mult == 1) & (off_ortho > 0)) | ((mult == -1) & (off_ortho < 0)),
-      nbor_mesh.shape[dim - 2] - ortho, 0)
-  start = jnp.array(
-      [start_ortho * (1 - dim) + dim * start_par,
-       start_ortho * dim + (1 - dim) * start_par], dtype=int)
+  h, w = nbor_mesh.shape[-2], nbor_mesh.shape[-1]
+  par_extent, ortho_extent = (w, h) if axis == 0 else (h, w)
+
+  def window_start_yx(on_neighbor: bool) -> list[jnp.ndarray]:
+    s = 1 if on_neighbor else -1
+    par = _window_edge_start(s * mult > 0, par_extent, overlap)
+    orth = _window_edge_start(s * mult * off_ortho > 0, ortho_extent,
+                              ortho)
+    return [orth, par] if axis == 0 else [par, orth]
+
+  def window_start_z(on_neighbor: bool) -> jnp.ndarray:
+    s = 1 if on_neighbor else -1
+    return _window_edge_start(
+        s * mult * nbor_data[NeighborInfo.coarse_offset_z] > 0,
+        nbor_mesh.shape[-3], nbor_data[NeighborInfo.flow_size_z])
 
   flow = mult * jax.lax.dynamic_index_in_dim(
       nbor_flow, nbor_data[NeighborInfo.flow_idx], axis=1, keepdims=False)
 
+  # Compose the flow with the neighbor's mesh state at the window.
+  nbor_start = jnp.array(window_start_yx(on_neighbor=True), dtype=int)
   if channels == 3:
-    off_z = nbor_data[NeighborInfo.coarse_offset_z]
-    size_z = nbor_data[NeighborInfo.flow_size_z]
-    start_z = jnp.where(
-        ((mult == 1) & (off_z > 0)) | ((mult == -1) & (off_z < 0)),
-        nbor_mesh.shape[-3] - size_z, 0)
-    start = jnp.concatenate([start_z[None], start])
+    nbor_start = jnp.concatenate(
+        [window_start_z(on_neighbor=True)[None], nbor_start])
     flow_3d, mesh_3d = flow, nbor_mesh
   else:
     flow_3d = flow[:, None]
     mesh_3d = nbor_mesh[:, None]
 
   update = map_utils.compose_maps_fast(
-      flow_3d, start, stride, mesh_3d, jnp.zeros_like(start), stride,
-      mode='constant')
+      flow_3d, nbor_start, stride, mesh_3d, jnp.zeros_like(nbor_start),
+      stride, mode='constant')
 
+  fine_axes = [NeighborInfo.fine_off_x, NeighborInfo.fine_off_y]
   if channels == 2:
     update = update[:, 0]
-    fine = jnp.array([nbor_data[NeighborInfo.fine_off_x],
-                      nbor_data[NeighborInfo.fine_off_y]]).reshape(2, 1, 1)
   else:
-    fine = jnp.array([nbor_data[NeighborInfo.fine_off_x],
-                      nbor_data[NeighborInfo.fine_off_y],
-                      nbor_data[NeighborInfo.fine_off_z]]).reshape(3, 1, 1, 1)
+    fine_axes.append(NeighborInfo.fine_off_z)
+  fine = jnp.array([nbor_data[a] for a in fine_axes]).reshape(
+      (channels,) + (1,) * channels)
   update = update + mult * fine
 
-  # Where the region sits within the *current* mesh (mirrored logic).
-  tg_par = jnp.where(mult == 1, 0, nbor_mesh.shape[-dim - 1] - overlap)
-  tg_ortho = jnp.where(
-      ((mult == 1) & (off_ortho < 0)) | ((mult == -1) & (off_ortho > 0)),
-      nbor_mesh.shape[dim - 2] - ortho, 0)
-  tg_start = (0, tg_par * dim + (1 - dim) * tg_ortho,
-              tg_par * (1 - dim) + dim * tg_ortho)
+  # Paste at the mirrored window within our own mesh.
+  tg_start = (0, *window_start_yx(on_neighbor=False))
   if channels == 3:
-    tg_z = jnp.where(
-        ((mult == 1) & (off_z < 0)) | ((mult == -1) & (off_z > 0)),
-        nbor_mesh.shape[-3] - size_z, 0)
-    tg_start = (0, tg_z) + tg_start[1:]
+    tg_start = (0, window_start_z(on_neighbor=False)) + tg_start[1:]
 
   previous = jax.lax.dynamic_slice(base_mesh, tg_start, flow.shape)
   return jax.lax.dynamic_update_slice(
