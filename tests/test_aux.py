@@ -175,3 +175,44 @@ class TestMultiProcess:
       outs.append(out)
     assert all(p.returncode == 0 for p in procs), outs
     assert 'DISTRIBUTED_OK' in outs[0], outs[0][-2000:]
+
+  def test_two_process_flow_pipeline(self, tmp_path):
+    """Cross-host chunk DP + intra-host sharded dense flow, per-host
+    timings recorded (the production scaling combination)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    with socket.socket() as s:
+      s.bind(('localhost', 0))
+      port = s.getsockname()[1]
+    coordinator = f'localhost:{port}'
+    worker = os.path.join(os.path.dirname(__file__),
+                          'distributed_worker.py')
+    env = dict(os.environ)
+    env.pop('XLA_FLAGS', None)  # workers pick their own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, '2', str(i),
+             str(tmp_path), 'flow'],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+      try:
+        out, _ = p.communicate(timeout=300)
+      except subprocess.TimeoutExpired:
+        for q in procs:
+          q.kill()
+        pytest.fail('distributed flow workers timed out')
+      outs.append(out)
+    assert all(p.returncode == 0 for p in procs), outs
+    assert 'DISTRIBUTED_FLOW_OK' in outs[0], outs[0][-2000:]
+    for i in range(2):
+      with open(tmp_path / f'host{i}.json') as f:
+        rec = json.load(f)
+      assert rec['subvolumes_done'] > 0
+      assert rec['chunk_dp_s'] > 0
