@@ -153,7 +153,8 @@ def _integral_image(mask):
   return geom.integral_image(mask)
 
 
-def _max_filter(img: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
+def _max_filter(img: jnp.ndarray, size: Sequence[int],
+                padding: str = 'SAME') -> jnp.ndarray:
   """Separable moving-maximum over the trailing len(size) axes."""
   dim = len(size)
   out = img
@@ -161,29 +162,43 @@ def _max_filter(img: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
     window = [1] * img.ndim
     window[img.ndim - dim + i] = int(s)
     out = jax.lax.reduce_window(
-        out, -jnp.inf, jax.lax.max, window, [1] * img.ndim, 'SAME')
+        out, -jnp.inf, jax.lax.max, window, [1] * img.ndim, padding)
   return out
 
 
-def _peak_stats(peak1_val, peak2_val, peak1_idx, img, offset, peak_radius):
-  """Offset-from-center, sharpness and top-2 ratio for one xcorr image."""
-  dim = len(offset)
-  inds = jnp.unravel_index(peak1_idx, img.shape[-dim:])
-  centered = [
-      ind.astype(jnp.float32) - off for ind, off in zip(inds, offset)
-  ]
+def _peak_window_min(img: jnp.ndarray, peak_idx: jnp.ndarray,
+                     peak_radius: Sequence[int]) -> jnp.ndarray:
+  """Min over the (2r+1)^dim window around each peak, clamped in-bounds.
 
-  radius = np.asarray(peak_radius)
-  size = 2 * radius + 1
-  start = jnp.asarray(inds) - size // 2
-  window = jax.lax.dynamic_slice(img, start, size)
-  sharpness = img[inds] / jnp.min(window)
+  Exactly reproduces the reference's per-peak dynamic_slice window
+  (/root/reference/flow_field.py:192: the window is SHIFTED to stay
+  inside the image at borders) as a VALID-padded separable min-filter
+  indexed at the clamped window start — one dense filter plus a single
+  1-element gather per image, instead of a vmapped dynamic_slice that
+  XLA lowers to per-peak gathers (measured 0.18 s of the 0.45 s flow
+  kernel on the 10k^2 v5e run).
 
-  nan_row = jnp.full(dim + 2, jnp.nan)
-  single = jnp.array(centered[::-1] + [sharpness, 0.0])
-  double = jnp.array(centered[::-1] + [sharpness, peak1_val / peak2_val])
-  return jnp.where(jnp.isinf(peak1_val), nan_row,
-                   jnp.where(jnp.isinf(peak2_val), single, double))
+  Args:
+    img: [b, *spatial] correlation images
+    peak_idx: [b] flattened peak positions
+    peak_radius: per-axis window radius
+
+  Returns:
+    [b] window minima
+  """
+  dim = img.ndim - 1
+  spatial = img.shape[1:]
+  sizes = [2 * int(r) + 1 for r in peak_radius]
+  minf = -_max_filter(-img, sizes, padding='VALID')
+  valid_shape = minf.shape[1:]
+
+  inds = jnp.unravel_index(peak_idx, spatial)
+  lin = jnp.zeros_like(peak_idx)
+  for ind, size, n, vn in zip(inds, sizes, spatial, valid_shape):
+    start = jnp.clip(ind - size // 2, 0, n - size)
+    lin = lin * vn + start
+  flat = minf.reshape(img.shape[0], -1)
+  return jnp.take_along_axis(flat, lin[:, None], axis=-1)[:, 0]
 
 
 def _batched_peaks(
@@ -228,9 +243,15 @@ def _batched_peaks(
   idx2 = jnp.argmax(flat2, axis=-1)
   val2 = jnp.take_along_axis(flat2, idx2[:, None], axis=-1)[:, 0]
 
-  stats = functools.partial(
-      _peak_stats, offset=np.asarray(center_offset), peak_radius=peak_radius)
-  return jax.vmap(stats)(val1, val2, idx1, img)
+  # Vectorized per-peak statistics (no per-image dynamic windows).
+  offset = np.asarray(center_offset)
+  inds = jnp.unravel_index(idx1, img.shape[1:])
+  centered = [ind.astype(jnp.float32) - off
+              for ind, off in zip(inds, offset)]
+  sharpness = val1 / _peak_window_min(img, idx1, peak_radius)
+  ratio = jnp.where(jnp.isinf(val2), 0.0, val1 / val2)
+  rows = jnp.stack(centered[::-1] + [sharpness, ratio], axis=-1)
+  return jnp.where(jnp.isinf(val1)[:, None], jnp.nan, rows)
 
 
 def _batched_xcorr(
