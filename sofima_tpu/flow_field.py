@@ -673,6 +673,18 @@ def _dense_flow_strips(
 
     pre_b = patches(pre_image)
     post_b = patches(post_image)
+    center = (py // 2, px // 2)
+
+    unmasked = pre_mask is None and post_mask is None
+    if (unmasked and dft_matmul
+        and jax.default_backend() in ('tpu', 'axon')):
+      # VMEM-fused kernel: the whole matmul chain without HBM-resident
+      # spectra intermediates (the XLA einsum chain is memory-bound).
+      from sofima_tpu.ops import pallas_flow
+      corr = pallas_flow.corr_patches_pallas(pre_b, post_b, mean=mean,
+                                             bf16=bf16)
+      return _batched_peaks(corr, center, min_distance, threshold_rel,
+                            peak_radius)
 
     pre_valid = post_valid = None
     if pre_mask is not None:
@@ -708,7 +720,6 @@ def _dense_flow_strips(
       f_post = jnp.fft.rfftn(post_b, axes=axes)
       corr = jnp.fft.irfftn(f_pre * jnp.conj(f_post), s=patch_size,
                             axes=axes)
-    center = (py // 2, px // 2)
     corr = jnp.roll(corr, center, axis=axes)
     return _batched_peaks(corr, center, min_distance, threshold_rel,
                           peak_radius)

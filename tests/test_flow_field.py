@@ -365,3 +365,34 @@ class TestStripPath:
                           mode='circular')
     np.testing.assert_array_equal(fast[0], ref[0])
     np.testing.assert_array_equal(fast[1], ref[1])
+
+
+class TestPallasFlowKernel:
+
+  def test_corr_patches_pallas_matches_xla(self):
+    import jax.numpy as jnp
+    from sofima_tpu.ops import pallas_flow
+    rng = np.random.RandomState(0)
+    a = rng.rand(5, 32, 32).astype(np.float32) * 100
+    b = rng.rand(5, 32, 32).astype(np.float32) * 100
+    got = np.asarray(pallas_flow.corr_patches_pallas(
+        jnp.asarray(a), jnp.asarray(b), group=2, interpret=True))
+    am = a - a.mean(axis=(1, 2), keepdims=True)
+    bm = b - b.mean(axis=(1, 2), keepdims=True)
+    ref = np.asarray(flow_field._circular_xcorr_matmul(
+        jnp.asarray(am), jnp.asarray(bm)))
+    ref = np.roll(ref, (16, 16), (1, 2))
+    np.testing.assert_allclose(got, ref, atol=1.0, rtol=1e-3)
+
+  def test_corr_patches_pallas_constant_mean(self):
+    import jax.numpy as jnp
+    from sofima_tpu.ops import pallas_flow
+    rng = np.random.RandomState(1)
+    a = rng.rand(3, 16, 16).astype(np.float32)
+    b = rng.rand(3, 16, 16).astype(np.float32)
+    got = np.asarray(pallas_flow.corr_patches_pallas(
+        jnp.asarray(a), jnp.asarray(b), mean=0.5, group=4, interpret=True))
+    ref = np.asarray(flow_field._circular_xcorr_matmul(
+        jnp.asarray(a - 0.5), jnp.asarray(b - 0.5)))
+    ref = np.roll(ref, (8, 8), (1, 2))
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
