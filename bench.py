@@ -4,11 +4,21 @@ Runs on the default JAX backend (the real TPU chip under the driver) and
 prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N, ...}
 
-Design note: all benchmark stages are DEVICE-RESIDENT — inputs go
-host->device once, timing wraps block_until_ready, and only scalar
-reductions are fetched. (The dev harness tunnels device->host traffic at
-~35 KB/s; production output paths write from the TPU host directly, so
-bulk d2h is deliberately excluded from the measured path.)
+Design note: all headline stages are DEVICE-RESIDENT — inputs go
+host->device once, timing wraps a scalar-checksum fetch (the only
+reliable completion barrier on the axon relay, whose device->host path
+runs at ~35 KB/s; production output paths write from the TPU-adjacent
+host, so bulk d2h is deliberately excluded from the measured path).
+The EstimateMissingFlow stage is host-orchestrated by design (like the
+reference's) and is reported for regression tracking only.
+
+Honesty notes (BENCH_r01 review items):
+  * the warp stage uses a SMOOTH deformation field (amplitude 12 px,
+    like examples/e2e_alignment.py), not a pure translation;
+  * the warped output is validated against the independent gather
+    sampler on a sub-strip;
+  * flow runs bf16 only after asserting integer-peak parity with f32 on
+    the benchmark data itself.
 
 Baselines (BASELINE.md):
   * north star: >1 Gpix/s/chip combined flow+warp on a 10k² section
@@ -50,6 +60,11 @@ def _time(fn, repeats=1):
 
 def main():
   import jax
+  try:
+    jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+  except Exception:
+    pass
   import jax.numpy as jnp
   from sofima_tpu import flow_field, mesh, warp
 
@@ -74,75 +89,142 @@ def main():
   results = {}
 
   # ---- FLOW: dense grid over the full 10k^2 pair (device resident). ------
-  def run_flow():
+  def run_flow_padfield():
     return flow_field.dense_flow_field(pre, post, (patch, patch),
                                        (stride, stride), batch_size=512)
 
-  flow, t_flow_padfield = _time(run_flow)
+  flow, t_flow_padfield = _time(run_flow_padfield)
   grid = flow.shape[1:]
   results['flow_s_padfield'] = round(t_flow_padfield, 3)
 
-  # Circular-correlation fast path (patch-sized FFTs; identical integer
-  # peaks on textured data) — the production dense-grid mode.
-  def run_flow_circ():
+  # Production dense-grid mode: strip-sliced patches + fused Pallas
+  # DFT-matmul correlation; bf16 matmul inputs gated on f32 parity.
+  def run_flow(bf16):
     return flow_field.dense_flow_field(pre, post, (patch, patch),
-                                       (stride, stride), batch_size=512,
-                                       circular=True, dft_matmul=True)
+                                       (stride, stride), batch_size=256,
+                                       circular=True, dft_matmul=True,
+                                       bf16=bf16)
 
-  flow, t_flow = _time(run_flow_circ)
+  flow_f32, t_flow_f32 = _time(lambda: run_flow(False))
+  flow_b16, t_flow_b16 = _time(lambda: run_flow(True))
+  # Integer-peak parity gate (device-side reduction, scalar fetch).
+  agree = float(jnp.mean(
+      jnp.nan_to_num(flow_f32[0]) == jnp.nan_to_num(flow_b16[0])))
+  results['flow_bf16_peak_agreement'] = round(agree, 5)
+  if agree >= 0.999:
+    flow, t_flow = flow_b16, t_flow_b16
+    results['flow_mode'] = 'circular_dft_bf16'
+  else:
+    flow, t_flow = flow_f32, t_flow_f32
+    results['flow_mode'] = 'circular_dft'
+  results['flow_s_f32'] = round(t_flow_f32, 3)
   med_x = float(jnp.nanmedian(flow[0]))
   med_y = float(jnp.nanmedian(flow[1]))
   results['flow_s'] = round(t_flow, 3)
   results['flow_patches'] = int(np.prod(grid))
   results['flow_median_xy'] = [med_x, med_y]
 
-  # ---- WARP: Lanczos4 render of the full section (device resident). ------
+  # ---- WARP: Lanczos4 render of the full section under a SMOOTH map. -----
+  # Inverse map: the +(7,-12) roll undone, plus a smooth sinusoidal
+  # deformation with 12 px amplitude (a realistic alignment field).
   grid_n = n // stride
-  cmap = np.zeros((1, 2, grid_n, grid_n), np.float32)  # [z, c, my, mx]
-  cmap[:, 0] = -12.0  # inverse map: read from x-12 undoes the +12 roll
-  cmap[:, 1] = 7.0
-  # Absolute inverse map in source pixel coords.
   my, mx = np.mgrid[:grid_n, :grid_n].astype(np.float32)
-  abs_map = cmap.copy()
-  abs_map[:, 0] += mx * stride
-  abs_map[:, 1] += my * stride
-  abs_map_j = jax.device_put(abs_map)
+  amp = 12.0
+  wav = 2000.0 / stride
+  dx = -12.0 + amp * np.sin(2 * np.pi * my / wav)
+  dy = 7.0 + amp * np.cos(2 * np.pi * mx / wav)
+  abs_map = np.zeros((1, 2, grid_n, grid_n), np.float32)
+  abs_map[:, 0] = dx + mx * stride
+  abs_map[:, 1] = dy + my * stride
 
   n_strips = 4
   h = n // n_strips
-  oy = np.arange(h, dtype=np.float32)
-  ox = np.arange(n, dtype=np.float32) / stride
   images = post[None, None]  # [z=1, c=1, y, x]
 
-  strip_grids = []
-  for i in range(n_strips):
-    gy = (oy + i * h) / stride
-    g = np.stack(np.meshgrid(gy, ox, indexing='ij'))
-    strip_grids.append(jax.device_put(g.astype(np.float32)))
+  from sofima_tpu.ops import interp, pallas_warp, shift_warp
+  bounds = shift_warp.displacement_bounds(abs_map[0], None, stride)
+  results['warp_bounds'] = list(bounds)
 
-  from sofima_tpu.ops import interp, pallas_warp
-  bounds = (0, 16, -16, -8)  # tight bucketed displacement (dy=7, dx=-12)
+  abs_map_j = jax.device_put(abs_map[0])
 
   def run_warp():
     outs = []
     for i in range(n_strips):
       dense = interp.upsample_map_linear(
-          jax.device_put(abs_map[0]), stride, (i * h, 0), (h, n))
+          abs_map_j, stride, (i * h, 0), (h, n))
       coords = jnp.stack([dense[1], dense[0]])[None]
       outs.append(pallas_warp.warp_sections_pallas_coords(
           images, coords, 'lanczos', bounds, origin=(i * h, 0)))
     return outs
 
   strips, t_warp = _time(run_warp)
-  # Scalar validation: interior of strip 1 must match the unrolled truth.
-  pre_strip = jax.device_put(pre_np[h:2 * h])
-  err = float(jnp.nanmean(jnp.abs(
-      strips[1][0, 0, :, 200:-200] - pre_strip[:, 200:-200])))
+  # Validation: an independent sampler (gather path) on a small block.
+  vy, vx = h + 256, 1024  # inside strip 1
+  dense_v = interp.upsample_map_linear(abs_map_j, stride, (vy, vx),
+                                       (128, 128))
+  coords_v = jnp.stack([dense_v[1], dense_v[0]])
+  ref_block = interp.sample(post, coords_v, method='lanczos',
+                            mode='constant', cval=0.0)
+  got_block = strips[1][0, 0, vy - h:vy - h + 128, vx:vx + 128]
+  err = float(jnp.nanmean(jnp.abs(got_block - ref_block)))
   results['warp_s'] = round(t_warp, 3)
-  results['warp_mean_err'] = round(err, 4)
+  results['warp_vs_gather_err'] = round(err, 4)
 
   mpix_s = (n * n) / (t_flow + t_warp) / 1e6
   results['combined_mpix_s'] = round(mpix_s, 1)
+
+  # ---- 3D RENDER: shift-decomposed trilinear warp (StitchAndRender path).
+  vol = jax.device_put(rng.rand(64, 1024, 1024).astype(np.float32))
+  zz, yy, xx = np.mgrid[0:64, 0:1024, 0:1024].astype(np.float32)
+  c3 = np.stack([
+      zz + 2.0 * np.sin(2 * np.pi * yy / 512),
+      yy + 6.0 * np.cos(2 * np.pi * xx / 512),
+      xx + 6.0 * np.sin(2 * np.pi * zz / 64),
+  ])
+  coords3 = jax.device_put(c3)
+  del zz, yy, xx, c3
+
+  def run_warp3d():
+    return shift_warp.shift_warp_3d(vol, coords3, 'linear',
+                                    -4, 4, -8, 8, -8, 8)
+
+  _, t_w3 = _time(run_warp3d)
+  results['warp3d_s'] = round(t_w3, 3)
+  results['warp3d_mvox_s'] = round(64 * 1024 * 1024 / t_w3 / 1e6, 1)
+
+  # ---- ESTIMATE MISSING FLOW: host-orchestrated retry stage. -------------
+  # Small scale: the stage is host-loop + relay-latency bound in this dev
+  # harness (production runs on a TPU-adjacent host); tracked for
+  # regressions only.
+  from sofima_tpu.processor import flow as flow_proc
+  from sofima_tpu.processor.defaults import em_2d
+  from sofima_tpu.utils.volume import InMemoryVolume
+  from sofima_tpu.utils.bounding_box import BoundingBox
+  from sofima_tpu.utils.subvolume import Subvolume
+  import dataclasses as _dc
+
+  tex_s = pre_np[:1200, :1200]
+  stack = np.stack([tex_s, np.full_like(tex_s, 128.0),
+                    np.roll(tex_s, 5, axis=1)])
+  cfg = em_2d.estimate_missing_flow_config({
+      'patch_size': 160, 'stride': 40, 'batch_size': 512,
+      'max_delta_z': 2})
+  cfg = _dc.replace(cfg, image_volinfo=InMemoryVolume(
+      stack[None], fill_value=0.0), image_cache_bytes=1 << 28)
+  proc = flow_proc.EstimateMissingFlow(cfg)
+  g = 1200 // 40
+  flow_in = np.full((2, 1, g, g), np.nan, np.float32)
+  sv = Subvolume(flow_in.copy(), BoundingBox(start=(0, 0, 2),
+                                             size=(g, g, 1)))
+  proc.process(sv)  # warmup (compiles)
+  t0 = time.perf_counter()
+  out_missing = proc.process(Subvolume(flow_in.copy(),
+                                       BoundingBox(start=(0, 0, 2),
+                                                   size=(g, g, 1))))
+  t_missing = time.perf_counter() - t0
+  results['estimate_missing_flow_s'] = round(t_missing, 3)
+  results['estimate_missing_filled'] = int(
+      np.isfinite(out_missing.data[0]).sum())
 
   # ---- MESH: relaxation throughput (GLUPS), 2048^2 grid. -----------------
   cfg = mesh.IntegrationConfig(

@@ -623,7 +623,7 @@ def _strip_patches(strip: jnp.ndarray, rows: int, grid_x: int,
     jax.jit,
     static_argnames=['patch_size', 'step', 'mean', 'min_distance',
                      'threshold_rel', 'peak_radius', 'rows_per_step',
-                     'dft_matmul', 'bf16'])
+                     'dft_matmul', 'bf16', 'use_pallas'])
 def _dense_flow_strips(
     pre_image: jnp.ndarray,
     post_image: jnp.ndarray,
@@ -638,6 +638,7 @@ def _dense_flow_strips(
     bf16: bool = False,
     pre_mask: jnp.ndarray | None = None,
     post_mask: jnp.ndarray | None = None,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
   """Dense circular flow over the full grid via strip-sliced patches.
 
@@ -676,15 +677,20 @@ def _dense_flow_strips(
     center = (py // 2, px // 2)
 
     unmasked = pre_mask is None and post_mask is None
-    if (unmasked and dft_matmul
-        and jax.default_backend() in ('tpu', 'axon')):
-      # VMEM-fused kernel: the whole matmul chain without HBM-resident
-      # spectra intermediates (the XLA einsum chain is memory-bound).
+    pallas_ok = (use_pallas if use_pallas is not None
+                 else jax.default_backend() in ('tpu', 'axon'))
+    scalar_params = (not isinstance(min_distance, collections.abc.Sequence)
+                     and not isinstance(peak_radius,
+                                        collections.abc.Sequence))
+    if unmasked and dft_matmul and pallas_ok and scalar_params:
+      # Fully fused VMEM kernel (correlation AND peak stats): the XLA
+      # pipeline is HBM-bound on [b, patch, patch] intermediates; the
+      # kernel writes only the [b, 4] statistics back.
       from sofima_tpu.ops import pallas_flow
-      corr = pallas_flow.corr_patches_pallas(pre_b, post_b, mean=mean,
-                                             bf16=bf16)
-      return _batched_peaks(corr, center, min_distance, threshold_rel,
-                            peak_radius)
+      return pallas_flow.flow_peaks_pallas(
+          pre_b, post_b, mean=mean, bf16=bf16,
+          min_distance=int(min_distance), threshold_rel=threshold_rel,
+          peak_radius=int(peak_radius))
 
     pre_valid = post_valid = None
     if pre_mask is not None:

@@ -27,43 +27,261 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _corr_kernel(a_ref, b_ref, wr1, wi1, fr2, fi2, br2, bi2, out_ref,
-                 *, mean, bf16):
-  """One group of patches: fused circular NCC correlation surfaces."""
+                 *, bf16):
+  """One group of patches: fused circular NCC correlation surfaces.
+
+  All matmuls are batched over the whole group (the per-patch [160, 81]
+  shapes pay mostly fixed MXU pipeline cost): the row-transform runs on
+  [G*n1, n2], the column transforms on [n1, G*h] after an in-VMEM
+  transpose. 18 large matmuls per grid step instead of 12*G small ones.
+  Patches arrive mean-subtracted (rank-3 reductions crash Mosaic; the
+  wrapper folds the mean into the XLA input pipeline).
+  """
   group, n1, n2 = a_ref.shape
+  h = fr2.shape[1]
   in_t = jnp.bfloat16 if bf16 else jnp.float32
 
   def mm(x, y):
     return jnp.dot(x.astype(in_t), y.astype(in_t),
                    preferred_element_type=jnp.float32)
 
+  a = a_ref[:]
+  b = b_ref[:]
+
+  def to_cols(x):
+    # [G*n1, h] -> [n1, G*h] (group the h-blocks per patch side by side).
+    return x.reshape(group, n1, h).transpose(1, 0, 2).reshape(n1,
+                                                              group * h)
+
+  def rdft2(img):
+    flat = img.reshape(group * n1, n2)
+    ar = to_cols(mm(flat, fr2[:]))
+    ai = to_cols(mm(flat, fi2[:]))
+    re = mm(wr1[:], ar) - mm(wi1[:], ai)   # [n1, G*h]
+    im = mm(wr1[:], ai) + mm(wi1[:], ar)
+    return re, im
+
+  pr, pi = rdft2(a)
+  qr, qi = rdft2(b)
+  cr = pr * qr + pi * qi                   # F(a) * conj(F(b))
+  ci = pi * qr - pr * qi
+  gr = (mm(wr1[:], cr) + mm(wi1[:], ci)) / n1
+  gi = (mm(wr1[:], ci) - mm(wi1[:], cr)) / n1
+
+  def from_cols(x):
+    # [n1, G*h] -> [G*n1, h]
+    return x.reshape(n1, group, h).transpose(1, 0, 2).reshape(
+        group * n1, h)
+
+  corr = (mm(from_cols(gr), br2[:]) + mm(from_cols(gi), bi2[:])) / n2
+  corr = corr.reshape(group, n1, n2)
+  # Center the zero-shift bin (matches jnp.roll in the XLA path).
+  corr = pltpu.roll(corr, n1 // 2, 1)
+  corr = pltpu.roll(corr, n2 // 2, 2)
+  out_ref[:] = corr
+
+
+def _shifted(x, s, axis, fill):
+  """x shifted by s along axis, vacated entries = fill (no wraparound)."""
+  n = x.shape[axis]
+  r = pltpu.roll(x, s % n, axis)  # pltpu.roll wants non-negative shifts
+  idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+  if s > 0:
+    bad = idx < s
+  else:
+    bad = idx >= n + s
+  return jnp.where(bad, fill, r)
+
+
+def _peaks_for_patch(x, lin, *, min_distance, threshold_rel, peak_radius,
+                     center):
+  """Top-2 peak statistics for one correlation surface (VPU-only).
+
+  Reproduces flow_field._batched_peaks for one [n1, n2] image without
+  gathers, argmax primitives, or dynamic indexing (none of which lower
+  reliably in Mosaic):
+    * the local-max filter is a separable chain of edge-masked rolls;
+    * argmax becomes max + "first position attaining it" (min over a
+      masked linear-index plane), matching jnp.argmax tie-breaking;
+    * the clamped sharpness window min is a separable VALID min filter
+      read back via a masked reduction at the clamped window start.
+
+  Returns (ox, oy, sharpness, ratio) scalars; NaNs when no peak.
+  """
+  n1, n2 = x.shape
+  neg = jnp.float32(-jnp.inf)
+  pos = jnp.float32(jnp.inf)
+
+  # Separable SAME local-max filter with -inf borders.
+  mx = x
+  for s in range(1, min_distance + 1):
+    mx = jnp.maximum(mx, jnp.maximum(_shifted(x, s, 0, neg),
+                                     _shifted(x, -s, 0, neg)))
+  mx2 = mx
+  for s in range(1, min_distance + 1):
+    mx2 = jnp.maximum(mx2, jnp.maximum(_shifted(mx, s, 1, neg),
+                                       _shifted(mx, -s, 1, neg)))
+
+  thr = threshold_rel * jnp.max(x)
+  cand = jnp.where((x == mx2) & (x > thr), x, neg)
+  val1 = jnp.max(cand)
+  big = jnp.int32(n1 * n2)
+  idx1 = jnp.min(jnp.where(cand == val1, lin, big))
+  py = idx1 // n2
+  px = idx1 % n2
+  val2 = jnp.max(jnp.where(lin == idx1, neg, cand))
+
+  # VALID separable min filter (window 2r+1), then the value at the
+  # clamped window start = the reference's shifted-window min.
+  size = 2 * peak_radius + 1
+  m0 = x
+  for s in range(1, size):
+    m0 = jnp.minimum(m0, _shifted(x, -s, 0, pos))
+  minf = m0
+  for s in range(1, size):
+    minf = jnp.minimum(minf, _shifted(m0, -s, 1, pos))
+  sy = jnp.clip(py - peak_radius, 0, n1 - size)
+  sx = jnp.clip(px - peak_radius, 0, n2 - size)
+  iy = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+  ix = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+  minv = jnp.min(jnp.where((iy == sy) & (ix == sx), minf, pos))
+
+  nan = jnp.float32(jnp.nan)
+  no_peak = jnp.isinf(val1)
+  ox = jnp.where(no_peak, nan, (px - center[1]).astype(jnp.float32))
+  oy = jnp.where(no_peak, nan, (py - center[0]).astype(jnp.float32))
+  sharp = jnp.where(no_peak, nan, val1 / minv)
+  ratio = jnp.where(no_peak, nan,
+                    jnp.where(jnp.isinf(val2), 0.0, val1 / val2))
+  return ox, oy, sharp, ratio
+
+
+def _corr_peaks_kernel(a_ref, b_ref, wr1, wi1, fr2, fi2, br2, bi2,
+                       out_ref, *, bf16, min_distance, threshold_rel,
+                       peak_radius, center):
+  """Fully fused: correlation surfaces AND peak stats, nothing to HBM
+  but the [G, 4] results."""
+  group, n1, n2 = a_ref.shape
+  h = fr2.shape[1]
+  in_t = jnp.bfloat16 if bf16 else jnp.float32
+
+  def mm(x, y):
+    return jnp.dot(x.astype(in_t), y.astype(in_t),
+                   preferred_element_type=jnp.float32)
+
+  def to_cols(x):
+    return x.reshape(group, n1, h).transpose(1, 0, 2).reshape(
+        n1, group * h)
+
+  def rdft2(img):
+    flat = img.reshape(group * n1, n2)
+    ar = to_cols(mm(flat, fr2[:]))
+    ai = to_cols(mm(flat, fi2[:]))
+    re = mm(wr1[:], ar) - mm(wi1[:], ai)
+    im = mm(wr1[:], ai) + mm(wi1[:], ar)
+    return re, im
+
+  pr, pi = rdft2(a_ref[:])
+  qr, qi = rdft2(b_ref[:])
+  cr = pr * qr + pi * qi
+  ci = pi * qr - pr * qi
+  gr = (mm(wr1[:], cr) + mm(wi1[:], ci)) / n1
+  gi = (mm(wr1[:], ci) - mm(wi1[:], cr)) / n1
+
+  def from_cols(x):
+    return x.reshape(n1, group, h).transpose(1, 0, 2).reshape(
+        group * n1, h)
+
+  corr = (mm(from_cols(gr), br2[:]) + mm(from_cols(gi), bi2[:])) / n2
+  corr = corr.reshape(group, n1, n2)
+  corr = pltpu.roll(corr, n1 // 2, 1)
+  corr = pltpu.roll(corr, n2 // 2, 2)
+
+  iy = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
+  ix = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1)
+  lin = iy * n2 + ix
   for g in range(group):
-    a = a_ref[g]
-    b = b_ref[g]
-    if mean is None:
-      a = a - jnp.mean(a)
-      b = b - jnp.mean(b)
-    else:
-      a = a - mean
-      b = b - mean
+    ox, oy, sharp, ratio = _peaks_for_patch(
+        corr[g], lin, min_distance=min_distance,
+        threshold_rel=threshold_rel, peak_radius=peak_radius,
+        center=center)
+    out_ref[g, 0] = ox
+    out_ref[g, 1] = oy
+    out_ref[g, 2] = sharp
+    out_ref[g, 3] = ratio
 
-    def rdft2(img):
-      ar = mm(img, fr2[:])       # [n1, h]
-      ai = mm(img, fi2[:])
-      re = mm(wr1[:], ar) - mm(wi1[:], ai)
-      im = mm(wr1[:], ai) + mm(wi1[:], ar)
-      return re, im
 
-    pr, pi = rdft2(a)
-    qr, qi = rdft2(b)
-    cr = pr * qr + pi * qi       # F(a) * conj(F(b))
-    ci = pi * qr - pr * qi
-    gr = (mm(wr1[:], cr) + mm(wi1[:], ci)) / n1
-    gi = (mm(wr1[:], ci) - mm(wi1[:], cr)) / n1
-    corr = (mm(gr, br2[:]) + mm(gi, bi2[:])) / n2
-    # Center the zero-shift bin (matches jnp.roll in the XLA path).
-    corr = pltpu.roll(corr, n1 // 2, 0)
-    corr = pltpu.roll(corr, n2 // 2, 1)
-    out_ref[g] = corr
+@functools.partial(
+    jax.jit, static_argnames=['mean', 'bf16', 'group', 'min_distance',
+                              'threshold_rel', 'peak_radius', 'interpret'])
+def flow_peaks_pallas(
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    mean: float | None = None,
+    bf16: bool = False,
+    group: int = 8,
+    min_distance: int = 2,
+    threshold_rel: float = 0.5,
+    peak_radius: int = 5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+  """Fused correlation + top-2 peak statistics for a patch batch.
+
+  The end-to-end strip pipeline is HBM-bound: every XLA stage
+  (correlation spectra, max filter, argmax planes, window minima)
+  round-trips [b, 160, 160]-sized arrays. This kernel keeps everything
+  in VMEM and writes only the [n, 4] statistics.
+
+  Returns [n, 4]: x, y offset from center, sharpness, peak ratio —
+  exactly flow_field._batched_peaks' contract for 2d patches.
+  """
+  from sofima_tpu import flow_field
+
+  n, n1, n2 = a.shape
+  if mean is None:
+    a = a - jnp.mean(a, axis=(1, 2), keepdims=True)
+    b = b - jnp.mean(b, axis=(1, 2), keepdims=True)
+  else:
+    a = a - mean
+    b = b - mean
+
+  group = max(1, min(group, n))
+  padded = -(-n // group) * group
+  if padded != n:
+    a = jnp.pad(a, ((0, padded - n), (0, 0), (0, 0)))
+    b = jnp.pad(b, ((0, padded - n), (0, 0), (0, 0)))
+
+  wr1, wi1 = (jnp.asarray(m) for m in flow_field._dft_mats(n1))
+  fr2, fi2, br2, bi2 = flow_field._rdft_mats(n2)
+  h0 = fr2.shape[1]
+  hp = -(-h0 // 128) * 128
+  fr2 = jnp.asarray(np.pad(fr2, ((0, 0), (0, hp - h0))))
+  fi2 = jnp.asarray(np.pad(fi2, ((0, 0), (0, hp - h0))))
+  br2 = jnp.asarray(np.pad(br2, ((0, hp - h0), (0, 0))))
+  bi2 = jnp.asarray(np.pad(bi2, ((0, hp - h0), (0, 0))))
+
+  block = pl.BlockSpec((group, n1, n2), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+  mat = lambda m: pl.BlockSpec(m.shape, lambda i: (0,) * m.ndim,
+                               memory_space=pltpu.VMEM)
+  out = pl.pallas_call(
+      functools.partial(
+          _corr_peaks_kernel, bf16=bf16, min_distance=min_distance,
+          threshold_rel=threshold_rel, peak_radius=peak_radius,
+          center=(n1 // 2, n2 // 2)),
+      grid=(padded // group,),
+      in_specs=[block, block, mat(wr1), mat(wi1), mat(fr2), mat(fi2),
+                mat(br2), mat(bi2)],
+      out_specs=pl.BlockSpec((group, 4), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((padded, 4), jnp.float32),
+      cost_estimate=pl.CostEstimate(
+          flops=12 * n1 * n1 * hp * 2 * padded,
+          bytes_accessed=2 * padded * n1 * n2 * 4,
+          transcendentals=0),
+      interpret=interpret,
+  )(a, b, wr1, wi1, fr2, fi2, br2, bi2)
+  return out[:n]
 
 
 @functools.partial(
@@ -93,6 +311,15 @@ def corr_patches_pallas(
   from sofima_tpu import flow_field
 
   n, n1, n2 = a.shape
+  # Mean subtraction happens here in XLA (it fuses into the input
+  # pipeline; rank-3 reductions inside the kernel crash Mosaic).
+  if mean is None:
+    a = a - jnp.mean(a, axis=(1, 2), keepdims=True)
+    b = b - jnp.mean(b, axis=(1, 2), keepdims=True)
+  else:
+    a = a - mean
+    b = b - mean
+
   group = max(1, min(group, n))
   padded = -(-n // group) * group
   if padded != n:
@@ -100,7 +327,17 @@ def corr_patches_pallas(
     b = jnp.pad(b, ((0, padded - n), (0, 0), (0, 0)))
 
   wr1, wi1 = (jnp.asarray(m) for m in flow_field._dft_mats(n1))
-  fr2, fi2, br2, bi2 = (jnp.asarray(m) for m in flow_field._rdft_mats(n2))
+  fr2, fi2, br2, bi2 = flow_field._rdft_mats(n2)
+  # Pad the half-spectrum axis to the 128-lane tile: Mosaic cannot
+  # shape-cast unaligned lane dims ([G, n1, 81] -> [n1, G*81]), and the
+  # zero rows/columns are mathematically transparent through the whole
+  # cross-power chain.
+  h0 = fr2.shape[1]
+  hp = -(-h0 // 128) * 128
+  fr2 = jnp.asarray(np.pad(fr2, ((0, 0), (0, hp - h0))))
+  fi2 = jnp.asarray(np.pad(fi2, ((0, 0), (0, hp - h0))))
+  br2 = jnp.asarray(np.pad(br2, ((0, hp - h0), (0, 0))))
+  bi2 = jnp.asarray(np.pad(bi2, ((0, hp - h0), (0, 0))))
 
   block = pl.BlockSpec((group, n1, n2), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -108,7 +345,7 @@ def corr_patches_pallas(
                                memory_space=pltpu.VMEM)
   flops_per = 12 * n1 * n1 * (n2 // 2 + 1) * 2
   out = pl.pallas_call(
-      functools.partial(_corr_kernel, mean=mean, bf16=bf16),
+      functools.partial(_corr_kernel, bf16=bf16),
       grid=(padded // group,),
       in_specs=[block, block, mat(wr1), mat(wi1), mat(fr2), mat(fi2),
                 mat(br2), mat(bi2)],

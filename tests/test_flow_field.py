@@ -396,3 +396,32 @@ class TestPallasFlowKernel:
         jnp.asarray(a - 0.5), jnp.asarray(b - 0.5)))
     ref = np.roll(ref, (8, 8), (1, 2))
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+
+  def test_flow_peaks_pallas_matches_batched_peaks(self):
+    import jax.numpy as jnp
+    from sofima_tpu.ops import pallas_flow
+    rng = np.random.RandomState(2)
+    n = 7
+    a = (rng.rand(n, 32, 32) * 100).astype(np.float32)
+    # Plant a strong shifted copy so real peaks exist.
+    b = np.roll(a, (3, -2), (1, 2)).astype(np.float32)
+    got = np.asarray(pallas_flow.flow_peaks_pallas(
+        jnp.asarray(a), jnp.asarray(b), group=4, interpret=True))
+    am = a - a.mean(axis=(1, 2), keepdims=True)
+    bm = b - b.mean(axis=(1, 2), keepdims=True)
+    corr = np.asarray(flow_field._circular_xcorr_matmul(
+        jnp.asarray(am), jnp.asarray(bm)))
+    corr = np.roll(corr, (16, 16), (1, 2))
+    ref = np.asarray(flow_field._batched_peaks(
+        jnp.asarray(corr), (16, 16), min_distance=2, threshold_rel=0.5,
+        peak_radius=5))
+    np.testing.assert_allclose(got[:, :2], ref[:, :2], atol=0)
+    np.testing.assert_allclose(got[:, 2:], ref[:, 2:], rtol=1e-3)
+
+  def test_flow_peaks_pallas_no_peak(self):
+    import jax.numpy as jnp
+    from sofima_tpu.ops import pallas_flow
+    a = np.zeros((2, 16, 16), np.float32)
+    got = np.asarray(pallas_flow.flow_peaks_pallas(
+        jnp.asarray(a), jnp.asarray(a), group=2, interpret=True))
+    assert np.isnan(got).all()
