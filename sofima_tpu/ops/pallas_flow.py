@@ -200,15 +200,21 @@ def _corr_peaks_kernel(a_ref, b_ref, wr1, wi1, fr2, fi2, br2, bi2,
   iy = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
   ix = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1)
   lin = iy * n2 + ix
+  # Mosaic cannot store scalars to VMEM: accumulate the [G, 4] stats
+  # block with masked vector writes and store it once.
+  rid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 0)
+  cid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 1)
+  vals = jnp.zeros((group, 4), jnp.float32)
   for g in range(group):
     ox, oy, sharp, ratio = _peaks_for_patch(
         corr[g], lin, min_distance=min_distance,
         threshold_rel=threshold_rel, peak_radius=peak_radius,
         center=center)
-    out_ref[g, 0] = ox
-    out_ref[g, 1] = oy
-    out_ref[g, 2] = sharp
-    out_ref[g, 3] = ratio
+    row = jnp.where(cid == 0, ox,
+                    jnp.where(cid == 1, oy,
+                              jnp.where(cid == 2, sharp, ratio)))
+    vals = jnp.where(rid == g, row, vals)
+  out_ref[:] = vals
 
 
 @functools.partial(

@@ -87,9 +87,19 @@ def _install_shims():
   con.volume = vol
 
 
+def _bind_on_parent(dotted: str):
+  # `sofima.flow_utils.clean_flow`-style attribute access needs the
+  # submodule bound on its parent package — even when another test file
+  # already loaded the module into sys.modules without binding it.
+  parent, _, leaf = dotted.rpartition('.')
+  if parent in sys.modules:
+    setattr(sys.modules[parent], leaf, sys.modules[dotted])
+
+
 def _load_ref_module(dotted: str, path: str):
   _install_shims()
   if dotted in sys.modules:
+    _bind_on_parent(dotted)
     return sys.modules[dotted]
   if 'sofima' not in sys.modules:
     pkg = types.ModuleType('sofima')
@@ -103,10 +113,7 @@ def _load_ref_module(dotted: str, path: str):
   mod = importlib.util.module_from_spec(spec)
   sys.modules[dotted] = mod
   spec.loader.exec_module(mod)
-  # `sofima.flow_utils.clean_flow`-style attribute access needs the
-  # submodule bound on its parent package.
-  parent, _, leaf = dotted.rpartition('.')
-  setattr(sys.modules[parent], leaf, mod)
+  _bind_on_parent(dotted)
   return mod
 
 
