@@ -623,7 +623,7 @@ def _strip_patches(strip: jnp.ndarray, rows: int, grid_x: int,
     jax.jit,
     static_argnames=['patch_size', 'step', 'mean', 'min_distance',
                      'threshold_rel', 'peak_radius', 'rows_per_step',
-                     'dft_matmul', 'bf16', 'use_pallas'])
+                     'dft_matmul', 'bf16', 'use_pallas', 'pallas_group'])
 def _dense_flow_strips(
     pre_image: jnp.ndarray,
     post_image: jnp.ndarray,
@@ -639,6 +639,7 @@ def _dense_flow_strips(
     pre_mask: jnp.ndarray | None = None,
     post_mask: jnp.ndarray | None = None,
     use_pallas: bool | None = None,
+    pallas_group: int = 8,
 ) -> jnp.ndarray:
   """Dense circular flow over the full grid via strip-sliced patches.
 
@@ -688,7 +689,7 @@ def _dense_flow_strips(
       # kernel writes only the [b, 4] statistics back.
       from sofima_tpu.ops import pallas_flow
       return pallas_flow.flow_peaks_pallas(
-          pre_b, post_b, mean=mean, bf16=bf16,
+          pre_b, post_b, mean=mean, bf16=bf16, group=pallas_group,
           min_distance=int(min_distance), threshold_rel=threshold_rel,
           peak_radius=int(peak_radius))
 
@@ -792,6 +793,22 @@ def dense_flow_field(
   if (circular and ndim == 2 and post_patch_size == patch_size
       and patch_size[0] % step[0] == 0 and patch_size[1] % step[1] == 0
       and pre_image.shape == post_image.shape):
+    pallas_ok = jax.default_backend() in ('tpu', 'axon')
+    scalar_params = (not isinstance(min_distance, collections.abc.Sequence)
+                     and not isinstance(peak_radius,
+                                        collections.abc.Sequence))
+    if (pallas_ok and scalar_params and dft_matmul
+        and pre_mask is None and post_mask is None
+        and step[0] % 8 == 0 and patch_size[0] % 8 == 0):
+      # Single-dispatch full-grid kernel: window DMA + in-VMEM patch
+      # assembly + DFT-matmul correlation + peak stats, one pallas_call.
+      from sofima_tpu.ops import pallas_flow
+      return pallas_flow.dense_flow_peaks_pallas(
+          jnp.asarray(pre_image, jnp.float32),
+          jnp.asarray(post_image, jnp.float32),
+          patch_size, step, mean=mean, bf16=bf16,
+          min_distance=int(min_distance), threshold_rel=threshold_rel,
+          peak_radius=int(peak_radius))
     rows = max(1, min(int(grid[0]),
                       int(round(batch_size / max(int(grid[1]), 1))) or 1))
     return _dense_flow_strips(

@@ -103,8 +103,10 @@ def _peaks_for_patch(x, lin, *, min_distance, threshold_rel, peak_radius,
     * the local-max filter is a separable chain of edge-masked rolls;
     * argmax becomes max + "first position attaining it" (min over a
       masked linear-index plane), matching jnp.argmax tie-breaking;
-    * the clamped sharpness window min is a separable VALID min filter
-      read back via a masked reduction at the clamped window start.
+    * the clamped sharpness window min is a single masked reduction
+      over the iota-derived window membership plane (only ONE window
+      value is ever read, so a full min *filter* would be ~15x more
+      VPU work for the same scalar).
 
   Returns (ox, oy, sharpness, ratio) scalars; NaNs when no peak.
   """
@@ -131,20 +133,17 @@ def _peaks_for_patch(x, lin, *, min_distance, threshold_rel, peak_radius,
   px = idx1 % n2
   val2 = jnp.max(jnp.where(lin == idx1, neg, cand))
 
-  # VALID separable min filter (window 2r+1), then the value at the
-  # clamped window start = the reference's shifted-window min.
+  # Min within the CLAMPED (2r+1)^2 window around the peak — a masked
+  # reduction over window membership (matches the reference's
+  # dynamic_slice window semantics exactly).
   size = 2 * peak_radius + 1
-  m0 = x
-  for s in range(1, size):
-    m0 = jnp.minimum(m0, _shifted(x, -s, 0, pos))
-  minf = m0
-  for s in range(1, size):
-    minf = jnp.minimum(minf, _shifted(m0, -s, 1, pos))
   sy = jnp.clip(py - peak_radius, 0, n1 - size)
   sx = jnp.clip(px - peak_radius, 0, n2 - size)
-  iy = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-  ix = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-  minv = jnp.min(jnp.where((iy == sy) & (ix == sx), minf, pos))
+  iy = lin // n2
+  ix = lin - iy * n2
+  inwin = ((iy >= sy) & (iy < sy + size)
+           & (ix >= sx) & (ix < sx + size))
+  minv = jnp.min(jnp.where(inwin, x, pos))
 
   nan = jnp.float32(jnp.nan)
   no_peak = jnp.isinf(val1)
@@ -161,7 +160,16 @@ def _corr_peaks_kernel(a_ref, b_ref, wr1, wi1, fr2, fi2, br2, bi2,
                        peak_radius, center):
   """Fully fused: correlation surfaces AND peak stats, nothing to HBM
   but the [G, 4] results."""
-  group, n1, n2 = a_ref.shape
+  out_ref[:] = _corr_peaks_values(
+      a_ref[:], b_ref[:], wr1[:], wi1[:], fr2[:], fi2[:], br2[:], bi2[:],
+      bf16=bf16, min_distance=min_distance, threshold_rel=threshold_rel,
+      peak_radius=peak_radius, center=center)
+
+
+def _corr_peaks_values(a, b, wr1, wi1, fr2, fi2, br2, bi2, *, bf16,
+                       min_distance, threshold_rel, peak_radius, center):
+  """[G, n1, n2] patch values -> [G, 4] peak statistics, all in VMEM."""
+  group, n1, n2 = a.shape
   h = fr2.shape[1]
   in_t = jnp.bfloat16 if bf16 else jnp.float32
 
@@ -175,24 +183,24 @@ def _corr_peaks_kernel(a_ref, b_ref, wr1, wi1, fr2, fi2, br2, bi2,
 
   def rdft2(img):
     flat = img.reshape(group * n1, n2)
-    ar = to_cols(mm(flat, fr2[:]))
-    ai = to_cols(mm(flat, fi2[:]))
-    re = mm(wr1[:], ar) - mm(wi1[:], ai)
-    im = mm(wr1[:], ai) + mm(wi1[:], ar)
+    ar = to_cols(mm(flat, fr2))
+    ai = to_cols(mm(flat, fi2))
+    re = mm(wr1, ar) - mm(wi1, ai)
+    im = mm(wr1, ai) + mm(wi1, ar)
     return re, im
 
-  pr, pi = rdft2(a_ref[:])
-  qr, qi = rdft2(b_ref[:])
+  pr, pi = rdft2(a)
+  qr, qi = rdft2(b)
   cr = pr * qr + pi * qi
   ci = pi * qr - pr * qi
-  gr = (mm(wr1[:], cr) + mm(wi1[:], ci)) / n1
-  gi = (mm(wr1[:], ci) - mm(wi1[:], cr)) / n1
+  gr = (mm(wr1, cr) + mm(wi1, ci)) / n1
+  gi = (mm(wr1, ci) - mm(wi1, cr)) / n1
 
   def from_cols(x):
     return x.reshape(n1, group, h).transpose(1, 0, 2).reshape(
         group * n1, h)
 
-  corr = (mm(from_cols(gr), br2[:]) + mm(from_cols(gi), bi2[:])) / n2
+  corr = (mm(from_cols(gr), br2) + mm(from_cols(gi), bi2)) / n2
   corr = corr.reshape(group, n1, n2)
   corr = pltpu.roll(corr, n1 // 2, 1)
   corr = pltpu.roll(corr, n2 // 2, 2)
@@ -214,7 +222,146 @@ def _corr_peaks_kernel(a_ref, b_ref, wr1, wi1, fr2, fi2, br2, bi2,
                     jnp.where(cid == 1, oy,
                               jnp.where(cid == 2, sharp, ratio)))
     vals = jnp.where(rid == g, row, vals)
-  out_ref[:] = vals
+  return vals
+
+
+def _grid_kernel(pre_hbm, post_hbm, wr1, wi1, fr2, fi2, br2, bi2,
+                 out_ref, win_a, win_b, sem_a, sem_b, *, group, py, px,
+                 sy, sx, win_c, mean, bf16, min_distance, threshold_rel,
+                 peak_radius):
+  """One (grid row, patch group): window DMA + in-VMEM patch assembly.
+
+  Replaces the XLA strip glue (_strip_patches), whose [b, py, px] patch
+  batches round-tripped ~16x the image volume through HBM (~100 GB on a
+  10k^2 run, the measured bottleneck). Here the group's image window
+  (group*sx + px - sx columns) is DMA'd once and the 4x-overlapping
+  patches are cut as static VMEM slices — HBM reads drop to the ~4x
+  inherent window overlap.
+  """
+  r = pl.program_id(0)
+  g = pl.program_id(1)
+  row0 = r * sy
+  col0 = g * (group * sx)
+  cp_a = pltpu.make_async_copy(
+      pre_hbm.at[pl.ds(row0, py), pl.ds(col0, win_c)], win_a, sem_a)
+  cp_b = pltpu.make_async_copy(
+      post_hbm.at[pl.ds(row0, py), pl.ds(col0, win_c)], win_b, sem_b)
+  cp_a.start()
+  cp_b.start()
+  cp_a.wait()
+  cp_b.wait()
+
+  def patches(win):
+    full = win[:]
+    parts = []
+    for i in range(group):
+      p = jax.lax.slice(full, (0, i * sx), (py, i * sx + px))
+      if mean is None:
+        p = p - jnp.mean(p)
+      else:
+        p = p - mean
+      parts.append(p)
+    return jnp.stack(parts)
+
+  out_ref[0, 0] = _corr_peaks_values(
+      patches(win_a), patches(win_b), wr1[:], wi1[:], fr2[:], fi2[:],
+      br2[:], bi2[:], bf16=bf16, min_distance=min_distance,
+      threshold_rel=threshold_rel, peak_radius=peak_radius,
+      center=(py // 2, px // 2))
+
+
+@functools.partial(
+    jax.jit, static_argnames=['patch_size', 'step', 'mean', 'bf16',
+                              'group', 'min_distance', 'threshold_rel',
+                              'peak_radius', 'interpret'])
+def dense_flow_peaks_pallas(
+    pre_image: jnp.ndarray,
+    post_image: jnp.ndarray,
+    patch_size: tuple[int, int] = (160, 160),
+    step: tuple[int, int] = (40, 40),
+    mean: float | None = None,
+    bf16: bool = False,
+    group: int | None = None,
+    min_distance: int = 2,
+    threshold_rel: float = 0.5,
+    peak_radius: int = 5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+  """Dense-grid flow peaks over a full image pair in ONE pallas_call.
+
+  The entire hot path — window DMA, patch assembly, mean subtraction,
+  DFT-matmul circular correlation, peak statistics — runs in VMEM; HBM
+  traffic is one ~4x-overlapped read of each image plus the [4, gy, gx]
+  result. Requires sy % 8 == 0, py % 8 == 0 and group*sx % 128 == 0
+  (alignment of the DMA windows); group is auto-picked when None.
+
+  Returns [4, gy, gx] (x, y, sharpness, ratio) like
+  flow_field._dense_flow_strips.
+  """
+  from sofima_tpu import flow_field
+
+  py, px = patch_size
+  sy, sx = step
+  h, w = pre_image.shape
+  gy = (h - (py - sy)) // sy
+  gx = (w - (px - sx)) // sx
+  if group is None:
+    # Smallest multiple of 128/gcd(sx, 128) >= 8 keeps DMA starts
+    # lane-aligned with a reasonable VMEM working set.
+    unit = 128 // int(np.gcd(sx, 128))
+    group = max(unit, ((8 + unit - 1) // unit) * unit)
+  assert (group * sx) % 128 == 0, (group, sx)
+  assert sy % 8 == 0 and py % 8 == 0, (sy, py)
+
+  ngroups = -(-gx // group)
+  win_c = -(-((group - 1) * sx + px) // 128) * 128
+  pad_h = max((gy - 1) * sy + py - h, 0)
+  pad_w = max((ngroups - 1) * group * sx + win_c - w, 0)
+  pre = jnp.pad(pre_image.astype(jnp.float32), ((0, pad_h), (0, pad_w)))
+  post = jnp.pad(post_image.astype(jnp.float32), ((0, pad_h), (0, pad_w)))
+
+  wr1, wi1 = (jnp.asarray(m) for m in flow_field._dft_mats(py))
+  fr2, fi2, br2, bi2 = flow_field._rdft_mats(px)
+  h0 = fr2.shape[1]
+  hp = -(-h0 // 128) * 128
+  fr2 = jnp.asarray(np.pad(fr2, ((0, 0), (0, hp - h0))))
+  fi2 = jnp.asarray(np.pad(fi2, ((0, 0), (0, hp - h0))))
+  br2 = jnp.asarray(np.pad(br2, ((0, hp - h0), (0, 0))))
+  bi2 = jnp.asarray(np.pad(bi2, ((0, hp - h0), (0, 0))))
+
+  mat = lambda m: pl.BlockSpec(m.shape, lambda r, g: (0,) * m.ndim,
+                               memory_space=pltpu.VMEM)
+  kernel = functools.partial(
+      _grid_kernel, group=group, py=py, px=px, sy=sy, sx=sx, win_c=win_c,
+      mean=mean, bf16=bf16, min_distance=min_distance,
+      threshold_rel=threshold_rel, peak_radius=peak_radius)
+  out = pl.pallas_call(
+      kernel,
+      grid=(gy, ngroups),
+      in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                mat(wr1), mat(wi1), mat(fr2), mat(fi2), mat(br2),
+                mat(bi2)],
+      out_specs=pl.BlockSpec((1, 1, group, 4), lambda r, g: (r, g, 0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((gy, ngroups, group, 4),
+                                     jnp.float32),
+      scratch_shapes=[
+          pltpu.VMEM((py, win_c), jnp.float32),
+          pltpu.VMEM((py, win_c), jnp.float32),
+          pltpu.SemaphoreType.DMA,
+          pltpu.SemaphoreType.DMA,
+      ],
+      cost_estimate=pl.CostEstimate(
+          flops=12 * py * py * hp * 2 * gy * ngroups * group,
+          bytes_accessed=2 * gy * ngroups * py * win_c * 4,
+          transcendentals=0),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=interpret,
+  )(pre, post, wr1, wi1, fr2, fi2, br2, bi2)
+  out = out.reshape(gy, ngroups * group, 4)[:, :gx]
+  return jnp.moveaxis(out, -1, 0)
 
 
 @functools.partial(
@@ -285,6 +432,10 @@ def flow_peaks_pallas(
           flops=12 * n1 * n1 * hp * 2 * padded,
           bytes_accessed=2 * padded * n1 * n2 * 4,
           transcendentals=0),
+      # Larger groups exceed Mosaic's default 16 MB scoped-VMEM budget;
+      # physical VMEM is 128 MB.
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
   )(a, b, wr1, wi1, fr2, fi2, br2, bi2)
   return out[:n]
@@ -361,6 +512,8 @@ def corr_patches_pallas(
           flops=flops_per * padded,
           bytes_accessed=(2 * padded * n1 * n2 * 4) * 2,
           transcendentals=0),
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
   )(a, b, wr1, wi1, fr2, fi2, br2, bi2)
   return out[:n]

@@ -185,8 +185,18 @@ def shift_warp_2d(
 
 def displacement_bounds(abs_map: np.ndarray, map_grid_coords: np.ndarray,
                         stride: float = 1.0,
-                        bucket: int = 8) -> tuple[int, int, int, int]:
+                        bucket: int = 8,
+                        edge_nodes: int = 2) -> tuple[int, int, int, int]:
   """Static displacement bounds from a (small) absolute coordinate map.
+
+  Exact for linearly densified maps: at any output pixel the dense
+  displacement (sample position minus output position) is a bilinear
+  CONVEX combination of per-node displacements, so the node extrema
+  bound it tightly. Beyond the last node, linear edge extrapolation
+  (interp.upsample_map_linear's behavior) extends each displacement by
+  its own edge gradient — covered by extending the node arrays the same
+  way before taking extrema. A wide pad here directly inflates the shift
+  lattice (ry*rx kernel iterations), so tight matters.
 
   Args:
     abs_map: [2, my, mx] absolute source positions at map nodes (x, y
@@ -195,6 +205,8 @@ def displacement_bounds(abs_map: np.ndarray, map_grid_coords: np.ndarray,
     stride: map node spacing in pixels
     bucket: bounds are rounded outward to multiples of this to limit the
       number of distinct compiled programs
+    edge_nodes: extrapolated nodes per axis edge (covers output extents
+      up to edge_nodes*stride past the last map node)
 
   Returns:
     (dy_lo, dy_hi, dx_lo, dx_hi) conservative inclusive bounds
@@ -203,9 +215,28 @@ def displacement_bounds(abs_map: np.ndarray, map_grid_coords: np.ndarray,
   my, mx = abs_map.shape[1:]
   node_y = np.arange(my, dtype=np.float64)[:, None] * stride
   node_x = np.arange(mx, dtype=np.float64)[None, :] * stride
-  dy = abs_map[1] - node_y
-  dx = abs_map[0] - node_x
-  pad = stride  # densification can locally exceed node values by < stride
+  return displacement_bounds_from_disp(abs_map[1] - node_y,
+                                       abs_map[0] - node_x,
+                                       bucket=bucket, edge_nodes=edge_nodes)
+
+
+def displacement_bounds_from_disp(
+    disp_y: np.ndarray, disp_x: np.ndarray, bucket: int = 8,
+    edge_nodes: int = 2, pad: float = 1.0) -> tuple[int, int, int, int]:
+  """Bounds from per-node displacement arrays ([..., my, mx], any batch
+  dims). See displacement_bounds for the convexity/extrapolation math."""
+
+  def extend(d, axis):
+    last = np.take(d, [-1], axis=axis)
+    prev = np.take(d, [-2], axis=axis)
+    grad = last - prev
+    ext = [last + (k + 1) * grad for k in range(edge_nodes)]
+    return np.concatenate([d] + ext, axis=axis)
+
+  for axis in (-2, -1):
+    if disp_y.shape[axis] >= 2:
+      disp_y = extend(disp_y, axis)
+      disp_x = extend(disp_x, axis)
 
   def lo(v):
     return int(np.floor((np.nanmin(v) - pad) / bucket) * bucket)
@@ -213,7 +244,7 @@ def displacement_bounds(abs_map: np.ndarray, map_grid_coords: np.ndarray,
   def hi(v):
     return int(np.ceil((np.nanmax(v) + pad) / bucket) * bucket)
 
-  return lo(dy), hi(dy), lo(dx), hi(dx)
+  return lo(disp_y), hi(disp_y), lo(disp_x), hi(disp_x)
 
 
 # Maximum displacement range (per axis) for which the single-lattice

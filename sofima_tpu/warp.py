@@ -173,15 +173,6 @@ def warp_subvolume(
              + map_box.start[0]) * stride - image_box.start[0])
   disp_y = abs_map[1] - node_y[None, :, None]
   disp_x = abs_map[0] - node_x[None, None, :]
-  bucket = 8
-
-  def _bounds(v):
-    # Bilinear densification never exceeds the node-value hull; a small
-    # pad covers edge extrapolation; bucketing bounds recompiles.
-    lo = np.nanmin(v) - 4
-    hi = np.nanmax(v) + 4
-    return (int(np.floor(lo / bucket) * bucket),
-            int(np.ceil(hi / bucket) * bucket))
 
   origin_y = float(out_box.start[1] - image_box.start[1] - offset)
   origin_x = float(out_box.start[0] - image_box.start[0] - offset)
@@ -191,8 +182,10 @@ def warp_subvolume(
   use_shift = shift_ok
   tiled_plan = None
   if use_shift:
-    dy_lo, dy_hi = _bounds(disp_y)
-    dx_lo, dx_hi = _bounds(disp_x)
+    # Exact node-hull bounds (linear densification is a convex
+    # combination of node displacements + linear edge extrapolation).
+    dy_lo, dy_hi, dx_lo, dx_hi = shift_warp.displacement_bounds_from_disp(
+        disp_y, disp_x)
     use_shift = (
         max(dy_hi - dy_lo, dx_hi - dx_lo) <= shift_warp.MAX_SHIFT_RANGE
         and shift_warp.shift_path_profitable(dy_hi - dy_lo,

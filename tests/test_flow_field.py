@@ -425,3 +425,29 @@ class TestPallasFlowKernel:
     got = np.asarray(pallas_flow.flow_peaks_pallas(
         jnp.asarray(a), jnp.asarray(a), group=2, interpret=True))
     assert np.isnan(got).all()
+
+  def test_dense_flow_peaks_pallas_matches_strips(self):
+    """Full-grid kernel (window DMA + in-VMEM patch assembly) vs the
+    XLA strip pipeline, including the clamped last group."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(3)
+    n = 360  # gy = gx = (360 - 120) // 40 = 6, one partial group
+    noise = rng.rand(n, n).astype(np.float32)
+    f = np.fft.rfft2(noise)
+    fy = np.fft.fftfreq(n)[:, None]
+    fx = np.fft.rfftfreq(n)[None, :]
+    f *= np.exp(-((fx**2 + fy**2) / (2 * 0.08**2)))
+    pre = (np.fft.irfft2(f, s=(n, n)) * 255).astype(np.float32)
+    post = np.roll(pre, (4, -6), (0, 1))
+
+    from sofima_tpu.ops import pallas_flow
+    got = np.asarray(pallas_flow.dense_flow_peaks_pallas(
+        jnp.asarray(pre), jnp.asarray(post), (160, 160), (40, 40),
+        interpret=True))
+    ref = np.asarray(flow_field._dense_flow_strips(
+        jnp.asarray(pre), jnp.asarray(post), (160, 160), (40, 40),
+        None, 2, 0.5, 5, rows_per_step=2, dft_matmul=True,
+        use_pallas=False))
+    assert got.shape == ref.shape == (4, 6, 6)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4,
+                               equal_nan=True)
