@@ -185,8 +185,10 @@ def main():
   del zz, yy, xx, c3
 
   def run_warp3d():
-    return shift_warp.shift_warp_3d(vol, coords3, 'linear',
-                                    -4, 4, -8, 8, -8, 8)
+    # VMEM-tile Pallas kernel — the 3d path ndimage_warp /
+    # StitchAndRender3dTiles ride on TPU.
+    return pallas_warp.pallas_shift_warp_3d(vol, coords3, 'linear',
+                                            -4, 4, -8, 8, -8, 8)
 
   _, t_w3 = _time(run_warp3d)
   results['warp3d_s'] = round(t_w3, 3)

@@ -168,40 +168,35 @@ def _corr_peaks_kernel(a_ref, b_ref, wr1, wi1, fr2, fi2, br2, bi2,
 
 def _corr_peaks_values(a, b, wr1, wi1, fr2, fi2, br2, bi2, *, bf16,
                        min_distance, threshold_rel, peak_radius, center):
-  """[G, n1, n2] patch values -> [G, 4] peak statistics, all in VMEM."""
+  """[G, n1, n2] patch values -> [G, 4] peak statistics, all in VMEM.
+
+  The correlation runs as PER-PATCH matmuls: batching patches into
+  grouped [n1, G*h] operands needs four in-VMEM transposes per image
+  whose shuffle cost exceeds the matmul pipeline savings (measured
+  0.21s -> 0.17s on the 10k^2 dense grid by dropping them).
+  """
   group, n1, n2 = a.shape
-  h = fr2.shape[1]
   in_t = jnp.bfloat16 if bf16 else jnp.float32
 
   def mm(x, y):
     return jnp.dot(x.astype(in_t), y.astype(in_t),
                    preferred_element_type=jnp.float32)
 
-  def to_cols(x):
-    return x.reshape(group, n1, h).transpose(1, 0, 2).reshape(
-        n1, group * h)
+  def corr_one(ag, bg):
+    def rdft2(img):
+      ar = mm(img, fr2)
+      ai = mm(img, fi2)
+      return mm(wr1, ar) - mm(wi1, ai), mm(wr1, ai) + mm(wi1, ar)
 
-  def rdft2(img):
-    flat = img.reshape(group * n1, n2)
-    ar = to_cols(mm(flat, fr2))
-    ai = to_cols(mm(flat, fi2))
-    re = mm(wr1, ar) - mm(wi1, ai)
-    im = mm(wr1, ai) + mm(wi1, ar)
-    return re, im
+    pr, pi = rdft2(ag)
+    qr, qi = rdft2(bg)
+    cr = pr * qr + pi * qi
+    ci = pi * qr - pr * qi
+    gr = (mm(wr1, cr) + mm(wi1, ci)) / n1
+    gi = (mm(wr1, ci) - mm(wi1, cr)) / n1
+    return (mm(gr, br2) + mm(gi, bi2)) / n2
 
-  pr, pi = rdft2(a)
-  qr, qi = rdft2(b)
-  cr = pr * qr + pi * qi
-  ci = pi * qr - pr * qi
-  gr = (mm(wr1, cr) + mm(wi1, ci)) / n1
-  gi = (mm(wr1, ci) - mm(wi1, cr)) / n1
-
-  def from_cols(x):
-    return x.reshape(n1, group, h).transpose(1, 0, 2).reshape(
-        group * n1, h)
-
-  corr = (mm(from_cols(gr), br2) + mm(from_cols(gi), bi2)) / n2
-  corr = corr.reshape(group, n1, n2)
+  corr = jnp.stack([corr_one(a[g], b[g]) for g in range(group)])
   corr = pltpu.roll(corr, n1 // 2, 1)
   corr = pltpu.roll(corr, n2 // 2, 2)
 

@@ -183,9 +183,355 @@ def pallas_shift_warp(
           pltpu.VMEM((win_r, win_c), jnp.float32),
           pltpu.SemaphoreType.DMA,
       ],
+      # Wide shift lattices (large ry*rx from big displacement bounds)
+      # push Mosaic's scheduler past the default 16 MB scoped-VMEM
+      # budget; the physical VMEM is 128 MB, so raise the cap.
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
   )(coords_pad, padded)
   return out[:, 0, :oy, :ox]
+
+
+def _warp_tiled_kernel(bases_ref, coords_ref, img_hbm, out_ref, window,
+                       sem, *, method, sy0, ry, sx0, rx, tile_y, tile_x,
+                       win_r, win_c, origin_y, origin_x, pad_top,
+                       pad_lft):
+  """Tiled twin of _warp_kernel: per-tile integer base displacements.
+
+  The base (from the host-side tiled_shift_plan) removes the tile's bulk
+  displacement, so the static lattice only spans the LOCAL variation —
+  independent of the warp's global magnitude. DMA starts are rounded
+  down to the (8, 128) f32 tiling and the window is realigned with two
+  dynamic in-VMEM rolls (Mosaic requires aligned DMA starts; the base is
+  an arbitrary integer).
+  """
+  z = pl.program_id(0)
+  iy = pl.program_id(1)
+  ix = pl.program_id(2)
+  by = bases_ref[0, 0, 0, 0]
+  bx = bases_ref[0, 0, 0, 1]
+
+  row_raw = pad_top + origin_y + iy * tile_y + by + sy0
+  col_raw = pad_lft + origin_x + ix * tile_x + bx + sx0
+  row_al = (row_raw // 8) * 8
+  col_al = (col_raw // 128) * 128
+  off_y = row_raw - row_al
+  off_x = col_raw - col_al
+  copy = pltpu.make_async_copy(
+      img_hbm.at[z, pl.ds(row_al, win_r), pl.ds(col_al, win_c)], window,
+      sem)
+  copy.start()
+
+  gy = (jax.lax.broadcasted_iota(jnp.int32, (tile_y, tile_x), 0)
+        .astype(jnp.float32) + (iy * tile_y + origin_y))
+  gx = (jax.lax.broadcasted_iota(jnp.int32, (tile_y, tile_x), 1)
+        .astype(jnp.float32) + (ix * tile_x + origin_x))
+  dy = coords_ref[0, 0] - gy - by.astype(jnp.float32)
+  dx = coords_ref[0, 1] - gx - bx.astype(jnp.float32)
+
+  planes_y = _weight_planes(dy, method)
+  planes_x = _weight_planes(dx, method)
+
+  copy.wait()
+  win = window[:]
+  # Realign: shift content left/up by the alignment residues.
+  win = pltpu.roll(win, (win_r - off_y) % win_r, 0)
+  win = pltpu.roll(win, (win_c - off_x) % win_c, 1)
+
+  acc = jnp.zeros((tile_y, tile_x), jnp.float32)
+  norm_y = jnp.zeros((tile_y, tile_x), jnp.float32)
+  for i in range(ry):
+    w_y = _weight_at(dy, planes_y, sy0 + i, method)
+    norm_y = norm_y + w_y
+    inner = jnp.zeros((tile_y, tile_x), jnp.float32)
+    for j in range(rx):
+      w_x = _weight_at(dx, planes_x, sx0 + j, method)
+      inner = inner + w_x * jax.lax.slice(
+          win, (i, j), (i + tile_y, j + tile_x))
+    acc = acc + w_y * inner
+
+  if method == 'lanczos':
+    norm_x = jnp.zeros((tile_y, tile_x), jnp.float32)
+    for j in range(rx):
+      norm_x = norm_x + _weight_at(dx, planes_x, sx0 + j, method)
+    acc = acc / jnp.maximum(norm_y * norm_x, 1e-12)
+  out_ref[0, 0] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=['method', 'ry_lo', 'ry_hi', 'rx_lo', 'rx_hi',
+                     'by_lo', 'by_hi', 'bx_lo', 'bx_hi', 'tile_y',
+                     'tile_x', 'origin_y', 'origin_x', 'interpret'])
+def pallas_shift_warp_tiled(
+    images: jnp.ndarray,
+    coords: jnp.ndarray,
+    bases: jnp.ndarray,
+    method: str,
+    ry_lo: int, ry_hi: int, rx_lo: int, rx_hi: int,
+    by_lo: int, by_hi: int, bx_lo: int, bx_hi: int,
+    tile_y: int, tile_x: int,
+    origin_y: int = 0, origin_x: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+  """Warps [z, h, w] images with per-tile base displacements, in VMEM.
+
+  Pallas twin of shift_warp.shift_warp_2d_tiled (same plan contract:
+  bases from tiled_shift_plan, static residual + base bounds).
+
+  Args:
+    images: [z, h, w] source sections
+    coords: [z, 2, oy, ox] (y, x) sampling positions in image coords
+    bases: int32 [z, nty, ntx, 2] per-tile (y, x) base displacements
+    ry_lo..rx_hi: static residual-displacement bounds
+    by_lo..bx_hi: static bounds over all bases (sets image padding)
+    tile_y/tile_x: plan tile shape (tile_y % 8 == 0, tile_x % 128 == 0)
+    origin_y/origin_x: image coordinate of output pixel (0, 0)
+
+  Returns:
+    [z, oy, ox] warped output (0 outside image/bounds/NaN coords)
+  """
+  nz, oy, ox = coords.shape[0], coords.shape[2], coords.shape[3]
+  assert tile_y % 8 == 0 and tile_x % 128 == 0, (tile_y, tile_x)
+  left = _LEFT[method]
+  taps = _TAPS[method]
+  sy0 = ry_lo - left
+  sy1 = ry_hi + (taps - 1 - left)
+  sx0 = rx_lo - left
+  sx1 = rx_hi + (taps - 1 - left)
+  ry = sy1 - sy0 + 1
+  rx = sx1 - sx0 + 1
+
+  nty = -(-oy // tile_y)
+  ntx = -(-ox // tile_x)
+  # +8 / +128: room for the alignment-rounding residues.
+  win_r = -(-(tile_y + ry - 1 + 8) // 8) * 8
+  win_c = -(-(tile_x + rx - 1 + 128) // 128) * 128
+
+  h, w = images.shape[1:]
+  pad_top = max(-(origin_y + by_lo + sy0), 0) + 8
+  pad_lft = max(-(origin_x + bx_lo + sx0), 0) + 128
+  pad_bot = max(origin_y + (nty - 1) * tile_y + by_hi + sy0 + win_r - h,
+                0) + 8
+  pad_rgt = max(origin_x + (ntx - 1) * tile_x + bx_hi + sx0 + win_c - w,
+                0) + 128
+  padded = jnp.pad(images.astype(jnp.float32),
+                   ((0, 0), (pad_top, pad_bot), (pad_lft, pad_rgt)))
+
+  coords_pad = jnp.pad(
+      jnp.nan_to_num(coords.astype(jnp.float32), nan=1e9),
+      ((0, 0), (0, 0), (0, nty * tile_y - oy), (0, ntx * tile_x - ox)),
+      constant_values=1e9)
+
+  kernel = functools.partial(
+      _warp_tiled_kernel, method=method, sy0=sy0, ry=ry, sx0=sx0, rx=rx,
+      tile_y=tile_y, tile_x=tile_x, win_r=win_r, win_c=win_c,
+      origin_y=origin_y, origin_x=origin_x, pad_top=pad_top,
+      pad_lft=pad_lft)
+
+  out = pl.pallas_call(
+      kernel,
+      grid=(nz, nty, ntx),
+      in_specs=[
+          pl.BlockSpec((1, 1, 1, 2), lambda z, iy, ix: (z, iy, ix, 0),
+                       memory_space=pltpu.SMEM),
+          pl.BlockSpec((1, 2, tile_y, tile_x),
+                       lambda z, iy, ix: (z, 0, iy, ix),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec(memory_space=pl.ANY),
+      ],
+      out_specs=pl.BlockSpec((1, 1, tile_y, tile_x),
+                             lambda z, iy, ix: (z, 0, iy, ix),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((nz, 1, nty * tile_y, ntx * tile_x),
+                                     jnp.float32),
+      scratch_shapes=[
+          pltpu.VMEM((win_r, win_c), jnp.float32),
+          pltpu.SemaphoreType.DMA,
+      ],
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=interpret,
+  )(bases.astype(jnp.int32), coords_pad, padded)
+  return out[:, 0, :oy, :ox]
+
+
+def _warp3d_kernel(coords_ref, vol_hbm, out_ref, window, sem, *, method,
+                   s0, rz, ry, rx, tile, win_shape, origin, pads):
+  """One output tile of the 3d shift-decomposed warp, VMEM-resident.
+
+  3d twin of _warp_kernel: one halo-window DMA per tile, then the
+  statically-unrolled (rz, ry, rx) shift lattice runs on the VPU with
+  per-axis weight planes. Replaces shift_warp_3d's fori_loop, which
+  re-reads the full padded volume from HBM on every lattice iteration
+  (the measured 3d rendering bottleneck).
+  """
+  iz = pl.program_id(0)
+  iy = pl.program_id(1)
+  ix = pl.program_id(2)
+  td, th, tw = tile
+
+  z0 = pads[0] + origin[0] + iz * td + s0[0]
+  y0 = pads[1] + origin[1] + iy * th + s0[1]
+  x0 = pads[2] + origin[2] + ix * tw + s0[2]
+  copy = pltpu.make_async_copy(
+      vol_hbm.at[pl.ds(z0, win_shape[0]), pl.ds(y0, win_shape[1]),
+                 pl.ds(x0, win_shape[2])], window, sem)
+  copy.start()
+
+  gz = (jax.lax.broadcasted_iota(jnp.int32, tile, 0).astype(jnp.float32)
+        + (iz * td + origin[0]))
+  gy = (jax.lax.broadcasted_iota(jnp.int32, tile, 1).astype(jnp.float32)
+        + (iy * th + origin[1]))
+  gx = (jax.lax.broadcasted_iota(jnp.int32, tile, 2).astype(jnp.float32)
+        + (ix * tw + origin[2]))
+  dz = coords_ref[0] - gz
+  dy = coords_ref[1] - gy
+  dx = coords_ref[2] - gx
+
+  from sofima_tpu.ops import shift_warp
+  wz = shift_warp.make_weight_fn(dz, method)
+  wy = shift_warp.make_weight_fn(dy, method)
+  wx = shift_warp.make_weight_fn(dx, method)
+
+  copy.wait()
+  win = window[:]
+
+  acc = jnp.zeros(tile, jnp.float32)
+  for i in range(rz):
+    w_z = wz(s0[0] + i)
+    acc_y = jnp.zeros(tile, jnp.float32)
+    for j in range(ry):
+      w_y = wy(s0[1] + j)
+      acc_x = jnp.zeros(tile, jnp.float32)
+      for k in range(rx):
+        w_x = wx(s0[2] + k)
+        acc_x = acc_x + w_x * jax.lax.slice(
+            win, (i, j, k), (i + td, j + th, k + tw))
+      acc_y = acc_y + w_y * acc_x
+    acc = acc + w_z * acc_y
+  out_ref[:] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=['method', 'dz_lo', 'dz_hi', 'dy_lo', 'dy_hi',
+                     'dx_lo', 'dx_hi', 'origin_z', 'origin_y', 'origin_x',
+                     'tile', 'interpret'])
+def pallas_shift_warp_3d(
+    volume: jnp.ndarray,
+    coords: jnp.ndarray,
+    method: str,
+    dz_lo: int, dz_hi: int, dy_lo: int, dy_hi: int, dx_lo: int, dx_hi: int,
+    origin_z: int = 0, origin_y: int = 0, origin_x: int = 0,
+    tile: tuple[int, int, int] = (8, 64, 256),
+    interpret: bool = False,
+) -> jnp.ndarray:
+  """Warps a [d, h, w] volume by per-voxel coords, tile-resident in VMEM.
+
+  Drop-in twin of shift_warp.shift_warp_3d (same contract: static
+  displacement bounds, 0 outside the volume / bounds / NaN coords).
+  """
+  from sofima_tpu.ops.shift_warp import _LEFT, _TAPS
+
+  oz, oy, ox = coords.shape[1:]
+  left = _LEFT[method]
+  taps = _TAPS[method]
+  s0 = (dz_lo - left, dy_lo - left, dx_lo - left)
+  s1 = (dz_hi + (taps - 1 - left), dy_hi + (taps - 1 - left),
+        dx_hi + (taps - 1 - left))
+  rz, ry, rx = [b - a + 1 for a, b in zip(s0, s1)]
+
+  td = min(tile[0], oz)
+  th = min(tile[1], -(-oy // 8) * 8)
+  tw = min(tile[2], -(-ox // 128) * 128)
+  gz, gy, gx = -(-oz // td), -(-oy // th), -(-ox // tw)
+
+  win_shape = (td + rz - 1,
+               -(-(th + ry - 1) // 8) * 8,
+               -(-(tw + rx - 1) // 128) * 128)
+
+  d, h, w = volume.shape
+  pad0 = max(-(origin_z + s0[0]), 0)
+  pad1 = max(-(origin_y + s0[1]), 0)
+  pad2 = max(-(origin_x + s0[2]), 0)
+  # DMA starts on the tiled (y, x) dims must be (8, 128)-aligned: tile
+  # strides already are, so align the static residue via leading pads.
+  pad1 += (-(pad1 + origin_y + s0[1])) % 8
+  pad2 += (-(pad2 + origin_x + s0[2])) % 128
+  pads = (pad0, pad1, pad2)
+  pad_end = (
+      max(pad0 + origin_z + (gz - 1) * td + s0[0] + win_shape[0] - pad0 - d,
+          0),
+      max(pad1 + origin_y + (gy - 1) * th + s0[1] + win_shape[1] - pad1 - h,
+          0),
+      max(pad2 + origin_x + (gx - 1) * tw + s0[2] + win_shape[2] - pad2 - w,
+          0))
+  padded = jnp.pad(volume.astype(jnp.float32),
+                   tuple(zip(pads, pad_end)))
+
+  coords_pad = jnp.pad(
+      jnp.nan_to_num(coords.astype(jnp.float32), nan=1e9),
+      ((0, 0), (0, gz * td - oz), (0, gy * th - oy), (0, gx * tw - ox)),
+      constant_values=1e9)
+
+  kernel = functools.partial(
+      _warp3d_kernel, method=method, s0=s0, rz=rz, ry=ry, rx=rx,
+      tile=(td, th, tw), win_shape=win_shape,
+      origin=(origin_z, origin_y, origin_x), pads=pads)
+
+  out = pl.pallas_call(
+      kernel,
+      grid=(gz, gy, gx),
+      in_specs=[
+          pl.BlockSpec((3, td, th, tw),
+                       lambda z, y, x: (0, z, y, x),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec(memory_space=pl.ANY),
+      ],
+      out_specs=pl.BlockSpec((td, th, tw), lambda z, y, x: (z, y, x),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((gz * td, gy * th, gx * tw),
+                                     jnp.float32),
+      scratch_shapes=[
+          pltpu.VMEM(win_shape, jnp.float32),
+          pltpu.SemaphoreType.DMA,
+      ],
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=interpret,
+  )(coords_pad, padded)
+  return out[:oz, :oy, :ox]
+
+
+def warp_sections_pallas_tiled(images: jnp.ndarray, abs_map: jnp.ndarray,
+                               map_grid_coords: jnp.ndarray, method: str,
+                               plan: dict,
+                               origin: tuple[int, int] = (0, 0),
+                               interpret: bool = False) -> jnp.ndarray:
+  """Pallas twin of shift_warp.warp_sections_shift_tiled.
+
+  [z, c, y, x] images + [z, 2, my, mx] absolute maps + a
+  tiled_shift_plan -> [z, c, oy, ox] rendered output via the VMEM
+  per-tile-base kernel.
+  """
+  from sofima_tpu.ops import interp as interp_ops
+
+  def densify(m):
+    dense_x = interp_ops.grid_sample_linear(m[0], map_grid_coords)
+    dense_y = interp_ops.grid_sample_linear(m[1], map_grid_coords)
+    return jnp.stack([dense_y, dense_x])
+
+  coords = jax.vmap(densify)(abs_map)  # [z, 2, oy, ox]
+  bases = jnp.asarray(plan['bases'])
+  outs = []
+  for c in range(images.shape[1]):
+    outs.append(pallas_shift_warp_tiled(
+        images[:, c], coords, bases, method, *plan['residual_bounds'],
+        *plan['base_bounds'], *plan['tile'], origin_y=origin[0],
+        origin_x=origin[1], interpret=interpret))
+  return jnp.stack(outs, axis=1)
 
 
 def warp_sections_pallas(images: jnp.ndarray, abs_map: jnp.ndarray,

@@ -190,10 +190,14 @@ def warp_subvolume(
         max(dy_hi - dy_lo, dx_hi - dx_lo) <= shift_warp.MAX_SHIFT_RANGE
         and shift_warp.shift_path_profitable(dy_hi - dy_lo,
                                              dx_hi - dx_lo, method))
-  if shift_ok and not use_shift:
-    # Large global displacement: the TILED shift decomposition factors
-    # out a per-tile integer base offset so the lattice only spans the
-    # LOCAL displacement variation (alignment warps are smooth).
+  on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+  if shift_ok and (not use_shift or on_tpu):
+    # TILED shift decomposition: a per-tile integer base offset reduces
+    # the lattice to the LOCAL displacement variation (alignment warps
+    # are smooth). Mandatory for large global displacements; on TPU also
+    # preferred over the single-lattice path when it meaningfully
+    # shrinks the lattice (the Pallas executor amortizes the per-tile
+    # base handling to two in-VMEM rolls).
     tiled_plan = shift_warp.tiled_shift_plan(
         disp_y, disp_x,
         node_y - origin_y, node_x - origin_x,
@@ -203,6 +207,14 @@ def warp_subvolume(
       if not (max(ry_hi - ry_lo, rx_hi - rx_lo) <= shift_warp.MAX_SHIFT_RANGE
               and shift_warp.shift_path_profitable(ry_hi - ry_lo,
                                                    rx_hi - rx_lo, method)):
+        tiled_plan = None
+    if use_shift and tiled_plan is not None:
+      taps = shift_warp._TAPS[method]
+      global_iters = (dy_hi - dy_lo + taps) * (dx_hi - dx_lo + taps)
+      tiled_iters = (ry_hi - ry_lo + taps) * (rx_hi - rx_lo + taps)
+      if on_tpu and 1.5 * tiled_iters < global_iters:
+        use_shift = False  # take the tiled branch below
+      else:
         tiled_plan = None
 
   if use_shift:
@@ -233,9 +245,16 @@ def warp_subvolume(
           images_j, maps_j, jnp.asarray(grid), method, bounds,
           origin=origin_yx))
   elif tiled_plan is not None:
-    warped = np.array(shift_warp.warp_sections_shift_tiled(
-        images_j, maps_j, jnp.asarray(grid), method, tiled_plan,
-        origin=(int(origin_y), int(origin_x))))
+    ty, tx = tiled_plan['tile']
+    if on_tpu and ty % 8 == 0 and tx % 128 == 0:
+      from sofima_tpu.ops import pallas_warp
+      warped = np.array(pallas_warp.warp_sections_pallas_tiled(
+          images_j, maps_j, jnp.asarray(grid), method, tiled_plan,
+          origin=(int(origin_y), int(origin_x))))
+    else:
+      warped = np.array(shift_warp.warp_sections_shift_tiled(
+          images_j, maps_j, jnp.asarray(grid), method, tiled_plan,
+          origin=(int(origin_y), int(origin_x))))
   else:
     warped = np.array(
         _warp_sections(images_j, maps_j, jnp.asarray(grid), method))
@@ -386,12 +405,25 @@ def ndimage_warp(
       image_j = jnp.asarray(image.astype(np.float32))
     coords_j = jnp.asarray(np.stack(dense).astype(np.float32))
     origins = tuple(int(s) + b for s, b in zip(box_start_zyx, bases))
+    on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
     if dim == 2:
       (dy_lo, dy_hi), (dx_lo, dx_hi) = bounds
+      if on_tpu:
+        from sofima_tpu.ops import pallas_warp
+        return np.asarray(pallas_warp.pallas_shift_warp(
+            image_j[jnp.newaxis], coords_j[jnp.newaxis], method,
+            dy_lo, dy_hi, dx_lo, dx_hi, origins[0], origins[1]))[0]
       return np.asarray(shift_warp.shift_warp_2d(
           image_j, coords_j, method, dy_lo, dy_hi, dx_lo, dx_hi,
           origins[0], origins[1]))
     (dz_lo, dz_hi), (dy_lo, dy_hi), (dx_lo, dx_hi) = bounds
+    if on_tpu:
+      # VMEM-tile kernel: shift_warp_3d's fori_loop re-reads the full
+      # padded volume from HBM per lattice point.
+      from sofima_tpu.ops import pallas_warp
+      return np.asarray(pallas_warp.pallas_shift_warp_3d(
+          image_j, coords_j, method, dz_lo, dz_hi, dy_lo, dy_hi,
+          dx_lo, dx_hi, origins[0], origins[1], origins[2]))
     return np.asarray(shift_warp.shift_warp_3d(
         image_j, coords_j, method, dz_lo, dz_hi, dy_lo, dy_hi,
         dx_lo, dx_hi, origins[0], origins[1], origins[2]))

@@ -291,6 +291,65 @@ class TestShiftWarp3d:
     np.testing.assert_array_equal(out, vol[5:13, 7:17, 6:16])
 
 
+class TestPallasWarp3d:
+
+  @pytest.mark.parametrize('method', ['nearest', 'linear', 'cubic'])
+  def test_matches_xla_shift_warp_3d(self, method):
+    import jax.numpy as jnp
+    from sofima_tpu.ops import pallas_warp, shift_warp
+    rng = np.random.RandomState(0)
+    vol = rng.rand(20, 72, 300).astype(np.float32)
+    zz, yy, xx = np.mgrid[0:16, 0:64, 0:280].astype(np.float32)
+    coords = np.stack([
+        zz + 1.5 * np.sin(2 * np.pi * yy / 64) + 2.0,
+        yy + 3.0 * np.cos(2 * np.pi * xx / 128) - 1.0,
+        xx + 2.5 * np.sin(2 * np.pi * zz / 16) + 0.5,
+    ])
+    coords[:, 2, 3, 4] = np.nan
+    bounds = (-1, 4, -5, 3, -2, 4)
+    ref = np.asarray(shift_warp.shift_warp_3d(
+        jnp.asarray(vol), jnp.asarray(coords), method, *bounds,
+        origin_z=1, origin_y=2, origin_x=0))
+    got = np.asarray(pallas_warp.pallas_shift_warp_3d(
+        jnp.asarray(vol), jnp.asarray(coords), method, *bounds,
+        origin_z=1, origin_y=2, origin_x=0, tile=(4, 16, 128),
+        interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+class TestPallasWarpTiled:
+
+  @pytest.mark.parametrize('method', ['linear', 'lanczos'])
+  def test_matches_xla_tiled(self, method):
+    import jax.numpy as jnp
+    from sofima_tpu.ops import interp, pallas_warp, shift_warp
+    rng = np.random.RandomState(0)
+    h = w = 600
+    img = rng.rand(h, w).astype(np.float32)
+    stride = 20
+    my, mx = np.mgrid[:h // stride, :w // stride].astype(np.float32)
+    # Large global translation + smooth local variation.
+    dx = 130.0 + 6.0 * np.sin(2 * np.pi * my / 10)
+    dy = -90.0 + 5.0 * np.cos(2 * np.pi * mx / 10)
+    oy, ox = 400, 500
+    abs_map = jnp.asarray(np.stack([dx + mx * stride, dy + my * stride]))
+    dense = interp.upsample_map_linear(abs_map, stride, (0, 0), (oy, ox))
+    coords = jnp.stack([dense[1], dense[0]])[None]
+
+    plan = shift_warp.tiled_shift_plan(
+        dy[None], dx[None], my[:, 0] * stride, mx[0] * stride, (oy, ox),
+        tile=(64, 128))
+    ref = np.asarray(shift_warp.shift_warp_2d_tiled(
+        jnp.asarray(img), coords[0], jnp.asarray(plan['bases'][0]),
+        method, *plan['residual_bounds'], *plan['base_bounds'],
+        *plan['tile']))
+    got = np.asarray(pallas_warp.pallas_shift_warp_tiled(
+        jnp.asarray(img)[None], coords, jnp.asarray(plan['bases']),
+        method, *plan['residual_bounds'], *plan['base_bounds'],
+        *plan['tile'], interpret=True))[0]
+    np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
 class TestNdimageWarpShiftPath:
 
   def test_3d_shift_path_matches_gather(self):
