@@ -137,8 +137,6 @@ def main():
   abs_map[:, 0] = dx + mx * stride
   abs_map[:, 1] = dy + my * stride
 
-  n_strips = 4
-  h = n // n_strips
   images = post[None, None]  # [z=1, c=1, y, x]
 
   from sofima_tpu.ops import interp, pallas_warp, shift_warp
@@ -147,7 +145,33 @@ def main():
 
   abs_map_j = jax.device_put(abs_map[0])
 
+  # Mirror warp_subvolume's path selection: prefer the per-tile-base
+  # tiled kernel when it shrinks the shift lattice >1.5x.
+  node_pos = np.arange(grid_n, dtype=np.float64) * stride
+  plan = shift_warp.tiled_shift_plan(dy[None], dx[None], node_pos,
+                                     node_pos, (n, n))
+  taps = 8  # lanczos
+  dy_lo, dy_hi, dx_lo, dx_hi = bounds
+  global_iters = (dy_hi - dy_lo + taps) * (dx_hi - dx_lo + taps)
+  ry_lo, ry_hi, rx_lo, rx_hi = plan['residual_bounds']
+  tiled_iters = (ry_hi - ry_lo + taps) * (rx_hi - rx_lo + taps)
+  use_tiled = plan is not None and 1.5 * tiled_iters < global_iters
+  results['warp_mode'] = 'tiled' if use_tiled else 'global'
+  if use_tiled:
+    results['warp_residual_bounds'] = list(plan['residual_bounds'])
+  bases_j = jax.device_put(plan['bases'])
+
+  n_strips = 4
+  h = n // n_strips
+
   def run_warp():
+    if use_tiled:
+      dense = interp.upsample_map_linear(abs_map_j, stride, (0, 0),
+                                         (n, n))
+      coords = jnp.stack([dense[1], dense[0]])[None]
+      return pallas_warp.pallas_shift_warp_tiled(
+          post[None], coords, bases_j, 'lanczos',
+          *plan['residual_bounds'], *plan['base_bounds'], *plan['tile'])
     outs = []
     for i in range(n_strips):
       dense = interp.upsample_map_linear(
@@ -157,15 +181,18 @@ def main():
           images, coords, 'lanczos', bounds, origin=(i * h, 0)))
     return outs
 
-  strips, t_warp = _time(run_warp)
+  warped, t_warp = _time(run_warp)
   # Validation: an independent sampler (gather path) on a small block.
-  vy, vx = h + 256, 1024  # inside strip 1
+  vy, vx = h + 256, 1024
   dense_v = interp.upsample_map_linear(abs_map_j, stride, (vy, vx),
                                        (128, 128))
   coords_v = jnp.stack([dense_v[1], dense_v[0]])
   ref_block = interp.sample(post, coords_v, method='lanczos',
                             mode='constant', cval=0.0)
-  got_block = strips[1][0, 0, vy - h:vy - h + 128, vx:vx + 128]
+  if use_tiled:
+    got_block = warped[0, vy:vy + 128, vx:vx + 128]
+  else:
+    got_block = warped[1][0, 0, vy - h:vy - h + 128, vx:vx + 128]
   err = float(jnp.nanmean(jnp.abs(got_block - ref_block)))
   results['warp_s'] = round(t_warp, 3)
   results['warp_vs_gather_err'] = round(err, 4)

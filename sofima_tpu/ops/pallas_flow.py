@@ -221,41 +221,66 @@ def _corr_peaks_values(a, b, wr1, wi1, fr2, fi2, br2, bi2, *, bf16,
 
 
 def _grid_kernel(pre_hbm, post_hbm, wr1, wi1, fr2, fi2, br2, bi2,
-                 out_ref, win_a, win_b, sem_a, sem_b, *, group, py, px,
-                 sy, sx, win_c, mean, bf16, min_distance, threshold_rel,
-                 peak_radius):
-  """One (grid row, patch group): window DMA + in-VMEM patch assembly.
+                 out_ref, win_a, win_b, sems, *, group, rows, py, px,
+                 sy, sx, win_r, win_c, ngroups, nsteps, mean, bf16,
+                 min_distance, threshold_rel, peak_radius):
+  """One (row step, patch group): window DMA + in-VMEM patch assembly.
 
   Replaces the XLA strip glue (_strip_patches), whose [b, py, px] patch
   batches round-tripped ~16x the image volume through HBM (~100 GB on a
-  10k^2 run, the measured bottleneck). Here the group's image window
-  (group*sx + px - sx columns) is DMA'd once and the 4x-overlapping
-  patches are cut as static VMEM slices — HBM reads drop to the ~4x
-  inherent window overlap.
+  10k^2 run, the measured bottleneck). Here the step's image window
+  ((rows-1)*sy + py rows x group*sx + px - sx columns) is DMA'd once and
+  the 4x-overlapping patches are cut as static VMEM slices — HBM reads
+  drop to the ~4x inherent window overlap.
+
+  The window DMA is double-buffered across grid steps (each step kicks
+  off the next step's copies before computing): the grid is a long
+  sequential scan of small steps, so an unhidden DMA latency per step
+  is a measurable fraction of the kernel.
   """
   r = pl.program_id(0)
   g = pl.program_id(1)
-  row0 = r * sy
-  col0 = g * (group * sx)
-  cp_a = pltpu.make_async_copy(
-      pre_hbm.at[pl.ds(row0, py), pl.ds(col0, win_c)], win_a, sem_a)
-  cp_b = pltpu.make_async_copy(
-      post_hbm.at[pl.ds(row0, py), pl.ds(col0, win_c)], win_b, sem_b)
-  cp_a.start()
-  cp_b.start()
-  cp_a.wait()
-  cp_b.wait()
+  step = r * ngroups + g
+  slot = jax.lax.rem(step, 2)
+
+  def copies(rr, gg, s):
+    row0 = rr * (rows * sy)
+    col0 = gg * (group * sx)
+    cp_a = pltpu.make_async_copy(
+        pre_hbm.at[pl.ds(row0, win_r), pl.ds(col0, win_c)],
+        win_a.at[s], sems.at[s, 0])
+    cp_b = pltpu.make_async_copy(
+        post_hbm.at[pl.ds(row0, win_r), pl.ds(col0, win_c)],
+        win_b.at[s], sems.at[s, 1])
+    return cp_a, cp_b
+
+  @pl.when(step == 0)
+  def _prologue():
+    for cp in copies(r, g, slot):
+      cp.start()
+
+  nxt = step + 1
+
+  @pl.when(nxt < nsteps)
+  def _prefetch():
+    for cp in copies(nxt // ngroups, jax.lax.rem(nxt, ngroups), 1 - slot):
+      cp.start()
+
+  for cp in copies(r, g, slot):
+    cp.wait()
 
   def patches(win):
-    full = win[:]
+    full = win[slot]
     parts = []
-    for i in range(group):
-      p = jax.lax.slice(full, (0, i * sx), (py, i * sx + px))
-      if mean is None:
-        p = p - jnp.mean(p)
-      else:
-        p = p - mean
-      parts.append(p)
+    for r2 in range(rows):
+      for i in range(group):
+        p = jax.lax.slice(full, (r2 * sy, i * sx),
+                          (r2 * sy + py, i * sx + px))
+        if mean is None:
+          p = p - jnp.mean(p)
+        else:
+          p = p - mean
+        parts.append(p)
     return jnp.stack(parts)
 
   out_ref[0, 0] = _corr_peaks_values(
@@ -267,8 +292,8 @@ def _grid_kernel(pre_hbm, post_hbm, wr1, wi1, fr2, fi2, br2, bi2,
 
 @functools.partial(
     jax.jit, static_argnames=['patch_size', 'step', 'mean', 'bf16',
-                              'group', 'min_distance', 'threshold_rel',
-                              'peak_radius', 'interpret'])
+                              'group', 'rows', 'min_distance',
+                              'threshold_rel', 'peak_radius', 'interpret'])
 def dense_flow_peaks_pallas(
     pre_image: jnp.ndarray,
     post_image: jnp.ndarray,
@@ -277,6 +302,7 @@ def dense_flow_peaks_pallas(
     mean: float | None = None,
     bf16: bool = False,
     group: int | None = None,
+    rows: int | None = None,
     min_distance: int = 2,
     threshold_rel: float = 0.5,
     peak_radius: int = 5,
@@ -287,12 +313,52 @@ def dense_flow_peaks_pallas(
   The entire hot path — window DMA, patch assembly, mean subtraction,
   DFT-matmul circular correlation, peak statistics — runs in VMEM; HBM
   traffic is one ~4x-overlapped read of each image plus the [4, gy, gx]
-  result. Requires sy % 8 == 0, py % 8 == 0 and group*sx % 128 == 0
-  (alignment of the DMA windows); group is auto-picked when None.
+  result. Requires sy % 8 == 0 and group*sx % 128 == 0 (alignment of
+  the DMA windows); group/rows are auto-picked when None.
 
   Returns [4, gy, gx] (x, y, sharpness, ratio) like
   flow_field._dense_flow_strips.
+
+  vmap-safe: Mosaic cannot batch the ANY-memory-space image operands, so
+  a custom_vmap rule serializes batches through lax.map (each element
+  runs the unbatched kernel).
   """
+  kwargs = dict(patch_size=patch_size, step=step, mean=mean, bf16=bf16,
+                group=group, rows=rows, min_distance=min_distance,
+                threshold_rel=threshold_rel, peak_radius=peak_radius,
+                interpret=interpret)
+
+  @jax.custom_batching.custom_vmap
+  def run(pre, post):
+    return _dense_flow_peaks_impl(pre, post, **kwargs)
+
+  @run.def_vmap
+  def _rule(axis_size, in_batched, pre, post):  # noqa: ANN001
+    pre_b, post_b = in_batched
+    if not pre_b:
+      pre = jnp.broadcast_to(pre, (axis_size,) + pre.shape)
+    if not post_b:
+      post = jnp.broadcast_to(post, (axis_size,) + post.shape)
+    out = jax.lax.map(lambda ab: run(ab[0], ab[1]), (pre, post))
+    return out, True
+
+  return run(pre_image, post_image)
+
+
+def _dense_flow_peaks_impl(
+    pre_image: jnp.ndarray,
+    post_image: jnp.ndarray,
+    patch_size: tuple[int, int],
+    step: tuple[int, int],
+    mean: float | None,
+    bf16: bool,
+    group: int | None,
+    rows: int | None,
+    min_distance: int,
+    threshold_rel: float,
+    peak_radius: int,
+    interpret: bool,
+) -> jnp.ndarray:
   from sofima_tpu import flow_field
 
   py, px = patch_size
@@ -305,12 +371,17 @@ def dense_flow_peaks_pallas(
     # lane-aligned with a reasonable VMEM working set.
     unit = 128 // int(np.gcd(sx, 128))
     group = max(unit, ((8 + unit - 1) // unit) * unit)
+  if rows is None:
+    # Amortize per-step overhead over 2 grid rows when alignment allows.
+    rows = 2 if (sy + py) % 8 == 0 and gy >= 2 else 1
   assert (group * sx) % 128 == 0, (group, sx)
-  assert sy % 8 == 0 and py % 8 == 0, (sy, py)
+  assert sy % 8 == 0 and ((rows - 1) * sy + py) % 8 == 0, (sy, py, rows)
 
   ngroups = -(-gx // group)
+  nrsteps = -(-gy // rows)
+  win_r = (rows - 1) * sy + py
   win_c = -(-((group - 1) * sx + px) // 128) * 128
-  pad_h = max((gy - 1) * sy + py - h, 0)
+  pad_h = max((nrsteps * rows - 1) * sy + py - h, 0)
   pad_w = max((ngroups - 1) * group * sx + win_c - w, 0)
   pre = jnp.pad(pre_image.astype(jnp.float32), ((0, pad_h), (0, pad_w)))
   post = jnp.pad(post_image.astype(jnp.float32), ((0, pad_h), (0, pad_w)))
@@ -327,35 +398,42 @@ def dense_flow_peaks_pallas(
   mat = lambda m: pl.BlockSpec(m.shape, lambda r, g: (0,) * m.ndim,
                                memory_space=pltpu.VMEM)
   kernel = functools.partial(
-      _grid_kernel, group=group, py=py, px=px, sy=sy, sx=sx, win_c=win_c,
-      mean=mean, bf16=bf16, min_distance=min_distance,
-      threshold_rel=threshold_rel, peak_radius=peak_radius)
+      _grid_kernel, group=group, rows=rows, py=py, px=px, sy=sy, sx=sx,
+      win_r=win_r, win_c=win_c, ngroups=ngroups,
+      nsteps=nrsteps * ngroups, mean=mean, bf16=bf16,
+      min_distance=min_distance, threshold_rel=threshold_rel,
+      peak_radius=peak_radius)
   out = pl.pallas_call(
       kernel,
-      grid=(gy, ngroups),
+      grid=(nrsteps, ngroups),
       in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 mat(wr1), mat(wi1), mat(fr2), mat(fi2), mat(br2),
                 mat(bi2)],
-      out_specs=pl.BlockSpec((1, 1, group, 4), lambda r, g: (r, g, 0, 0),
+      out_specs=pl.BlockSpec((1, 1, rows * group, 4),
+                             lambda r, g: (r, g, 0, 0),
                              memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((gy, ngroups, group, 4),
+      out_shape=jax.ShapeDtypeStruct((nrsteps, ngroups, rows * group, 4),
                                      jnp.float32),
       scratch_shapes=[
-          pltpu.VMEM((py, win_c), jnp.float32),
-          pltpu.VMEM((py, win_c), jnp.float32),
-          pltpu.SemaphoreType.DMA,
-          pltpu.SemaphoreType.DMA,
+          pltpu.VMEM((2, win_r, win_c), jnp.float32),
+          pltpu.VMEM((2, win_r, win_c), jnp.float32),
+          pltpu.SemaphoreType.DMA((2, 2)),
       ],
       cost_estimate=pl.CostEstimate(
           flops=12 * py * py * hp * 2 * gy * ngroups * group,
-          bytes_accessed=2 * gy * ngroups * py * win_c * 4,
+          bytes_accessed=2 * nrsteps * ngroups * win_r * win_c * 4,
           transcendentals=0),
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
   )(pre, post, wr1, wi1, fr2, fi2, br2, bi2)
-  out = out.reshape(gy, ngroups * group, 4)[:, :gx]
+  # [nrsteps, ngroups, rows, group, 4] -> [gy, gx, 4] (crop the padded
+  # row/column slots).
+  out = out.reshape(nrsteps, ngroups, rows, group, 4)
+  out = out.transpose(0, 2, 1, 3, 4).reshape(nrsteps * rows,
+                                             ngroups * group, 4)
+  out = out[:gy, :gx]
   return jnp.moveaxis(out, -1, 0)
 
 

@@ -196,7 +196,7 @@ def pallas_shift_warp(
 def _warp_tiled_kernel(bases_ref, coords_ref, img_hbm, out_ref, window,
                        sem, *, method, sy0, ry, sx0, rx, tile_y, tile_x,
                        win_r, win_c, origin_y, origin_x, pad_top,
-                       pad_lft):
+                       pad_lft, ntx):
   """Tiled twin of _warp_kernel: per-tile integer base displacements.
 
   The base (from the host-side tiled_shift_plan) removes the tile's bulk
@@ -209,8 +209,12 @@ def _warp_tiled_kernel(bases_ref, coords_ref, img_hbm, out_ref, window,
   z = pl.program_id(0)
   iy = pl.program_id(1)
   ix = pl.program_id(2)
-  by = bases_ref[0, 0, 0, 0]
-  bx = bases_ref[0, 0, 0, 1]
+  # bases live as a flat [z, nty*ntx*2] SMEM array (blocked SMEM specs
+  # hit Mosaic's (8, 128) block-divisibility rule); scalar reads with
+  # dynamic indices are fine.
+  bidx = (iy * ntx + ix) * 2
+  by = bases_ref[z, bidx]
+  bx = bases_ref[z, bidx + 1]
 
   row_raw = pad_top + origin_y + iy * tile_y + by + sy0
   col_raw = pad_lft + origin_x + ix * tile_x + bx + sx0
@@ -328,14 +332,14 @@ def pallas_shift_warp_tiled(
       _warp_tiled_kernel, method=method, sy0=sy0, ry=ry, sx0=sx0, rx=rx,
       tile_y=tile_y, tile_x=tile_x, win_r=win_r, win_c=win_c,
       origin_y=origin_y, origin_x=origin_x, pad_top=pad_top,
-      pad_lft=pad_lft)
+      pad_lft=pad_lft, ntx=ntx)
 
+  bases_flat = bases.astype(jnp.int32).reshape(nz, nty * ntx * 2)
   out = pl.pallas_call(
       kernel,
       grid=(nz, nty, ntx),
       in_specs=[
-          pl.BlockSpec((1, 1, 1, 2), lambda z, iy, ix: (z, iy, ix, 0),
-                       memory_space=pltpu.SMEM),
+          pl.BlockSpec(memory_space=pltpu.SMEM),
           pl.BlockSpec((1, 2, tile_y, tile_x),
                        lambda z, iy, ix: (z, 0, iy, ix),
                        memory_space=pltpu.VMEM),
@@ -353,7 +357,7 @@ def pallas_shift_warp_tiled(
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
-  )(bases.astype(jnp.int32), coords_pad, padded)
+  )(bases_flat, coords_pad, padded)
   return out[:, 0, :oy, :ox]
 
 

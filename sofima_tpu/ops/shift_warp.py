@@ -254,8 +254,11 @@ def displacement_bounds_from_disp(
 MAX_SHIFT_RANGE = 160
 
 # Output tile for the tiled decomposition: y a multiple of the f32
-# sublane count (8), x a multiple of the lane count (128).
-TILE_SHAPE = (256, 256)
+# sublane count (8), x a multiple of the lane count (128). (128, 256)
+# measured fastest on v5e for the Pallas executor (smaller tiles see
+# more of the local displacement structure -> tighter residual lattice;
+# too small and the per-tile window DMA/roll overhead dominates).
+TILE_SHAPE = (128, 256)
 
 
 def tiled_shift_plan(
@@ -265,8 +268,8 @@ def tiled_shift_plan(
     node_out_x: np.ndarray,
     out_shape: tuple[int, int],
     tile: tuple[int, int] | None = None,
-    pad: float = 4.0,
-    bucket: int = 8,
+    pad: float = 1.0,
+    bucket: int = 4,
 ):
   """Host-side plan for the tiled shift decomposition.
 
@@ -301,6 +304,36 @@ def tiled_shift_plan(
   nty = -(-oy // ty)
   ntx = -(-ox // tx)
   z = disp_y.shape[0]
+
+  # Extend the node grids by linearly-extrapolated nodes (the dense map
+  # extrapolates the same way past the last node), so the per-tile hulls
+  # stay exact bounds without a wide safety pad. Between nodes the dense
+  # displacement is a bilinear CONVEX combination of node values, so the
+  # (extended) node hull bounds it tightly.
+  def extend(d, axis, ext=2):
+    if d.shape[axis] < 2:
+      return d
+    first = np.take(d, [0], axis=axis)
+    second = np.take(d, [1], axis=axis)
+    last = np.take(d, [-1], axis=axis)
+    prev = np.take(d, [-2], axis=axis)
+    lo = [first + (k + 1) * (first - second) for k in range(ext)][::-1]
+    hi = [last + (k + 1) * (last - prev) for k in range(ext)]
+    return np.concatenate(lo + [d] + hi, axis=axis)
+
+  def extend_pos(p, stride_guess=None, ext=2):
+    if len(p) < 2:
+      return p
+    s0 = p[1] - p[0]
+    s1 = p[-1] - p[-2]
+    lo = [p[0] - (k + 1) * s0 for k in range(ext)][::-1]
+    hi = [p[-1] + (k + 1) * s1 for k in range(ext)]
+    return np.concatenate([lo, p, hi])
+
+  disp_y = extend(extend(np.asarray(disp_y, np.float64), 1), 2)
+  disp_x = extend(extend(np.asarray(disp_x, np.float64), 1), 2)
+  node_out_y = extend_pos(np.asarray(node_out_y, np.float64))
+  node_out_x = extend_pos(np.asarray(node_out_x, np.float64))
 
   def axis_ranges(node_pos: np.ndarray, n_tiles: int, t: int):
     m = len(node_pos)
@@ -600,15 +633,19 @@ def shift_warp_3d(
 # shift decomposition and the gather sampler per call.
 SHIFT_COST_PER_ITER = 0.55e-9
 GATHER_COST_PER_TAP = 18e-9
+# The Pallas VMEM-tile executor amortizes the window read across the
+# whole lattice: measured ~1.6e-12 s per pixel-iteration on v5e (vs
+# 0.55e-9 for the XLA dynamic-slice formulation). Modeled conservatively.
+PALLAS_SHIFT_COST_PER_ITER = 5e-12
 
 
-def shift_path_profitable(dy_range: int, dx_range: int,
-                          method: str) -> bool:
+def shift_path_profitable(dy_range: int, dx_range: int, method: str,
+                          pallas: bool = False) -> bool:
   """Cost-model choice: (range+taps)^2 shift iters vs taps^2 gathers."""
   taps = _TAPS[method]
   shift_iters = (dy_range + taps) * (dx_range + taps)
-  return (shift_iters * SHIFT_COST_PER_ITER
-          < taps * taps * GATHER_COST_PER_TAP)
+  per_iter = PALLAS_SHIFT_COST_PER_ITER if pallas else SHIFT_COST_PER_ITER
+  return per_iter * shift_iters < taps * taps * GATHER_COST_PER_TAP
 
 
 def warp_sections_shift(images: jnp.ndarray, abs_map: jnp.ndarray,

@@ -179,6 +179,7 @@ def warp_subvolume(
   shift_ok = (origin_y.is_integer() and origin_x.is_integer()
               and not np.all(np.isnan(disp_y))
               and not np.all(np.isnan(disp_x)))
+  on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
   use_shift = shift_ok
   tiled_plan = None
   if use_shift:
@@ -189,8 +190,8 @@ def warp_subvolume(
     use_shift = (
         max(dy_hi - dy_lo, dx_hi - dx_lo) <= shift_warp.MAX_SHIFT_RANGE
         and shift_warp.shift_path_profitable(dy_hi - dy_lo,
-                                             dx_hi - dx_lo, method))
-  on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+                                             dx_hi - dx_lo, method,
+                                             pallas=on_tpu))
   if shift_ok and (not use_shift or on_tpu):
     # TILED shift decomposition: a per-tile integer base offset reduces
     # the lattice to the LOCAL displacement variation (alignment warps
@@ -206,7 +207,8 @@ def warp_subvolume(
       ry_lo, ry_hi, rx_lo, rx_hi = tiled_plan['residual_bounds']
       if not (max(ry_hi - ry_lo, rx_hi - rx_lo) <= shift_warp.MAX_SHIFT_RANGE
               and shift_warp.shift_path_profitable(ry_hi - ry_lo,
-                                                   rx_hi - rx_lo, method)):
+                                                   rx_hi - rx_lo, method,
+                                                   pallas=on_tpu)):
         tiled_plan = None
     if use_shift and tiled_plan is not None:
       taps = shift_warp._TAPS[method]
@@ -397,8 +399,11 @@ def ndimage_warp(
       bounds.append((r_lo, r_hi))
     taps = shift_warp._TAPS[method]
     iters = np.prod([hi - lo + taps for lo, hi in bounds])
+    on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
+    per_iter = (shift_warp.PALLAS_SHIFT_COST_PER_ITER if on_tpu
+                else shift_warp.SHIFT_COST_PER_ITER)
     if (max(hi - lo for lo, hi in bounds) > shift_warp.MAX_SHIFT_RANGE
-        or iters * shift_warp.SHIFT_COST_PER_ITER
+        or iters * per_iter
         >= taps**dim * shift_warp.GATHER_COST_PER_TAP):
       return None
     if image_j is None:

@@ -233,7 +233,8 @@ class TestTiledShiftWarp:
     monkeypatch.setattr(sw, 'TILE_SHAPE', (40, 40))
     monkeypatch.setattr(
         sw, 'shift_path_profitable',
-        lambda dy, dx, m: max(dy, dx) <= 72)  # global range ~88 fails this
+        # global range ~88 fails this
+        lambda dy, dx, m, pallas=False: max(dy, dx) <= 72)
     calls = []
     orig = sw.warp_sections_shift_tiled
     monkeypatch.setattr(
