@@ -295,7 +295,10 @@ def dense_flow_field_sharded(
   shard_fn = functools.partial(
       shard_map, mesh=device_mesh,
       in_specs=(P(axis_name, None),) * n_in,
-      out_specs=P(None, axis_name, None))
+      out_specs=P(None, axis_name, None),
+      # pallas_call (the TPU dense-flow kernel) does not participate in
+      # the varying-manual-axes check.
+      check_vma=False)
 
   spec = NamedSharding(device_mesh, P(axis_name, None))
   pre_image = jax.device_put(jnp.asarray(pre_image, jnp.float32), spec)
