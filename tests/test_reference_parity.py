@@ -225,3 +225,41 @@ class TestMapUtilsParity:
     ours = our_mu.fill_missing(damaged)
     hole = np.s_[:, :, 5:9, 5:9]
     np.testing.assert_allclose(ours[hole], theirs[hole], atol=0.1)
+
+
+class TestStitchRigidParity:
+
+  def test_interpolate_missing_offsets_tiebreaks(self):
+    """Exact match vs the reference on an asymmetric inf/NaN grid.
+
+    Covers the semantics the reference leaves implicit: the finiteness
+    gate reads channel 0 only, candidates at equal radius on BOTH sides
+    are averaged, the search stops at the first radius with any hit,
+    and in-place filling lets earlier-processed entries seed later ones
+    (row-major processing order).
+    """
+    for dep in ('flow_field', 'mesh'):
+      _load_reference(dep)
+    ref_sr = _load_reference('stitch_rigid')
+    from sofima_tpu import stitch_rigid as our_sr
+
+    rng = np.random.RandomState(7)
+    conn = rng.randn(2, 1, 5, 7).astype(np.float64)
+    # Asymmetric damage: isolated infs, an inf RUN (exercises the
+    # in-place cascade), an inf next to a NaN (missing tile must not be
+    # used as a neighbor), and a channel-0-finite/channel-1-inf entry
+    # (the gate reads channel 0 only).
+    conn[:, 0, 1, 2] = np.inf
+    conn[:, 0, 3, 1:4] = np.inf
+    conn[:, 0, 0, 5] = np.inf
+    conn[:, 0, 0, 6] = np.nan
+    conn[1, 0, 2, 4] = np.inf  # channel 0 stays finite here
+    conn[:, 0, 4, 0] = np.inf  # edge entry: one-sided neighbors only
+
+    theirs = ref_sr.interpolate_missing_offsets(conn.copy(), axis=-1)
+    ours = our_sr.interpolate_missing_offsets(conn.copy(), axis=-1)
+    np.testing.assert_array_equal(ours, theirs)
+
+    theirs_y = ref_sr.interpolate_missing_offsets(conn.copy(), axis=-2)
+    ours_y = our_sr.interpolate_missing_offsets(conn.copy(), axis=-2)
+    np.testing.assert_array_equal(ours_y, theirs_y)
