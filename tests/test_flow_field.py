@@ -426,6 +426,25 @@ class TestPallasFlowKernel:
         jnp.asarray(a), jnp.asarray(a), group=2, interpret=True))
     assert np.isnan(got).all()
 
+  def test_dense_flow_peaks_pallas_rectangular(self):
+    """Non-square image, gy != gx, partial last row step and group."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(5)
+    h, w = 440, 680  # gy = 8 (odd/rows=2 edge), gx = 14
+    pre = (rng.rand(h, w) * 255).astype(np.float32)
+    post = np.roll(pre, (2, -4), (0, 1))
+    from sofima_tpu.ops import pallas_flow
+    got = np.asarray(pallas_flow.dense_flow_peaks_pallas(
+        jnp.asarray(pre), jnp.asarray(post), (160, 160), (40, 40),
+        interpret=True))
+    ref = np.asarray(flow_field._dense_flow_strips(
+        jnp.asarray(pre), jnp.asarray(post), (160, 160), (40, 40),
+        None, 2, 0.5, 5, rows_per_step=2, dft_matmul=True,
+        use_pallas=False))
+    assert got.shape == ref.shape == (4, 8, 14)
+    np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4,
+                               equal_nan=True)
+
   def test_dense_flow_peaks_pallas_matches_strips(self):
     """Full-grid kernel (window DMA + in-VMEM patch assembly) vs the
     XLA strip pipeline, including the clamped last group."""
