@@ -124,6 +124,26 @@ def main():
   results['flow_patches'] = int(np.prod(grid))
   results['flow_median_xy'] = [med_x, med_y]
 
+  # MASKED flow (the production EM regime): Padfield NCC with a
+  # realistic tissue mask (diagonal crack band + a blob, ~17% invalid),
+  # fused in the same grid kernel.
+  yy, xx = np.mgrid[:n, :n]
+  mask_np = (((yy + xx) % 7919 < 900)
+             | (((yy - 3000)**2 + (xx - 7000)**2) < 1500**2))
+  mask = jax.device_put(mask_np)
+  del yy, xx
+
+  def run_flow_masked():
+    return flow_field.dense_flow_field(
+        pre, post, (patch, patch), (stride, stride), batch_size=256,
+        circular=True, dft_matmul=True, bf16=True,
+        pre_mask=mask, post_mask=mask)
+
+  flow_m, t_flow_m = _time(run_flow_masked)
+  results['flow_masked_s'] = round(t_flow_m, 3)
+  results['flow_masked_valid_frac'] = round(
+      float(jnp.mean(jnp.isfinite(flow_m[0]))), 3)
+
   # ---- WARP: Lanczos4 render of the full section under a SMOOTH map. -----
   # Inverse map: the +(7,-12) roll undone, plus a smooth sinusoidal
   # deformation with 12 px amplitude (a realistic alignment field).

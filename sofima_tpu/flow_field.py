@@ -798,17 +798,25 @@ def dense_flow_field(
                      and not isinstance(peak_radius,
                                         collections.abc.Sequence))
     if (pallas_ok and scalar_params and dft_matmul
-        and pre_mask is None and post_mask is None
         and step[0] % 8 == 0 and patch_size[0] % 8 == 0):
       # Single-dispatch full-grid kernel: window DMA + in-VMEM patch
-      # assembly + DFT-matmul correlation + peak stats, one pallas_call.
+      # assembly + DFT-matmul correlation (masked Padfield NCC when
+      # masks are given) + peak stats, one pallas_call.
       from sofima_tpu.ops import pallas_flow
+      pre_valid = post_valid = None
+      if pre_mask is not None:
+        pre_valid = jnp.logical_not(
+            jnp.asarray(pre_mask) > 0).astype(jnp.float32)
+      if post_mask is not None:
+        post_valid = jnp.logical_not(
+            jnp.asarray(post_mask) > 0).astype(jnp.float32)
       return pallas_flow.dense_flow_peaks_pallas(
           jnp.asarray(pre_image, jnp.float32),
           jnp.asarray(post_image, jnp.float32),
           patch_size, step, mean=mean, bf16=bf16,
           min_distance=int(min_distance), threshold_rel=threshold_rel,
-          peak_radius=int(peak_radius))
+          peak_radius=int(peak_radius), pre_valid=pre_valid,
+          post_valid=post_valid)
     rows = max(1, min(int(grid[0]),
                       int(round(batch_size / max(int(grid[1]), 1))) or 1))
     return _dense_flow_strips(

@@ -314,6 +314,105 @@ def _corr_peaks_grouped(wa, wb, wr1, wi1, wr1i, wi1i, frb, fib, br2c,
   return vals
 
 
+def _masked_corr_peaks_grouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
+                               frb, fib, br2c, bi2c, *, group, py, px,
+                               sx, mean, bf16, min_distance,
+                               threshold_rel, peak_radius):
+  """Masked circular NCC (Padfield) + peaks on grouped spectra.
+
+  The masked twin of _corr_peaks_grouped: all six Padfield terms
+  (masked images, masks, masked squares) ride the same block-matrix
+  forward DFT, their five cross-power products invert through the same
+  pre-rolled matrices, and the per-patch normalization runs on the
+  centered surfaces. `va`/`vb` are float32 valid-pixel windows (1 =
+  valid). Matches flow_field._masked_xcorr_circular within float
+  tolerance (NCC is exactly invariant to the constant-mean handling
+  difference).
+  """
+  in_t = jnp.bfloat16 if bf16 else jnp.float32
+  eps = jnp.float32(np.finfo(np.float32).eps)
+
+  def mm(x, y):
+    return jnp.dot(x.astype(in_t), y.astype(in_t),
+                   preferred_element_type=jnp.float32)
+
+  # Constant subtraction is exactly neutral under the NCC normalization;
+  # do it anyway to keep the f32/bf16 spectra well-scaled.
+  wa = wa - (jnp.mean(wa) if mean is None else mean)
+  wb = wb - (jnp.mean(wb) if mean is None else mean)
+  pz = wa * va
+  cz = wb * vb
+
+  def gdft(w):
+    ar = mm(w, frb)
+    ai = mm(w, fib)
+    return (mm(wr1, ar) - mm(wi1, ai), mm(wr1, ai) + mm(wi1, ar))
+
+  sp = gdft(pz)
+  sc = gdft(cz)
+  smp = gdft(va)
+  smc = gdft(vb)
+  sp2 = gdft(pz * pz)
+  sc2 = gdft(cz * cz)
+
+  def prod(a, b):  # a * conj(b), grouped layout
+    return (a[0] * b[0] + a[1] * b[1], a[1] * b[0] - a[0] * b[1])
+
+  def ginv(t):
+    tr, ti = t
+    gr = (mm(wr1i, tr) + mm(wi1i, ti)) / py
+    gi = (mm(wr1i, ti) - mm(wi1i, tr)) / py
+    return gr, gi
+
+  terms = [ginv(prod(sp, sc)), ginv(prod(smp, smc)),
+           ginv(prod(sp, smc)), ginv(prod(smp, sc)),
+           ginv(prod(sp2, smc)), ginv(prod(smp, sc2))]
+
+  hp = br2c.shape[0]
+
+  def col_inv(t, g):
+    gr, gi = t
+    grg = jax.lax.slice(gr, (0, g * hp), (py, (g + 1) * hp))
+    gig = jax.lax.slice(gi, (0, g * hp), (py, (g + 1) * hp))
+    return (mm(grg, br2c) + mm(gig, bi2c)) / px
+
+  iy = jax.lax.broadcasted_iota(jnp.int32, (py, px), 0)
+  ix = jax.lax.broadcasted_iota(jnp.int32, (py, px), 1)
+  lin = iy * px + ix
+  rid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 0)
+  cid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 1)
+  emasks = _edge_masks((py, px), min_distance)
+  vals = jnp.zeros((group, 4), jnp.float32)
+  for g in range(group):
+    xcorr, ovl_raw, sum_p, sum_c, t_p2, t_c2 = (
+        col_inv(t, g) for t in terms)
+    overlap = jnp.fmax(jnp.round(ovl_raw), eps)
+    inv_overlap = 1.0 / overlap
+    num = xcorr - sum_p * sum_c * inv_overlap
+    var_p = jnp.fmax(t_p2 - jnp.square(sum_p) * inv_overlap, 0.0)
+    var_c = jnp.fmax(t_c2 - jnp.square(sum_c) * inv_overlap, 0.0)
+    denom = jnp.sqrt(var_p * var_c)
+    tol = 1e3 * eps * jnp.max(jnp.abs(denom))
+    corr = jnp.where(denom > tol,
+                     num / jnp.where(denom > tol, denom, 1.0), 0.0)
+    corr = jnp.clip(corr, -1.0, 1.0)
+    # The strips path thresholds against the BATCH max overlap, which
+    # equals the patch area whenever any patch pair is fully valid (and
+    # makes results depend on batching when none is); the theoretical
+    # max is deterministic and matches in the common case.
+    corr = jnp.where(overlap < 0.3 * (py * px), 0.0, corr)
+
+    ox, oy, sharp, ratio = _peaks_for_patch(
+        corr, lin, min_distance=min_distance,
+        threshold_rel=threshold_rel, peak_radius=peak_radius,
+        center=(py // 2, px // 2), masks=emasks)
+    row = jnp.where(cid == 0, ox,
+                    jnp.where(cid == 1, oy,
+                              jnp.where(cid == 2, sharp, ratio)))
+    vals = jnp.where(rid == g, row, vals)
+  return vals
+
+
 def _grid_kernel(pre_hbm, post_hbm, wr1, wi1, wr1i, wi1i, frb, fib,
                  br2c, bi2c, dcmask, out_ref, win_a, win_b, sems, *,
                  group, rows, py, px, sy, sx, win_r, win_c, ngroups,
@@ -379,6 +478,60 @@ def _grid_kernel(pre_hbm, post_hbm, wr1, wi1, wr1i, wi1i, frb, fib,
                    else jnp.concatenate(parts, axis=0))
 
 
+def _grid_kernel_masked(pre_hbm, post_hbm, vpre_hbm, vpost_hbm, wr1, wi1,
+                        wr1i, wi1i, frb, fib, br2c, bi2c, out_ref, win_a,
+                        win_b, win_va, win_vb, sems, *, group, rows, py,
+                        px, sy, sx, win_r, win_c, ngroups, nsteps, mean,
+                        bf16, min_distance, threshold_rel, peak_radius):
+  """Masked twin of _grid_kernel: four double-buffered window streams
+  (images + valid masks) feeding the Padfield NCC pipeline."""
+  r = pl.program_id(0)
+  g = pl.program_id(1)
+  step = r * ngroups + g
+  slot = jax.lax.rem(step, 2)
+
+  def copies(rr, gg, s):
+    row0 = rr * (rows * sy)
+    col0 = gg * (group * sx)
+    srcs = (pre_hbm, post_hbm, vpre_hbm, vpost_hbm)
+    dsts = (win_a, win_b, win_va, win_vb)
+    return [
+        pltpu.make_async_copy(
+            src.at[pl.ds(row0, win_r), pl.ds(col0, win_c)],
+            dst.at[s], sems.at[s, i])
+        for i, (src, dst) in enumerate(zip(srcs, dsts))
+    ]
+
+  @pl.when(step == 0)
+  def _prologue():
+    for cp in copies(r, g, slot):
+      cp.start()
+
+  nxt = step + 1
+
+  @pl.when(nxt < nsteps)
+  def _prefetch():
+    for cp in copies(nxt // ngroups, jax.lax.rem(nxt, ngroups), 1 - slot):
+      cp.start()
+
+  for cp in copies(r, g, slot):
+    cp.wait()
+
+  full = [w[slot] for w in (win_a, win_b, win_va, win_vb)]
+  parts = []
+  for r2 in range(rows):
+    wa, wb, va, vb = (
+        jax.lax.slice(f, (r2 * sy, 0), (r2 * sy + py, win_c))
+        for f in full)
+    parts.append(_masked_corr_peaks_grouped(
+        wa, wb, va, vb, wr1[:], wi1[:], wr1i[:], wi1i[:], frb[:],
+        fib[:], br2c[:], bi2c[:], group=group, py=py, px=px, sx=sx,
+        mean=mean, bf16=bf16, min_distance=min_distance,
+        threshold_rel=threshold_rel, peak_radius=peak_radius))
+  out_ref[0, 0] = (parts[0] if rows == 1
+                   else jnp.concatenate(parts, axis=0))
+
+
 @functools.partial(
     jax.jit, static_argnames=['patch_size', 'step', 'mean', 'bf16',
                               'group', 'rows', 'min_distance',
@@ -395,15 +548,19 @@ def dense_flow_peaks_pallas(
     min_distance: int = 2,
     threshold_rel: float = 0.5,
     peak_radius: int = 5,
+    pre_valid: jnp.ndarray | None = None,
+    post_valid: jnp.ndarray | None = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
   """Dense-grid flow peaks over a full image pair in ONE pallas_call.
 
-  The entire hot path — window DMA, patch assembly, mean subtraction,
-  DFT-matmul circular correlation, peak statistics — runs in VMEM; HBM
-  traffic is one ~4x-overlapped read of each image plus the [4, gy, gx]
-  result. Requires sy % 8 == 0 and group*sx % 128 == 0 (alignment of
-  the DMA windows); group/rows are auto-picked when None.
+  The entire hot path — window DMA, patch assembly, mean handling,
+  DFT-matmul correlation (plain circular, or the full masked Padfield
+  NCC when `pre_valid`/`post_valid` float32 valid-pixel planes are
+  given), peak statistics — runs in VMEM; HBM traffic is one
+  ~4x-overlapped read of each plane plus the [4, gy, gx] result.
+  Requires sy % 8 == 0 and group*sx % 128 == 0 (alignment of the DMA
+  windows); group/rows are auto-picked when None.
 
   Returns [4, gy, gx] (x, y, sharpness, ratio) like
   flow_field._dense_flow_strips.
@@ -417,21 +574,45 @@ def dense_flow_peaks_pallas(
                 threshold_rel=threshold_rel, peak_radius=peak_radius,
                 interpret=interpret)
 
-  @jax.custom_batching.custom_vmap
-  def run(pre, post):
-    return _dense_flow_peaks_impl(pre, post, **kwargs)
+  if pre_valid is None and post_valid is None:
 
-  @run.def_vmap
-  def _rule(axis_size, in_batched, pre, post):  # noqa: ANN001
-    pre_b, post_b = in_batched
-    if not pre_b:
-      pre = jnp.broadcast_to(pre, (axis_size,) + pre.shape)
-    if not post_b:
-      post = jnp.broadcast_to(post, (axis_size,) + post.shape)
-    out = jax.lax.map(lambda ab: run(ab[0], ab[1]), (pre, post))
+    @jax.custom_batching.custom_vmap
+    def run(pre, post):
+      return _dense_flow_peaks_impl(pre, post, **kwargs)
+
+    @run.def_vmap
+    def _rule(axis_size, in_batched, pre, post):  # noqa: ANN001
+      args = [pre, post]
+      for i, b in enumerate(in_batched):
+        if not b:
+          args[i] = jnp.broadcast_to(args[i],
+                                     (axis_size,) + args[i].shape)
+      out = jax.lax.map(lambda ab: run(*ab), tuple(args))
+      return out, True
+
+    return run(pre_image, post_image)
+
+  if pre_valid is None:
+    pre_valid = jnp.ones_like(pre_image, jnp.float32)
+  if post_valid is None:
+    post_valid = jnp.ones_like(post_image, jnp.float32)
+
+  @jax.custom_batching.custom_vmap
+  def run_m(pre, post, va, vb):
+    return _dense_flow_peaks_impl(pre, post, pre_valid=va, post_valid=vb,
+                                  **kwargs)
+
+  @run_m.def_vmap
+  def _rule_m(axis_size, in_batched, *args):  # noqa: ANN001
+    args = list(args)
+    for i, b in enumerate(in_batched):
+      if not b:
+        args[i] = jnp.broadcast_to(args[i], (axis_size,) + args[i].shape)
+    out = jax.lax.map(lambda ab: run_m(*ab), tuple(args))
     return out, True
 
-  return run(pre_image, post_image)
+  return run_m(pre_image, post_image, pre_valid.astype(jnp.float32),
+               post_valid.astype(jnp.float32))
 
 
 def _dense_flow_peaks_impl(
@@ -447,6 +628,8 @@ def _dense_flow_peaks_impl(
     threshold_rel: float,
     peak_radius: int,
     interpret: bool,
+    pre_valid: jnp.ndarray | None = None,
+    post_valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
   from sofima_tpu import flow_field
 
@@ -506,41 +689,57 @@ def _dense_flow_peaks_impl(
   bi2c = jnp.asarray(bi2c_np)
   dcmask = jnp.asarray(dc_np)
 
+  masked = pre_valid is not None
+  nplanes = 6 if masked else 2
+
   mat = lambda m: pl.BlockSpec(m.shape, lambda r, g: (0,) * m.ndim,
                                memory_space=pltpu.VMEM)
-  kernel = functools.partial(
-      _grid_kernel, group=group, rows=rows, py=py, px=px, sy=sy, sx=sx,
-      win_r=win_r, win_c=win_c, ngroups=ngroups,
-      nsteps=nrsteps * ngroups, mean=mean, bf16=bf16,
-      min_distance=min_distance, threshold_rel=threshold_rel,
-      peak_radius=peak_radius)
+  common = dict(group=group, rows=rows, py=py, px=px, sy=sy, sx=sx,
+                win_r=win_r, win_c=win_c, ngroups=ngroups,
+                nsteps=nrsteps * ngroups, mean=mean, bf16=bf16,
+                min_distance=min_distance, threshold_rel=threshold_rel,
+                peak_radius=peak_radius)
+  if masked:
+    # Pad masks with 0 = invalid; padded patch slots are cropped anyway.
+    va = jnp.pad(pre_valid.astype(jnp.float32),
+                 ((0, pad_h), (0, pad_w)))
+    vb = jnp.pad(post_valid.astype(jnp.float32),
+                 ((0, pad_h), (0, pad_w)))
+    kernel = functools.partial(_grid_kernel_masked, **common)
+    inputs = (pre, post, va, vb, wr1, wi1, wr1i, wi1i, frb, fib, br2c,
+              bi2c)
+    in_specs = ([pl.BlockSpec(memory_space=pl.ANY)] * 4
+                + [mat(m) for m in inputs[4:]])
+    scratch = [pltpu.VMEM((2, win_r, win_c), jnp.float32)
+               for _ in range(4)] + [pltpu.SemaphoreType.DMA((2, 4))]
+  else:
+    kernel = functools.partial(_grid_kernel, **common)
+    inputs = (pre, post, wr1, wi1, wr1i, wi1i, frb, fib, br2c, bi2c,
+              dcmask)
+    in_specs = ([pl.BlockSpec(memory_space=pl.ANY)] * 2
+                + [mat(m) for m in inputs[2:]])
+    scratch = [pltpu.VMEM((2, win_r, win_c), jnp.float32)
+               for _ in range(2)] + [pltpu.SemaphoreType.DMA((2, 2))]
   out = pl.pallas_call(
       kernel,
       grid=(nrsteps, ngroups),
-      in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-                mat(wr1), mat(wi1), mat(wr1i), mat(wi1i), mat(frb),
-                mat(fib), mat(br2c), mat(bi2c), mat(dcmask)],
+      in_specs=in_specs,
       out_specs=pl.BlockSpec((1, 1, rows * group, 4),
                              lambda r, g: (r, g, 0, 0),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((nrsteps, ngroups, rows * group, 4),
                                      jnp.float32),
-      scratch_shapes=[
-          pltpu.VMEM((2, win_r, win_c), jnp.float32),
-          pltpu.VMEM((2, win_r, win_c), jnp.float32),
-          pltpu.SemaphoreType.DMA((2, 2)),
-      ],
+      scratch_shapes=scratch,
       cost_estimate=pl.CostEstimate(
-          flops=(4 * py * win_c * group * hp      # block forward rDFT
-                 + 16 * py * py * hp * group      # col fwd/inv + col inv
-                 ) * 2 * nrsteps * rows * ngroups,
-          bytes_accessed=2 * nrsteps * ngroups * win_r * win_c * 4,
+          flops=(2 * py * win_c * group * hp      # block forward rDFT
+                 + 8 * py * py * hp * group       # col fwd/inv + col inv
+                 ) * nplanes * nrsteps * rows * ngroups,
+          bytes_accessed=nplanes * nrsteps * ngroups * win_r * win_c * 4,
           transcendentals=0),
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
-  )(pre, post, wr1, wi1, wr1i, wi1i, frb, fib, br2c, bi2c, dcmask)
+  )(*inputs)
   # [nrsteps, ngroups, rows, group, 4] -> [gy, gx, 4] (crop the padded
   # row/column slots).
   out = out.reshape(nrsteps, ngroups, rows, group, 4)

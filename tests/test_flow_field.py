@@ -470,3 +470,56 @@ class TestPallasFlowKernel:
     assert got.shape == ref.shape == (4, 6, 6)
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4,
                                equal_nan=True)
+
+
+class TestMaskedGridKernel:
+
+  def test_masked_dense_flow_peaks_pallas(self):
+    """Masked Padfield NCC in the grid kernel vs the XLA masked path.
+
+    Oracle = the strip path with the whole grid in ONE batch: the
+    reference's 30%-of-max overlap threshold is batch-global, and with
+    a full batch (the production regime) the max equals the patch area
+    — exactly the kernel's deterministic rule. Integer peaks must match
+    exactly; sharpness/ratio are ratio statistics that amplify float
+    noise near zeroed masked regions, so they are compared through the
+    clean_flow quality gates they feed.
+    """
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    n = 520
+    noise = rng.rand(n, n).astype(np.float32)
+    f = np.fft.rfft2(noise)
+    fy = np.fft.fftfreq(n)[:, None]
+    fx = np.fft.rfftfreq(n)[None, :]
+    f *= np.exp(-((fx**2 + fy**2) / (2 * 0.08**2)))
+    pre = (np.fft.irfft2(f, s=(n, n)) * 255).astype(np.float32)
+    post = np.roll(pre, (3, -5), (0, 1)).copy()
+    post[:140, :140] = rng.rand(140, 140) * 255  # corrupted corner
+    pre_mask = np.zeros((n, n), bool)
+    pre_mask[400:, :] = True
+    post_mask = np.zeros((n, n), bool)
+    post_mask[:140, :140] = True
+
+    ref = np.asarray(flow_field._dense_flow_strips(
+        jnp.asarray(pre), jnp.asarray(post), (160, 160), (40, 40), None,
+        2, 0.5, 5, rows_per_step=10, dft_matmul=True, use_pallas=False,
+        pre_mask=jnp.asarray(pre_mask), post_mask=jnp.asarray(post_mask)))
+    from sofima_tpu.ops import pallas_flow
+    got = np.asarray(pallas_flow.dense_flow_peaks_pallas(
+        jnp.asarray(pre), jnp.asarray(post), (160, 160), (40, 40),
+        pre_valid=jnp.asarray(~pre_mask, np.float32),
+        post_valid=jnp.asarray(~post_mask, np.float32), interpret=True))
+
+    # Exact integer peaks (including which entries are NaN).
+    np.testing.assert_array_equal(np.nan_to_num(got[:2], nan=9e9),
+                                  np.nan_to_num(ref[:2], nan=9e9))
+    # Quality-gate decisions identical (the downstream contract).
+    for ch, thr in ((2, 1.6), (3, 1.6)):
+      ref_pass = np.nan_to_num(np.abs(ref[ch])) >= thr
+      got_pass = np.nan_to_num(np.abs(got[ch])) >= thr
+      np.testing.assert_array_equal(got_pass, ref_pass)
+    # Bulk numeric agreement away from near-zero denominators.
+    fin = np.isfinite(ref[2]) & np.isfinite(got[2])
+    close = np.abs(got[2][fin] - ref[2][fin]) / (np.abs(ref[2][fin]) + 1)
+    assert (close < 0.01).mean() > 0.9
