@@ -173,13 +173,16 @@ def main():
   taps = 8  # lanczos
   dy_lo, dy_hi, dx_lo, dx_hi = bounds
   global_iters = (dy_hi - dy_lo + taps) * (dx_hi - dx_lo + taps)
-  ry_lo, ry_hi, rx_lo, rx_hi = plan['residual_bounds']
-  tiled_iters = (ry_hi - ry_lo + taps) * (rx_hi - rx_lo + taps)
-  use_tiled = plan is not None and 1.5 * tiled_iters < global_iters
+  use_tiled = False
+  bases_j = None
+  if plan is not None:
+    ry_lo, ry_hi, rx_lo, rx_hi = plan['residual_bounds']
+    tiled_iters = (ry_hi - ry_lo + taps) * (rx_hi - rx_lo + taps)
+    use_tiled = 1.5 * tiled_iters < global_iters
+    bases_j = jax.device_put(plan['bases'])
   results['warp_mode'] = 'tiled' if use_tiled else 'global'
   if use_tiled:
     results['warp_residual_bounds'] = list(plan['residual_bounds'])
-  bases_j = jax.device_put(plan['bases'])
 
   n_strips = 4
   h = n // n_strips

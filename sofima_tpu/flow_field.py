@@ -623,7 +623,7 @@ def _strip_patches(strip: jnp.ndarray, rows: int, grid_x: int,
     jax.jit,
     static_argnames=['patch_size', 'step', 'mean', 'min_distance',
                      'threshold_rel', 'peak_radius', 'rows_per_step',
-                     'dft_matmul', 'bf16', 'use_pallas', 'pallas_group'])
+                     'dft_matmul', 'bf16', 'use_pallas'])
 def _dense_flow_strips(
     pre_image: jnp.ndarray,
     post_image: jnp.ndarray,
@@ -639,7 +639,6 @@ def _dense_flow_strips(
     pre_mask: jnp.ndarray | None = None,
     post_mask: jnp.ndarray | None = None,
     use_pallas: bool | None = None,
-    pallas_group: int = 8,
 ) -> jnp.ndarray:
   """Dense circular flow over the full grid via strip-sliced patches.
 
@@ -689,7 +688,7 @@ def _dense_flow_strips(
       # kernel writes only the [b, 4] statistics back.
       from sofima_tpu.ops import pallas_flow
       return pallas_flow.flow_peaks_pallas(
-          pre_b, post_b, mean=mean, bf16=bf16, group=pallas_group,
+          pre_b, post_b, mean=mean, bf16=bf16,
           min_distance=int(min_distance), threshold_rel=threshold_rel,
           peak_radius=int(peak_radius))
 
@@ -797,8 +796,17 @@ def dense_flow_field(
     scalar_params = (not isinstance(min_distance, collections.abc.Sequence)
                      and not isinstance(peak_radius,
                                         collections.abc.Sequence))
+    # The grid kernel's block forward-DFT matrices grow with the
+    # alignment-driven group size (128/gcd(sx, 128) patches); cap their
+    # VMEM footprint or fall back to the strip path.
+    _unit = 128 // int(np.gcd(int(step[1]), 128))
+    _group = max(_unit, ((8 + _unit - 1) // _unit) * _unit)
+    _win_c = -(-((_group - 1) * step[1] + patch_size[1]) // 128) * 128
+    _hp = -(-(patch_size[1] // 2 + 1) // 128) * 128
+    _frb_bytes = _win_c * _group * _hp * 4
     if (pallas_ok and scalar_params and dft_matmul
-        and step[0] % 8 == 0 and patch_size[0] % 8 == 0):
+        and step[0] % 8 == 0 and patch_size[0] % 8 == 0
+        and _frb_bytes <= 24 * 1024 * 1024):
       # Single-dispatch full-grid kernel: window DMA + in-VMEM patch
       # assembly + DFT-matmul correlation (masked Padfield NCC when
       # masks are given) + peak stats, one pallas_call.

@@ -229,12 +229,13 @@ def _corr_peaks_values(a, b, wr1, wi1, fr2, fi2, br2, bi2, *, bf16,
   # block with masked vector writes and store it once.
   rid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 0)
   cid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 1)
+  emasks = _edge_masks((n1, n2), min_distance)
   vals = jnp.zeros((group, 4), jnp.float32)
   for g in range(group):
     ox, oy, sharp, ratio = _peaks_for_patch(
         corr[g], lin, min_distance=min_distance,
         threshold_rel=threshold_rel, peak_radius=peak_radius,
-        center=center)
+        center=center, masks=emasks)
     row = jnp.where(cid == 0, ox,
                     jnp.where(cid == 1, oy,
                               jnp.where(cid == 2, sharp, ratio)))
@@ -328,8 +329,14 @@ def _masked_corr_peaks_grouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
   valid). Matches flow_field._masked_xcorr_circular within float
   tolerance (NCC is exactly invariant to the constant-mean handling
   difference).
+
+  Always float32 regardless of `bf16`: the overlap counts must survive
+  jnp.round (bf16 DFT matrices perturb a 25600-px overlap by O(100)),
+  and the subtractive variance cancellation amplifies matrix rounding
+  into percent-level NCC errors. The reference masked path is f32 too.
   """
-  in_t = jnp.bfloat16 if bf16 else jnp.float32
+  del bf16
+  in_t = jnp.float32
   eps = jnp.float32(np.finfo(np.float32).eps)
 
   def mm(x, y):
@@ -382,7 +389,14 @@ def _masked_corr_peaks_grouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
   rid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 0)
   cid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 1)
   emasks = _edge_masks((py, px), min_distance)
-  vals = jnp.zeros((group, 4), jnp.float32)
+
+  # Pass 1: numerator/denominator/overlap surfaces per patch. The
+  # denominator tolerance is shared across the GROUP (the reference
+  # gates against the max |denom| of whatever batch shared a dispatch;
+  # a per-patch tolerance would scale down with a flat patch's own
+  # noise floor and let it emit confident garbage peaks).
+  nums, denoms, overlaps = [], [], []
+  tolmax = jnp.float32(0.0)
   for g in range(group):
     xcorr, ovl_raw, sum_p, sum_c, t_p2, t_c2 = (
         col_inv(t, g) for t in terms)
@@ -392,7 +406,15 @@ def _masked_corr_peaks_grouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
     var_p = jnp.fmax(t_p2 - jnp.square(sum_p) * inv_overlap, 0.0)
     var_c = jnp.fmax(t_c2 - jnp.square(sum_c) * inv_overlap, 0.0)
     denom = jnp.sqrt(var_p * var_c)
-    tol = 1e3 * eps * jnp.max(jnp.abs(denom))
+    tolmax = jnp.maximum(tolmax, jnp.max(jnp.abs(denom)))
+    nums.append(num)
+    denoms.append(denom)
+    overlaps.append(overlap)
+
+  tol = 1e3 * eps * tolmax
+  vals = jnp.zeros((group, 4), jnp.float32)
+  for g in range(group):
+    num, denom, overlap = nums[g], denoms[g], overlaps[g]
     corr = jnp.where(denom > tol,
                      num / jnp.where(denom > tol, denom, 1.0), 0.0)
     corr = jnp.clip(corr, -1.0, 1.0)

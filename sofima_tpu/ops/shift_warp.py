@@ -227,11 +227,17 @@ def displacement_bounds_from_disp(
   dims). See displacement_bounds for the convexity/extrapolation math."""
 
   def extend(d, axis):
+    # BOTH edges: output boxes may start before the first map node
+    # (offset/map_box geometry), where the densifier extrapolates from
+    # the leading nodes just like past the last one.
+    first = np.take(d, [0], axis=axis)
+    second = np.take(d, [1], axis=axis)
     last = np.take(d, [-1], axis=axis)
     prev = np.take(d, [-2], axis=axis)
-    grad = last - prev
-    ext = [last + (k + 1) * grad for k in range(edge_nodes)]
-    return np.concatenate([d] + ext, axis=axis)
+    lo = [first + (k + 1) * (first - second)
+          for k in range(edge_nodes)][::-1]
+    hi = [last + (k + 1) * (last - prev) for k in range(edge_nodes)]
+    return np.concatenate(lo + [d] + hi, axis=axis)
 
   for axis in (-2, -1):
     if disp_y.shape[axis] >= 2:

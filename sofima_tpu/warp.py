@@ -410,7 +410,6 @@ def ndimage_warp(
       image_j = jnp.asarray(image.astype(np.float32))
     coords_j = jnp.asarray(np.stack(dense).astype(np.float32))
     origins = tuple(int(s) + b for s, b in zip(box_start_zyx, bases))
-    on_tpu = jax.devices()[0].platform in ('tpu', 'axon')
     if dim == 2:
       (dy_lo, dy_hi), (dx_lo, dx_hi) = bounds
       if on_tpu:
