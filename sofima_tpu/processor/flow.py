@@ -149,7 +149,9 @@ class EstimateFlow(SubvolumeProcessor):
             lambda a, b: flow_field.dense_flow_field(
                 a, b, patch_t, step_t, batch_size=per_pair_batch,
                 circular=True,
-                dft_matmul=(config.flow_mode == 'circular_dft')))(
+                dft_matmul=(config.flow_mode in ('circular_dft',
+                                                 'circular_dft_bf16')),
+                bf16=(config.flow_mode == 'circular_dft_bf16')))(
                     pre_stack, post_stack))
       else:
         flows = []
