@@ -55,7 +55,8 @@ class EstimateFlow(SubvolumeProcessor):
     selection_mask_configs: Any = None
     batch_size: int = 1024
     # Correlation backend for dense unmasked runs:
-    # 'padfield' | 'circular' | 'circular_dft' (see flow_field.flow_field).
+    # 'padfield' | 'circular' | 'circular_dft' | 'circular_dft_bf16'
+    # (see flow_field.flow_field).
     flow_mode: str = 'padfield'
 
   def __init__(self, config: 'EstimateFlow.Config',
