@@ -773,6 +773,15 @@ def dense_flow_field(
   (patch-sized FFTs, ~4x faster; see _batched_xcorr_peaks_circular);
   requires equal pre/post patch sizes.
 
+  Masked backend note: the fused TPU grid kernel gates the masked-NCC
+  denominator with a per-GROUP tolerance and zeroes low-overlap shifts
+  against the theoretical maximum overlap (0.3*patch_area), while the
+  XLA strip path uses per-dispatch-batch quantities (mirroring the
+  reference, whose result depends on what shared a batch). Both rules
+  are deterministic and agree whenever any patch of the batch/group is
+  fully valid — the production regime — but low-texture/low-overlap
+  edge cases can resolve differently between the two backends.
+
   Returns [dim+2, *grid] with the same conventions as
   `JAXMaskedXCorrWithStatsCalculator.flow_field`.
   """
@@ -798,11 +807,10 @@ def dense_flow_field(
                                         collections.abc.Sequence))
     # The grid kernel's block forward-DFT matrices grow with the
     # alignment-driven group size (128/gcd(sx, 128) patches); cap their
-    # VMEM footprint or fall back to the strip path.
-    _unit = 128 // int(np.gcd(int(step[1]), 128))
-    _group = max(_unit, ((8 + _unit - 1) // _unit) * _unit)
-    _win_c = -(-((_group - 1) * step[1] + patch_size[1]) // 128) * 128
-    _hp = -(-(patch_size[1] // 2 + 1) // 128) * 128
+    # VMEM footprint or fall back to the strip path. Geometry comes from
+    # the same helper the kernel uses, so the estimate cannot drift.
+    from sofima_tpu.ops import pallas_flow as _pf
+    _group, _, _win_c, _hp = _pf.pick_grid_geometry(patch_size, step)
     _frb_bytes = _win_c * _group * _hp * 4
     if (pallas_ok and scalar_params and dft_matmul
         and step[0] % 8 == 0 and patch_size[0] % 8 == 0
@@ -877,6 +885,161 @@ def dense_flow_field(
        starts.reshape(num_batches, batch_size, ndim)))
   peaks = peaks.reshape(padded, ndim + 2)[:n]
   return jnp.moveaxis(peaks.reshape(grid + (ndim + 2,)), -1, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=['patch_size', 'step', 'coarse_step', 'fine_patch',
+                     'batch_size', 'bf16', 'max_displacement', 'residual',
+                     'min_distance', 'threshold_rel', 'peak_radius'])
+def coarse_to_fine_flow(
+    pre_image: jnp.ndarray,
+    post_image: jnp.ndarray,
+    patch_size: tuple[int, int] = (160, 160),
+    step: tuple[int, int] = (40, 40),
+    coarse_step: tuple[int, int] | None = None,
+    fine_patch: tuple[int, int] | None = None,
+    batch_size: int = 256,
+    bf16: bool = True,
+    max_displacement: int = 96,
+    residual: int = 16,
+    pre_mask: jnp.ndarray | None = None,
+    post_mask: jnp.ndarray | None = None,
+    min_distance: int = 2,
+    threshold_rel: float = 0.5,
+    peak_radius: int = 5,
+) -> jnp.ndarray:
+  """Coarse-to-fine dense flow: same grid as `dense_flow_field`, ~2x faster.
+
+  The dense patch-160/stride-40 grid recomputes every pixel 16x, and the
+  MXU DFT-matmul correlation core is O(patch^3) per patch — so most of
+  the arithmetic buys capture range, not precision. This driver splits
+  the two concerns, mirroring the reference's targeting-field mechanism
+  (/root/reference/flow_field.py:487-490, 626-677) and its multi-
+  resolution pipeline (notebook cell 11: flow at 1x AND 2x):
+
+    1. COARSE: full patches on a `coarse_step` (default patch-sized)
+       grid — 1/16 the patches, full +-patch/2 capture range;
+    2. median-filtered, NaN-filled coarse flow warps `post_image` toward
+       `pre_image` (piecewise-linear map, tiled shift kernel with a
+       device-computed plan — no host round trip);
+    3. FINE: half-size patches at the original stride on the warped pair
+       measure the residual (a few px), at ~1/3 the FLOPs/patch;
+    4. total flow = fine + coarse interpolated at the fine node centers.
+
+  Returns [4, gy, gx] on exactly the `dense_flow_field(patch_size, step)`
+  grid (same node centers). Flow components are fine-peak integers plus
+  the (fractional) interpolated coarse field; sharpness/ratio statistics
+  come from the fine pass.
+
+  Static envelopes: |coarse flow| is clipped to `max_displacement`, and
+  the intermediate warp's per-tile residual lattice is bounded by
+  `residual` (local variation of the coarse field across a warp tile —
+  raise it for very high-frequency deformations).
+  """
+  from sofima_tpu.ops import interp as interp_ops
+  from sofima_tpu.ops import pallas_warp
+  from sofima_tpu.ops import shift_warp
+
+  py, px = patch_size
+  sy, sx = step
+  if coarse_step is None:
+    coarse_step = patch_size
+  if fine_patch is None:
+    fine_patch = (py // 2, px // 2)
+  csy, csx = coarse_step
+  fy, fx = fine_patch
+  if csy != csx:
+    raise ValueError('coarse_step must be isotropic')
+  if (py // 2 - fy // 2) % sy or (px // 2 - fx // 2) % sx:
+    raise ValueError('fine grid must align with the target grid')
+  h, w = pre_image.shape
+
+  coarse = dense_flow_field(
+      pre_image, post_image, patch_size, coarse_step,
+      batch_size=batch_size, circular=True, dft_matmul=True, bf16=bf16,
+      pre_mask=pre_mask, post_mask=post_mask, min_distance=min_distance,
+      threshold_rel=threshold_rel, peak_radius=peak_radius)
+  cx, cy = coarse[0], coarse[1]
+
+  # Robust prior: NaN -> global median, then a 3x3 component-wise median
+  # filter to stop isolated wrong coarse peaks from shifting fine windows
+  # off target (the fine pass re-measures, so smoothing here only costs
+  # capture margin, never accuracy).
+  def robustify(c):
+    med = jnp.nan_to_num(jnp.nanmedian(c))
+    c = jnp.where(jnp.isfinite(c), c, med)
+    p = jnp.pad(c, 1, mode='edge')
+    stacked = jnp.stack([p[i:i + c.shape[0], j:j + c.shape[1]]
+                         for i in range(3) for j in range(3)])
+    c = jnp.sort(stacked, axis=0)[4]
+    return jnp.clip(c, -max_displacement, max_displacement)
+
+  cx = robustify(cx)
+  cy = robustify(cy)
+
+  # Warp post toward pre: post_w(q) = post(q - f_coarse(q)).
+  g = jnp.stack([-cy, -cx])  # (y, x) displacement at coarse nodes
+  cy0, cx0 = py // 2, px // 2  # first node center
+
+  def prepend(v, axis):
+    first = jax.lax.slice_in_dim(v, 0, 1, axis=axis)
+    second = jax.lax.slice_in_dim(v, 1, 2, axis=axis)
+    return jnp.concatenate([2.0 * first - second, v], axis=axis)
+
+  # upsample_map_linear wants non-negative phases; prepending one
+  # extrapolated node shifts the grid so phase = scale - center0 >= 0.
+  g_ext = prepend(prepend(g, 1), 2)
+  dense_g = interp_ops.upsample_map_linear(
+      g_ext, csy, (csy - cy0, csx - cx0), (h, w))
+  yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+  xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+  coords = jnp.stack([yy + dense_g[0], xx + dense_g[1]])[None]
+
+  node_y = cy0 + np.arange(coarse.shape[1], dtype=np.float64) * csy
+  node_x = cx0 + np.arange(coarse.shape[2], dtype=np.float64) * csx
+  md = -(-max_displacement // 64) * 64
+  env_r = (-residual, residual, -residual, residual)
+  env_b = (-md, md, -md, md)
+  dplan = shift_warp.tiled_plan_device(
+      g[0][None], g[1][None], node_y, node_x, (h, w), env_r, env_b)
+  interpret = jax.default_backend() not in ('tpu', 'axon')
+
+  def warp_plane(plane, method):
+    return pallas_warp.pallas_shift_warp_tiled(
+        plane[None].astype(jnp.float32), coords, dplan['bases'], method,
+        *env_r, *env_b, *dplan['tile'], tile_bounds=dplan['tile_bounds'],
+        interpret=interpret)[0]
+
+  post_w = warp_plane(post_image, 'linear')
+  post_mask_w = None
+  if post_mask is not None:
+    # Invalid-mask transport: nearest-neighbor keeps it binary; pixels
+    # pulled from outside the image read 0 (= valid) like the reference's
+    # clamped patch windows.
+    post_mask_w = warp_plane(post_mask.astype(jnp.float32), 'nearest') > 0.5
+
+  fine = dense_flow_field(
+      pre_image, post_w, fine_patch, step, batch_size=batch_size,
+      circular=True, dft_matmul=True, bf16=bf16, pre_mask=pre_mask,
+      post_mask=post_mask_w, min_distance=min_distance,
+      threshold_rel=threshold_rel, peak_radius=peak_radius)
+
+  gy = (h - (py - sy)) // sy
+  gx = (w - (px - sx)) // sx
+  k0y = (py // 2 - fy // 2) // sy
+  k0x = (px // 2 - fx // 2) // sx
+  fine_c = jax.lax.slice(fine, (0, k0y, k0x), (4, k0y + gy, k0x + gx))
+
+  # Coarse flow at the target node centers (coarse-grid coords i*s/cs).
+  qy = (jnp.arange(gy, dtype=jnp.float32) * (sy / csy))[:, None]
+  qx = (jnp.arange(gx, dtype=jnp.float32) * (sx / csx))[None, :]
+  mesh = jnp.stack([jnp.broadcast_to(qy, (gy, gx)),
+                    jnp.broadcast_to(qx, (gy, gx))])
+  cg_x = interp_ops.grid_sample_linear(cx, mesh)
+  cg_y = interp_ops.grid_sample_linear(cy, mesh)
+  return jnp.stack([fine_c[0] + cg_x, fine_c[1] + cg_y,
+                    fine_c[2], fine_c[3]])
 
 
 class JAXMaskedXCorrWithStatsCalculator:

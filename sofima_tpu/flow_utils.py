@@ -70,12 +70,64 @@ def clean_flow(flow: np.ndarray, min_peak_ratio: float,
   return ret
 
 
+def clean_flow_device(flow: jnp.ndarray, min_peak_ratio: float,
+                      min_peak_sharpness: float, max_magnitude: float,
+                      max_deviation: float, dim: int = 2) -> jnp.ndarray:
+  """jit-traceable twin of `clean_flow` (same semantics, jnp in/out).
+
+  Used by device-resident drivers (pipeline.stack_align) where the host
+  round trip of the numpy version would serialize the stage chain.
+  """
+  assert dim in (2, 3)
+  assert dim <= flow.shape[0] <= dim + 2
+  flow = jnp.asarray(flow, jnp.float32)
+
+  if flow.shape[0] == dim + 2:
+    ret = flow[:dim]
+    bad = jnp.abs(flow[dim]) < min_peak_sharpness
+    ratio = jnp.abs(flow[dim + 1])
+    bad = bad | ((ratio > 0.0) & (ratio < min_peak_ratio))
+  else:
+    ret = flow[:dim + 1] if flow.shape[0] == dim + 1 else flow
+    bad = jnp.zeros(flow.shape[1:], bool)
+
+  if max_magnitude > 0:
+    bad = bad | (jnp.max(jnp.abs(flow[:dim]), axis=0) > max_magnitude)
+
+  if max_deviation > 0:
+    med = _median_per_section(jnp.nan_to_num(flow[:dim]), dim)
+    bad = bad | (jnp.max(jnp.abs(med - flow[:dim]), axis=0)
+                 > max_deviation)
+
+  return jnp.where(bad[None], jnp.nan, ret)
+
+
 def _median_per_section(flow: jnp.ndarray, dim: int) -> jnp.ndarray:
   """3^dim median filter over [c, z, y, x] flows (per-z window for 2d)."""
   if dim == 2:
     # [c, z, y, x] -> window over (y, x) only.
     return morphology.median_filter(flow, dims=2)
   return morphology.median_filter(flow, dims=3)
+
+
+def _steep_gradient(comp: np.ndarray, axis: int,
+                    limit: float) -> np.ndarray:
+  """Entries whose difference to EITHER axis neighbor exceeds `limit`.
+
+  Out-of-range neighbors count as 0 (see caller for the contract).
+  NaN differences compare False, so invalid entries never flag their
+  neighbors here.
+  """
+  axis = axis % comp.ndim
+  pad = [(0, 0)] * comp.ndim
+  pad[axis] = (1, 1)
+  padded = np.pad(comp, pad)
+  n = comp.shape[axis]
+  before = np.take(padded, np.arange(n), axis=axis)
+  after = np.take(padded, np.arange(2, n + 2), axis=axis)
+  with np.errstate(invalid='ignore'):
+    return ((np.abs(comp - before) > limit)
+            | (np.abs(after - comp) > limit))
 
 
 def reconcile_flows(flows: Sequence[np.ndarray], max_gradient: float,
@@ -103,10 +155,13 @@ def reconcile_flows(flows: Sequence[np.ndarray], max_gradient: float,
     ret[holes] = np.asarray(f, np.float32)[holes]
 
   if max_gradient > 0:
-    bad = np.abs(np.diff(ret[0], axis=-1, prepend=0)) > max_gradient
-    bad |= np.abs(np.diff(ret[0], axis=-1, append=0)) > max_gradient
-    bad |= np.abs(np.diff(ret[1], axis=-2, prepend=0)) > max_gradient
-    bad |= np.abs(np.diff(ret[1], axis=-2, append=0)) > max_gradient
+    # Each component is checked along its own axis (x-flow along x,
+    # y-flow along y) against BOTH of its axis neighbors; the virtual
+    # neighbor beyond the array edge is 0, so border entries are judged
+    # against their own magnitude. (Boundary convention pinned by the
+    # reference contract, /root/reference/flow_utils.py:110-116.)
+    bad = _steep_gradient(ret[0], -1, max_gradient)
+    bad |= _steep_gradient(ret[1], -2, max_gradient)
     apply_mask(ret, bad)
 
   if max_deviation > 0:

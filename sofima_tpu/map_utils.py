@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import collections.abc
 import functools
+import logging
 from typing import Sequence
 
 import jax
@@ -186,18 +187,27 @@ def inner_box(coord_map: np.ndarray, box: BoundingBox,
                      size=(x1 - x0 + 1, y1 - y0 + 1, z1 - z0 + 1))
 
 
-@functools.partial(jax.jit, static_argnames=['num_iters', 'tol'])
+@functools.partial(
+    jax.jit,
+    static_argnames=['num_iters', 'tol', 'newton_iters', 'return_stats'])
 def _invert_section(abs_map_xy: jnp.ndarray, src_start_yx: jnp.ndarray,
                     query_xy: jnp.ndarray, stride_yx: jnp.ndarray,
-                    num_iters: int = 32, tol: float = 1e-2) -> jnp.ndarray:
-  """Fixed-point inversion of one (2d or 3d) absolute coordinate map.
+                    num_iters: int = 32, tol: float = 1e-2,
+                    newton_iters: int = 8, return_stats: bool = False):
+  """Fixed-point + Newton inversion of one (2d or 3d) absolute map.
 
   Solves F(p) = q for p, where F(p) = p + d(p) and d is the relative
-  offset field sampled bilinearly from the map grid. Iterates the damped
-  fixed point p <- p + 0.6 (q - F(p)); converges for the near-identity,
-  smooth maps produced by mesh relaxation. Queries outside the image of
-  the map fail the residual check and yield NaN — mirroring the
-  convex-hull NaN semantics of scattered inversion.
+  offset field sampled bilinearly from the map grid. Phase 1 iterates
+  the damped fixed point p <- p + 0.6 (q - F(p)), which converges for
+  the near-identity smooth maps produced by mesh relaxation. Phase 2
+  (2d only) re-seeds any query that failed — NaN'd out or still above
+  tolerance, e.g. near folds where the fixed point's contraction factor
+  approaches 1 — and runs damped Newton steps with the sampled Jacobian
+  J = I + grad(d): this recovers stiff-but-invertible regions that the
+  plain iteration loses (the robustness envelope of the reference's
+  scattered inversion, /root/reference/map_utils.py:392-487). Truly
+  folded neighborhoods (|det J| ~ 0) still fail the residual gate and
+  yield NaN — mirroring the convex-hull NaN semantics.
 
   Args:
     abs_map_xy: [dim, *grid] absolute map (channels in xy[z] order)
@@ -206,10 +216,14 @@ def _invert_section(abs_map_xy: jnp.ndarray, src_start_yx: jnp.ndarray,
     stride_yx: [dim] node spacing ([z]yx)
     num_iters: fixed-point iterations
     tol: residual tolerance in units of stride
+    newton_iters: Newton refinement iterations (2d; 0 disables)
+    return_stats: also return the fraction of queries that failed the
+      residual gate (divergence telemetry)
 
   Returns:
     [dim, *out] source positions (absolute, xy[z] channels), NaN where
-    inversion failed
+    inversion failed; with `return_stats`, a (result, failed_fraction)
+    tuple.
   """
   dim = abs_map_xy.shape[0]
   # Relative offsets on the grid: d = F(grid) - grid.
@@ -222,13 +236,15 @@ def _invert_section(abs_map_xy: jnp.ndarray, src_start_yx: jnp.ndarray,
       for c in range(dim)
   ])
 
-  def sample_d(p_xy):
+  def to_idx(p_xy):
     # Physical -> grid index coords, zyx-ordered for sampling.
-    idx = jnp.stack([
+    return jnp.stack([
         p_xy[dim - 1 - a] / stride_yx[a] - src_start_yx[a]
         for a in range(dim)
     ])
-    return interp.sample_channels(d_xy, idx, method='linear',
+
+  def sample_d(p_xy):
+    return interp.sample_channels(d_xy, to_idx(p_xy), method='linear',
                                   mode='constant', cval=np.nan)
 
   def body(_, p):
@@ -239,10 +255,79 @@ def _invert_section(abs_map_xy: jnp.ndarray, src_start_yx: jnp.ndarray,
     return jnp.where(jnp.isnan(p_new), jnp.nan, p_new)
 
   p = jax.lax.fori_loop(0, num_iters, body, query_xy)
-  resid = jnp.abs(p + sample_d(p) - query_xy)
   max_stride = jnp.max(stride_yx)
-  ok = jnp.all(resid <= tol * max_stride, axis=0)
-  return jnp.where(ok[None], p, jnp.nan)
+
+  def residual_ok(p_cur):
+    resid = jnp.abs(p_cur + sample_d(p_cur) - query_xy)
+    return jnp.all(resid <= tol * max_stride, axis=0)
+
+  if dim == 2 and newton_iters > 0:
+    # Sampled Jacobian entries (pixel/pixel): gradients of d wrt (y, x).
+    gyx = [jnp.gradient(d_xy[c]) for c in range(2)]  # [(ddc/dy, ddc/dx)]
+    jac_planes = jnp.stack([
+        gyx[0][1] / stride_yx[1],  # a  = d(dx)/dx
+        gyx[0][0] / stride_yx[0],  # b  = d(dx)/dy
+        gyx[1][1] / stride_yx[1],  # c_ = d(dy)/dx
+        gyx[1][0] / stride_yx[0],  # e  = d(dy)/dy
+    ])
+
+    ok0 = residual_ok(p)
+    # Re-seed failed queries from q itself (NaN pins cannot resurrect in
+    # phase 1; Newton gets a fresh start).
+    p_n = jnp.where((~ok0 | jnp.isnan(p[0]) | jnp.isnan(p[1]))[None],
+                    query_xy, p)
+
+    def newton_body(_, p_cur):
+      d_here = sample_d(p_cur)
+      r = query_xy - (p_cur + d_here)
+      a, b, c_, e = interp.sample_channels(
+          jac_planes, to_idx(p_cur), method='linear', mode='nearest')
+      det = (1.0 + a) * (1.0 + e) - b * c_
+      # Gate only against numerical explosion at det ~ 0 (true folds);
+      # strong compressions (e.g. 0.2x per axis -> det 0.04) are
+      # legitimate and need the Newton step most. The trust-region clip
+      # below bounds the blow-up for the near-singular survivors.
+      safe = jnp.abs(det) > 0.005
+      inv_det = jnp.where(safe, 1.0 / jnp.where(safe, det, 1.0), 0.0)
+      dx = ((1.0 + e) * r[0] - b * r[1]) * inv_det
+      dy = (-c_ * r[0] + (1.0 + a) * r[1]) * inv_det
+      step = jnp.where(safe[None], jnp.stack([dx, dy]), 0.6 * r)
+      # Trust region: bounded steps keep fold neighborhoods from
+      # exploding while still letting strong compressions (|J| << 1,
+      # where each Newton step legitimately covers many cells) converge.
+      step = jnp.clip(step, -8.0 * max_stride, 8.0 * max_stride)
+      p_new = p_cur + step
+      return jnp.where(jnp.isnan(p_new), jnp.nan, p_new)
+
+    p_n = jax.lax.fori_loop(0, newton_iters, newton_body, p_n)
+    ok_n = residual_ok(p_n)
+    # Keep phase-1 answers where they were already good.
+    p = jnp.where(ok0[None], p, jnp.where(ok_n[None], p_n, jnp.nan))
+    ok = ok0 | ok_n
+  else:
+    ok = residual_ok(p)
+
+  out = jnp.where(ok[None], p, jnp.nan)
+  if return_stats:
+    return out, 1.0 - jnp.mean(ok.astype(jnp.float32))
+  return out
+
+
+def _record_invert_stats(failed_per_section: np.ndarray) -> None:
+  """Divergence telemetry: counters + a warning for high-failure maps."""
+  from sofima_tpu.utils import metrics
+  worst = float(failed_per_section.max()) if failed_per_section.size else 0.0
+  metrics.registry().inc('map_utils', 'invert_map_sections',
+                         int(failed_per_section.size))
+  metrics.registry().inc(
+      'map_utils', 'invert_map_failed_nodes_permille',
+      int(round(1000.0 * float(failed_per_section.mean()))) if
+      failed_per_section.size else 0)
+  if worst > 0.05:
+    logging.warning(
+        'invert_map: %.1f%% of queries failed to invert in the worst '
+        'section (folds or out-of-image regions); downstream fill will '
+        'interpolate them.', 100.0 * worst)
 
 
 def invert_map(coord_map: np.ndarray, src_box: BoundingBox,
@@ -290,11 +375,15 @@ def invert_map(coord_map: np.ndarray, src_box: BoundingBox,
     query_j = jnp.asarray(query)
     if dim == 2:
       sections = jnp.asarray(np.moveaxis(abs_map, 1, 0))  # [z, 2, y, x]
-      inv = jax.vmap(
-          lambda m: _invert_section(m, src_j, query_j, stride_j))(sections)
+      inv, failed = jax.vmap(
+          lambda m: _invert_section(m, src_j, query_j, stride_j,
+                                    return_stats=True))(sections)
+      _record_invert_stats(np.asarray(failed))
       return np.moveaxis(np.array(inv), 0, 1)
-    return np.array(
-        _invert_section(jnp.asarray(abs_map), src_j, query_j, stride_j))
+    out, failed = _invert_section(jnp.asarray(abs_map), src_j, query_j,
+                                  stride_j, return_stats=True)
+    _record_invert_stats(np.asarray(failed)[None])
+    return np.array(out)
 
   if compute == np.float64:
     # float64 is a CPU path: TPUs have no native f64.
@@ -439,13 +528,27 @@ def mask_irregular(coord_map: np.ndarray, stride: Sequence[float],
     max_frac = 2 - frac
 
   stride_x, stride_y = stride
-  diff_x = np.diff(coord_map[0, ...], axis=-1)
-  diff_y = np.diff(coord_map[1, ...], axis=-2)
-  diff_x = np.pad(diff_x, [[0, 0], [0, 1]], mode='constant') + stride_x
-  diff_y = np.pad(diff_y, [[0, 1], [0, 0]], mode='constant') + stride_y
+  # Physical spacing between axis-adjacent nodes of the ABSOLUTE map
+  # (x-channel along x, y-channel along y). A fold shows up as spacing
+  # collapsing below frac*stride (or inverting); a tear/stretch as
+  # spacing beyond max_frac*stride. The trailing node of each axis has
+  # no forward neighbor and gets the neutral pitch, so it can only be
+  # masked through the dilation of a neighbor's vote — the boundary
+  # behavior pinned by the reference contract
+  # (/root/reference/map_utils.py:737-786).
+  ny, nx = coord_map.shape[1:]
+  abs_x = coord_map[0] + np.arange(nx, dtype=np.float32) * stride_x
+  abs_y = coord_map[1] + (np.arange(ny, dtype=np.float32)
+                          * stride_y)[:, None]
+  spacing_x = np.full((ny, nx), stride_x, np.float32)
+  spacing_x[:, :-1] = abs_x[:, 1:] - abs_x[:, :-1]
+  spacing_y = np.full((ny, nx), stride_y, np.float32)
+  spacing_y[:-1, :] = abs_y[1:, :] - abs_y[:-1, :]
 
-  bad = (diff_x < frac * stride_x) | (diff_y < frac * stride_y)
-  bad |= (diff_x > max_frac * stride_x) | (diff_y > max_frac * stride_y)
+  with np.errstate(invalid='ignore'):
+    bad = (spacing_x < frac * stride_x) | (spacing_y < frac * stride_y)
+    bad |= ((spacing_x > max_frac * stride_x)
+            | (spacing_y > max_frac * stride_y))
 
   for _ in range(dilation_iters):
     grown = bad.copy()

@@ -31,6 +31,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def pick_grid_geometry(patch_size, step, group=None, rows=None,
+                       grid_y=None):
+  """Auto-picked (group, rows, win_c, hp) for the dense grid kernel.
+
+  Single source of truth shared by `_dense_flow_peaks_impl` and the
+  dispatch gate in `flow_field.dense_flow_field` (which sizes the same
+  block matrices to estimate VMEM footprint) — keeping the two in
+  lockstep so a heuristic change cannot silently desynchronize the gate
+  from the kernel (ADVICE r2).
+  """
+  py, px = patch_size
+  sy, sx = step
+  if group is None:
+    # Smallest multiple of 128/gcd(sx, 128) >= 8 keeps DMA starts
+    # lane-aligned with a reasonable VMEM working set.
+    unit = 128 // int(np.gcd(int(sx), 128))
+    group = max(unit, ((8 + unit - 1) // unit) * unit)
+  if rows is None:
+    # Amortize per-step overhead over 2 grid rows when alignment allows.
+    rows = 2 if (sy + py) % 8 == 0 and (grid_y is None or grid_y >= 2) \
+        else 1
+  win_c = -(-((group - 1) * sx + px) // 128) * 128
+  hp = -(-(px // 2 + 1) // 128) * 128
+  return group, rows, win_c, hp
+
+
 def _corr_kernel(a_ref, b_ref, wr1, wi1, fr2, fi2, br2, bi2, out_ref,
                  *, bf16):
   """One group of patches: fused circular NCC correlation surfaces.
@@ -315,6 +341,95 @@ def _corr_peaks_grouped(wa, wb, wr1, wi1, wr1i, wi1i, frb, fib, br2c,
   return vals
 
 
+def _ncc_full_valid_grouped(wa, wb, wr1, wi1, wr1i, wi1i, frb, fib,
+                            br2c, bi2c, *, group, py, px, sx, mean,
+                            min_distance, threshold_rel, peak_radius):
+  """Padfield NCC for a FULLY-VALID window row: exact closed form.
+
+  With every mask pixel valid and circular correlation, all Padfield
+  terms except the image cross-power are shift-independent: the overlap
+  is py*px everywhere (a circularly shifted all-ones mask still covers
+  the whole patch), and the masked sums / squared sums reduce to the
+  patch's own moments. The NCC surface is therefore an affine rescale of
+  the plain circular cross-correlation:
+
+      ncc = (xcorr - sum_p*sum_c/N) / sqrt(var_p * var_c),  N = py*px
+
+  computable from the cheap 2-plane spectra plus per-patch scalar
+  moments — no mask spectra, no mask DMA, ~1/3 the matmuls of the
+  6-term masked pipeline. Numerically this matches
+  _masked_corr_peaks_grouped to float rounding (the masked path derives
+  the same constants through DFT products). Always float32, like the
+  masked path it substitutes for.
+
+  Returns [G, 4] peak statistics.
+  """
+  in_t = jnp.float32
+  eps = jnp.float32(np.finfo(np.float32).eps)
+
+  def mm(x, y):
+    return jnp.dot(x.astype(in_t), y.astype(in_t),
+                   preferred_element_type=jnp.float32)
+
+  wa = wa - (jnp.mean(wa) if mean is None else mean)
+  wb = wb - (jnp.mean(wb) if mean is None else mean)
+
+  def rdft_rows(w):
+    ar = mm(w, frb)
+    ai = mm(w, fib)
+    return mm(wr1, ar) - mm(wi1, ai), mm(wr1, ai) + mm(wi1, ar)
+
+  pr, pi = rdft_rows(wa)
+  qr, qi = rdft_rows(wb)
+  cr = pr * qr + pi * qi
+  ci = pi * qr - pr * qi
+  gr = (mm(wr1i, cr) + mm(wi1i, ci)) / py
+  gi = (mm(wr1i, ci) - mm(wi1i, cr)) / py
+
+  hp = br2c.shape[0]
+  n_area = jnp.float32(py * px)
+  xcs, nums_c, denoms = [], [], []
+  tolmax = jnp.float32(0.0)
+  for g in range(group):
+    grg = jax.lax.slice(gr, (0, g * hp), (py, (g + 1) * hp))
+    gig = jax.lax.slice(gi, (0, g * hp), (py, (g + 1) * hp))
+    xcs.append((mm(grg, br2c) + mm(gig, bi2c)) / px)
+    ag = jax.lax.slice(wa, (0, g * sx), (py, g * sx + px))
+    bg = jax.lax.slice(wb, (0, g * sx), (py, g * sx + px))
+    sp = jnp.sum(ag)
+    sc = jnp.sum(bg)
+    var_p = jnp.fmax(jnp.sum(ag * ag) - sp * sp / n_area, 0.0)
+    var_c = jnp.fmax(jnp.sum(bg * bg) - sc * sc / n_area, 0.0)
+    denom = jnp.sqrt(var_p * var_c)
+    tolmax = jnp.maximum(tolmax, denom)
+    nums_c.append(sp * sc / n_area)
+    denoms.append(denom)
+
+  tol = 1e3 * eps * tolmax
+  iy = jax.lax.broadcasted_iota(jnp.int32, (py, px), 0)
+  ix = jax.lax.broadcasted_iota(jnp.int32, (py, px), 1)
+  lin = iy * px + ix
+  rid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 0)
+  cid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 1)
+  emasks = _edge_masks((py, px), min_distance)
+  vals = jnp.zeros((group, 4), jnp.float32)
+  for g in range(group):
+    denom = denoms[g]
+    corr = jnp.where(denom > tol,
+                     (xcs[g] - nums_c[g]) / jnp.where(denom > tol, denom,
+                                                      1.0), 0.0)
+    corr = jnp.clip(corr, -1.0, 1.0)
+    ox, oy, sharp, ratio = _peaks_for_patch(
+        corr, lin, min_distance=min_distance,
+        threshold_rel=threshold_rel, peak_radius=peak_radius,
+        center=(py // 2, px // 2), masks=emasks)
+    row = jnp.where(cid == 0, ox,
+                    jnp.where(cid == 1, oy,
+                              jnp.where(cid == 2, sharp, ratio)))
+    vals = jnp.where(rid == g, row, vals)
+  return vals
+
+
 def _masked_corr_peaks_grouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
                                frb, fib, br2c, bi2c, *, group, py, px,
                                sx, mean, bf16, min_distance,
@@ -500,58 +615,107 @@ def _grid_kernel(pre_hbm, post_hbm, wr1, wi1, wr1i, wi1i, frb, fib,
                    else jnp.concatenate(parts, axis=0))
 
 
-def _grid_kernel_masked(pre_hbm, post_hbm, vpre_hbm, vpost_hbm, wr1, wi1,
-                        wr1i, wi1i, frb, fib, br2c, bi2c, out_ref, win_a,
-                        win_b, win_va, win_vb, sems, *, group, rows, py,
-                        px, sy, sx, win_r, win_c, ngroups, nsteps, mean,
-                        bf16, min_distance, threshold_rel, peak_radius):
+def _grid_kernel_masked(pure_ref, pre_hbm, post_hbm, vpre_hbm, vpost_hbm,
+                        wr1, wi1, wr1i, wi1i, frb, fib, br2c, bi2c,
+                        out_ref, win_a, win_b, win_va, win_vb, sems, *,
+                        group, rows, py, px, sy, sx, win_r, win_c,
+                        ngroups, nsteps, mean, bf16, min_distance,
+                        threshold_rel, peak_radius):
   """Masked twin of _grid_kernel: four double-buffered window streams
-  (images + valid masks) feeding the Padfield NCC pipeline."""
+  (images + valid masks) feeding the Padfield NCC pipeline.
+
+  Purity-predicated: `pure_ref[step]` (SMEM, host-XLA-computed from mask
+  integral images) marks steps whose whole window is valid. Pure steps
+  skip the mask DMAs entirely and run the closed-form NCC
+  (_ncc_full_valid_grouped — exactly the Padfield result at full
+  validity), so the 3x cost of the 6-term masked pipeline is only paid
+  where the mask actually intersects the window. Deterministic: the
+  branch depends on the data, not on batching."""
   r = pl.program_id(0)
   g = pl.program_id(1)
   step = r * ngroups + g
   slot = jax.lax.rem(step, 2)
 
-  def copies(rr, gg, s):
+  def copies(rr, gg, s, masks):
     row0 = rr * (rows * sy)
     col0 = gg * (group * sx)
-    srcs = (pre_hbm, post_hbm, vpre_hbm, vpost_hbm)
-    dsts = (win_a, win_b, win_va, win_vb)
+    srcs = (vpre_hbm, vpost_hbm) if masks else (pre_hbm, post_hbm)
+    dsts = (win_va, win_vb) if masks else (win_a, win_b)
+    base = 2 if masks else 0
     return [
         pltpu.make_async_copy(
             src.at[pl.ds(row0, win_r), pl.ds(col0, win_c)],
-            dst.at[s], sems.at[s, i])
+            dst.at[s], sems.at[s, base + i])
         for i, (src, dst) in enumerate(zip(srcs, dsts))
     ]
 
+  impure = pure_ref[step] == 0
+
   @pl.when(step == 0)
   def _prologue():
-    for cp in copies(r, g, slot):
+    for cp in copies(r, g, slot, masks=False):
+      cp.start()
+
+  @pl.when((step == 0) & impure)
+  def _prologue_masks():
+    for cp in copies(r, g, slot, masks=True):
       cp.start()
 
   nxt = step + 1
+  in_range = nxt < nsteps
 
-  @pl.when(nxt < nsteps)
+  @pl.when(in_range)
   def _prefetch():
-    for cp in copies(nxt // ngroups, jax.lax.rem(nxt, ngroups), 1 - slot):
+    for cp in copies(nxt // ngroups, jax.lax.rem(nxt, ngroups), 1 - slot,
+                     masks=False):
       cp.start()
 
-  for cp in copies(r, g, slot):
+  # Guard the SMEM read: pure_ref[nsteps] is out of bounds on the last
+  # step, so clamp the index and combine with the range check.
+  nxt_impure = pure_ref[jnp.minimum(nxt, nsteps - 1)] == 0
+
+  @pl.when(in_range & nxt_impure)
+  def _prefetch_masks():
+    for cp in copies(nxt // ngroups, jax.lax.rem(nxt, ngroups), 1 - slot,
+                     masks=True):
+      cp.start()
+
+  for cp in copies(r, g, slot, masks=False):
     cp.wait()
 
-  full = [w[slot] for w in (win_a, win_b, win_va, win_vb)]
-  parts = []
-  for r2 in range(rows):
-    wa, wb, va, vb = (
-        jax.lax.slice(f, (r2 * sy, 0), (r2 * sy + py, win_c))
-        for f in full)
-    parts.append(_masked_corr_peaks_grouped(
-        wa, wb, va, vb, wr1[:], wi1[:], wr1i[:], wi1i[:], frb[:],
-        fib[:], br2c[:], bi2c[:], group=group, py=py, px=px, sx=sx,
-        mean=mean, bf16=bf16, min_distance=min_distance,
-        threshold_rel=threshold_rel, peak_radius=peak_radius))
-  out_ref[0, 0] = (parts[0] if rows == 1
-                   else jnp.concatenate(parts, axis=0))
+  mats = (wr1[:], wi1[:], wr1i[:], wi1i[:], frb[:], fib[:], br2c[:],
+          bi2c[:])
+
+  @pl.when(impure)
+  def _masked_path():
+    for cp in copies(r, g, slot, masks=True):
+      cp.wait()
+    full = [w[slot] for w in (win_a, win_b, win_va, win_vb)]
+    parts = []
+    for r2 in range(rows):
+      wa, wb, va, vb = (
+          jax.lax.slice(f, (r2 * sy, 0), (r2 * sy + py, win_c))
+          for f in full)
+      parts.append(_masked_corr_peaks_grouped(
+          wa, wb, va, vb, *mats, group=group, py=py, px=px, sx=sx,
+          mean=mean, bf16=bf16, min_distance=min_distance,
+          threshold_rel=threshold_rel, peak_radius=peak_radius))
+    out_ref[0, 0] = (parts[0] if rows == 1
+                     else jnp.concatenate(parts, axis=0))
+
+  @pl.when(jnp.logical_not(impure))
+  def _pure_path():
+    full = [w[slot] for w in (win_a, win_b)]
+    parts = []
+    for r2 in range(rows):
+      wa, wb = (jax.lax.slice(f, (r2 * sy, 0), (r2 * sy + py, win_c))
+                for f in full)
+      parts.append(_ncc_full_valid_grouped(
+          wa, wb, *mats, group=group, py=py, px=px, sx=sx, mean=mean,
+          min_distance=min_distance, threshold_rel=threshold_rel,
+          peak_radius=peak_radius))
+    out_ref[0, 0] = (parts[0] if rows == 1
+                     else jnp.concatenate(parts, axis=0))
 
 
 @functools.partial(
@@ -660,21 +824,14 @@ def _dense_flow_peaks_impl(
   h, w = pre_image.shape
   gy = (h - (py - sy)) // sy
   gx = (w - (px - sx)) // sx
-  if group is None:
-    # Smallest multiple of 128/gcd(sx, 128) >= 8 keeps DMA starts
-    # lane-aligned with a reasonable VMEM working set.
-    unit = 128 // int(np.gcd(sx, 128))
-    group = max(unit, ((8 + unit - 1) // unit) * unit)
-  if rows is None:
-    # Amortize per-step overhead over 2 grid rows when alignment allows.
-    rows = 2 if (sy + py) % 8 == 0 and gy >= 2 else 1
+  group, rows, win_c, _ = pick_grid_geometry(patch_size, step, group,
+                                             rows, grid_y=gy)
   assert (group * sx) % 128 == 0, (group, sx)
   assert sy % 8 == 0 and ((rows - 1) * sy + py) % 8 == 0, (sy, py, rows)
 
   ngroups = -(-gx // group)
   nrsteps = -(-gy // rows)
   win_r = (rows - 1) * sy + py
-  win_c = -(-((group - 1) * sx + px) // 128) * 128
   pad_h = max((nrsteps * rows - 1) * sy + py - h, 0)
   pad_w = max((ngroups - 1) * group * sx + win_c - w, 0)
   pre = jnp.pad(pre_image.astype(jnp.float32), ((0, pad_h), (0, pad_w)))
@@ -727,11 +884,33 @@ def _dense_flow_peaks_impl(
                  ((0, pad_h), (0, pad_w)))
     vb = jnp.pad(post_valid.astype(jnp.float32),
                  ((0, pad_h), (0, pad_w)))
+    # Per-step purity (whole DMA window valid in BOTH planes): int32
+    # block-pooled integral image — exact, unlike a float cumsum over
+    # 1e8 pixels. All window starts/extents are multiples of 8.
+    inv = ((va <= 0.0).astype(jnp.int32)
+           + (vb <= 0.0).astype(jnp.int32))
+    hh, ww = inv.shape
+    h8 = -(-hh // 8) * 8
+    w8 = -(-ww // 8) * 8
+    # Rounding rows/cols beyond the padded array are never DMA'd; 0
+    # (= valid) padding cannot flip any window's purity.
+    inv = jnp.pad(inv, ((0, h8 - hh), (0, w8 - ww)))
+    blk = inv.reshape(h8 // 8, 8, w8 // 8, 8).sum(axis=(1, 3))
+    ii = jnp.pad(jnp.cumsum(jnp.cumsum(blk, axis=0), axis=1),
+                 ((1, 0), (1, 0)))
+    r0 = np.arange(nrsteps) * (rows * sy) // 8
+    r1 = r0 + win_r // 8
+    c0 = np.arange(ngroups) * (group * sx) // 8
+    c1 = c0 + win_c // 8
+    s_counts = (ii[r1][:, c1] - ii[r0][:, c1] - ii[r1][:, c0]
+                + ii[r0][:, c0])
+    pure_flat = (s_counts == 0).astype(jnp.int32).reshape(-1)
     kernel = functools.partial(_grid_kernel_masked, **common)
-    inputs = (pre, post, va, vb, wr1, wi1, wr1i, wi1i, frb, fib, br2c,
-              bi2c)
-    in_specs = ([pl.BlockSpec(memory_space=pl.ANY)] * 4
-                + [mat(m) for m in inputs[4:]])
+    inputs = (pure_flat, pre, post, va, vb, wr1, wi1, wr1i, wi1i, frb,
+              fib, br2c, bi2c)
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [pl.BlockSpec(memory_space=pl.ANY)] * 4
+                + [mat(m) for m in inputs[5:]])
     scratch = [pltpu.VMEM((2, win_r, win_c), jnp.float32)
                for _ in range(4)] + [pltpu.SemaphoreType.DMA((2, 4))]
   else:

@@ -263,6 +263,109 @@ def _warp_tiled_kernel(bases_ref, coords_ref, img_hbm, out_ref, window,
   out_ref[0, 0] = acc
 
 
+def _warp_tiled_pruned_kernel(bases_ref, tb_ref, coords_ref, img_hbm,
+                              out_ref, window, acc_ref, inner_ref,
+                              ny_ref, nx_ref, sem, *, method, sy0, ry,
+                              sx0, rx, tile_y, tile_x, win_r, win_c,
+                              origin_y, origin_x, pad_top, pad_lft, ntx,
+                              chunk=4):
+  """Per-tile-pruned twin of _warp_tiled_kernel.
+
+  The static lattice [0, ry) x [0, rx) is an ENVELOPE; each tile supplies
+  its own active tap range (from the plan's per-tile displacement hull)
+  through SMEM, and inactive rows / column chunks are skipped with
+  pl.when. Taps outside a tile's range have exactly-zero kernel weight
+  for every pixel of the tile (the hull bound plus the kernel support
+  margin), so pruning is exact — it only skips provable zeros. Work per
+  tile then scales with the LOCAL displacement variation while the
+  compiled program covers the global envelope, which also lets a
+  device-computed plan (shift_warp.tiled_plan_device) drive the kernel
+  with no host round trip.
+
+  Accumulators live in VMEM scratch (acc/inner/norm refs) because values
+  cannot flow across pl.when regions.
+  """
+  z = pl.program_id(0)
+  iy = pl.program_id(1)
+  ix = pl.program_id(2)
+  bidx = (iy * ntx + ix) * 2
+  by = bases_ref[z, bidx]
+  bx = bases_ref[z, bidx + 1]
+  tidx = (iy * ntx + ix) * 4
+  iy0 = tb_ref[z, tidx]
+  iy1 = tb_ref[z, tidx + 1]
+  jx0 = tb_ref[z, tidx + 2]
+  jx1 = tb_ref[z, tidx + 3]
+
+  row_raw = pad_top + origin_y + iy * tile_y + by + sy0
+  col_raw = pad_lft + origin_x + ix * tile_x + bx + sx0
+  row_al = (row_raw // 8) * 8
+  col_al = (col_raw // 128) * 128
+  off_y = row_raw - row_al
+  off_x = col_raw - col_al
+  copy = pltpu.make_async_copy(
+      img_hbm.at[z, pl.ds(row_al, win_r), pl.ds(col_al, win_c)], window,
+      sem)
+  copy.start()
+
+  gy = (jax.lax.broadcasted_iota(jnp.int32, (tile_y, tile_x), 0)
+        .astype(jnp.float32) + (iy * tile_y + origin_y))
+  gx = (jax.lax.broadcasted_iota(jnp.int32, (tile_y, tile_x), 1)
+        .astype(jnp.float32) + (ix * tile_x + origin_x))
+  dy = coords_ref[0, 0] - gy - by.astype(jnp.float32)
+  dx = coords_ref[0, 1] - gx - bx.astype(jnp.float32)
+
+  planes_y = _weight_planes(dy, method)
+  planes_x = _weight_planes(dx, method)
+
+  copy.wait()
+  win = window[:]
+  win = pltpu.roll(win, (win_r - off_y) % win_r, 0)
+  win = pltpu.roll(win, (win_c - off_x) % win_c, 1)
+
+  zero = jnp.zeros((tile_y, tile_x), jnp.float32)
+  acc_ref[:] = zero
+  if method == 'lanczos':
+    ny_ref[:] = zero
+    nx_ref[:] = zero
+
+  for i in range(ry):
+
+    @pl.when((i >= iy0) & (i <= iy1))
+    def _row(i=i):
+      w_y = _weight_at(dy, planes_y, sy0 + i, method)
+      if method == 'lanczos':
+        ny_ref[:] = ny_ref[:] + w_y
+      inner_ref[:] = zero
+      for j0 in range(0, rx, chunk):
+
+        @pl.when((j0 + chunk - 1 >= jx0) & (j0 <= jx1))
+        def _cols(j0=j0):
+          v = inner_ref[:]
+          for j in range(j0, min(j0 + chunk, rx)):
+            w_x = _weight_at(dx, planes_x, sx0 + j, method)
+            v = v + w_x * jax.lax.slice(win, (i, j),
+                                        (i + tile_y, j + tile_x))
+          inner_ref[:] = v
+
+      acc_ref[:] = acc_ref[:] + w_y * inner_ref[:]
+
+  if method == 'lanczos':
+    for j0 in range(0, rx, chunk):
+
+      @pl.when((j0 + chunk - 1 >= jx0) & (j0 <= jx1))
+      def _norm(j0=j0):
+        v = nx_ref[:]
+        for j in range(j0, min(j0 + chunk, rx)):
+          v = v + _weight_at(dx, planes_x, sx0 + j, method)
+        nx_ref[:] = v
+
+    out_ref[0, 0] = acc_ref[:] / jnp.maximum(ny_ref[:] * nx_ref[:],
+                                             1e-12)
+  else:
+    out_ref[0, 0] = acc_ref[:]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=['method', 'ry_lo', 'ry_hi', 'rx_lo', 'rx_hi',
@@ -278,6 +381,7 @@ def pallas_shift_warp_tiled(
     tile_y: int, tile_x: int,
     origin_y: int = 0, origin_x: int = 0,
     interpret: bool = False,
+    tile_bounds: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
   """Warps [z, h, w] images with per-tile base displacements, in VMEM.
 
@@ -292,6 +396,10 @@ def pallas_shift_warp_tiled(
     by_lo..bx_hi: static bounds over all bases (sets image padding)
     tile_y/tile_x: plan tile shape (tile_y % 8 == 0, tile_x % 128 == 0)
     origin_y/origin_x: image coordinate of output pixel (0, 0)
+    tile_bounds: optional int32 [z, nty, ntx, 4] per-tile residual
+      bounds (y_lo, y_hi, x_lo, x_hi) from the plan; when given, the
+      static bounds act as an envelope and each tile sweeps only its own
+      (pruned) tap range — exact, since skipped taps have zero weight
 
   Returns:
     [z, oy, ox] warped output (0 outside image/bounds/NaN coords)
@@ -328,36 +436,59 @@ def pallas_shift_warp_tiled(
       ((0, 0), (0, 0), (0, nty * tile_y - oy), (0, ntx * tile_x - ox)),
       constant_values=1e9)
 
-  kernel = functools.partial(
-      _warp_tiled_kernel, method=method, sy0=sy0, ry=ry, sx0=sx0, rx=rx,
-      tile_y=tile_y, tile_x=tile_x, win_r=win_r, win_c=win_c,
-      origin_y=origin_y, origin_x=origin_x, pad_top=pad_top,
-      pad_lft=pad_lft, ntx=ntx)
-
   bases_flat = bases.astype(jnp.int32).reshape(nz, nty * ntx * 2)
+  common = dict(method=method, sy0=sy0, ry=ry, sx0=sx0, rx=rx,
+                tile_y=tile_y, tile_x=tile_x, win_r=win_r, win_c=win_c,
+                origin_y=origin_y, origin_x=origin_x, pad_top=pad_top,
+                pad_lft=pad_lft, ntx=ntx)
+  data_specs = [
+      pl.BlockSpec((1, 2, tile_y, tile_x),
+                   lambda z, iy, ix: (z, 0, iy, ix),
+                   memory_space=pltpu.VMEM),
+      pl.BlockSpec(memory_space=pl.ANY),
+  ]
+  scratch = [pltpu.VMEM((win_r, win_c), jnp.float32)]
+  if tile_bounds is None:
+    kernel = functools.partial(_warp_tiled_kernel, **common)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + data_specs
+    inputs = (bases_flat, coords_pad, padded)
+  else:
+    # Residual-bound values -> tap-index ranges within the envelope
+    # lattice (tap i covers shift sy0 + i; residual r needs taps
+    # [r_lo - left, r_hi + taps - 1 - left], i.e. indices
+    # [r_lo - ry_lo, r_hi - ry_lo + taps - 1] — `left` cancels).
+    tb = tile_bounds.astype(jnp.int32).reshape(nz, nty * ntx, 4)
+    ty0 = jnp.clip(tb[..., 0] - ry_lo, 0, ry)
+    ty1 = jnp.clip(tb[..., 1] - ry_lo + taps - 1, -1, ry - 1)
+    tx0 = jnp.clip(tb[..., 2] - rx_lo, 0, rx)
+    tx1 = jnp.clip(tb[..., 3] - rx_lo + taps - 1, -1, rx - 1)
+    tb_flat = jnp.stack([ty0, ty1, tx0, tx1],
+                        axis=-1).reshape(nz, nty * ntx * 4)
+    kernel = functools.partial(_warp_tiled_pruned_kernel, **common)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM)] + data_specs
+    inputs = (bases_flat, tb_flat, coords_pad, padded)
+    scratch += [pltpu.VMEM((tile_y, tile_x), jnp.float32)
+                for _ in range(3)]
+    if method == 'lanczos':
+      scratch.append(pltpu.VMEM((tile_y, tile_x), jnp.float32))
+    else:
+      # Unused norm scratch slots still need a placeholder shape.
+      scratch.append(pltpu.VMEM((8, 128), jnp.float32))
   out = pl.pallas_call(
       kernel,
       grid=(nz, nty, ntx),
-      in_specs=[
-          pl.BlockSpec(memory_space=pltpu.SMEM),
-          pl.BlockSpec((1, 2, tile_y, tile_x),
-                       lambda z, iy, ix: (z, 0, iy, ix),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec(memory_space=pl.ANY),
-      ],
+      in_specs=in_specs,
       out_specs=pl.BlockSpec((1, 1, tile_y, tile_x),
                              lambda z, iy, ix: (z, 0, iy, ix),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((nz, 1, nty * tile_y, ntx * tile_x),
                                      jnp.float32),
-      scratch_shapes=[
-          pltpu.VMEM((win_r, win_c), jnp.float32),
-          pltpu.SemaphoreType.DMA,
-      ],
+      scratch_shapes=scratch + [pltpu.SemaphoreType.DMA],
       compiler_params=pltpu.CompilerParams(
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
-  )(bases_flat, coords_pad, padded)
+  )(*inputs)
   return out[:, 0, :oy, :ox]
 
 
@@ -529,12 +660,15 @@ def warp_sections_pallas_tiled(images: jnp.ndarray, abs_map: jnp.ndarray,
 
   coords = jax.vmap(densify)(abs_map)  # [z, 2, oy, ox]
   bases = jnp.asarray(plan['bases'])
+  tb = plan.get('tile_bounds')
+  if tb is not None:
+    tb = jnp.asarray(tb)
   outs = []
   for c in range(images.shape[1]):
     outs.append(pallas_shift_warp_tiled(
         images[:, c], coords, bases, method, *plan['residual_bounds'],
         *plan['base_bounds'], *plan['tile'], origin_y=origin[0],
-        origin_x=origin[1], interpret=interpret))
+        origin_x=origin[1], interpret=interpret, tile_bounds=tb))
   return jnp.stack(outs, axis=1)
 
 

@@ -124,9 +124,17 @@ def relax_mesh_sharded(
   if not config.fire:
     raise NotImplementedError('Sharded relaxation requires FIRE.')
   n_dev = device_mesh.shape[axis_name]
-  if x.shape[-2] % n_dev:
-    raise ValueError(f'y extent {x.shape[-2]} not divisible by {n_dev} '
-                     'devices')
+  # Auto-pad indivisible y extents with NaN rows: NaN nodes are "absent"
+  # to the spring stencil (no forces, zero velocity), so the padded
+  # solve matches the unpadded one exactly; the global reductions below
+  # are NaN-aware so drift removal ignores the padding.
+  orig_y = x.shape[-2]
+  pad_y = (-orig_y) % n_dev
+  if pad_y:
+    widths = [(0, 0)] * (x.ndim - 2) + [(0, pad_y), (0, 0)]
+    x = jnp.pad(x, widths, constant_values=np.nan)
+    if prev is not None:
+      prev = jnp.pad(prev, widths, constant_values=np.nan)
 
   force_fn = (_sharded_force_2d(axis_name, base_force) if dim == 2
               else _sharded_force_3d(axis_name, base_force))
@@ -135,9 +143,12 @@ def relax_mesh_sharded(
     return jax.lax.psum(v, axis_name)
 
   def pmean_keepdims(v, axes):
-    local = jnp.sum(v, axis=axes, keepdims=True)
-    count = np.prod([v.shape[a] for a in axes])
-    return psum(local) / (psum(jnp.asarray(count, jnp.float32)))
+    # NaN-aware: padded/absent nodes must not poison drift removal.
+    finite = jnp.isfinite(v)
+    local = jnp.sum(jnp.where(finite, v, 0.0), axis=axes, keepdims=True)
+    count = jnp.sum(finite.astype(jnp.float32), axis=axes,
+                    keepdims=True)
+    return psum(local) / jnp.maximum(psum(count), 1.0)
 
   spec = P(*([None] * (x.ndim - 2) + [axis_name, None]))
   has_prev = prev is not None
@@ -149,7 +160,12 @@ def relax_mesh_sharded(
       in_specs=(spec, spec) if has_prev else (spec,),
       out_specs=(spec, P(None), P()),
       # Pallas kernels inside the body have no varying-mesh-axes
-      # annotations; skip the vma check.
+      # annotations; skip the vma check. The exemption covers the whole
+      # shard-mapped body (the API has no narrower scope), so the
+      # replication semantics are pinned instead by the exact
+      # sharded-vs-single-device parity tests in tests/test_parallel.py
+      # (TestRelaxMeshSharded.test_matches_single_device_*) — keep them
+      # green when editing this body.
       check_vma=False)
   def run(x_local, *maybe_prev):
     prev_local = maybe_prev[0] if maybe_prev else None
@@ -190,8 +206,12 @@ def relax_mesh_sharded(
     x = jax.device_put(x, sharding)
     if has_prev:
       prev = jax.device_put(prev, sharding)
-      return run(x, prev)
-    return run(x)
+      out, e_hist, steps = run(x, prev)
+    else:
+      out, e_hist, steps = run(x)
+  if pad_y:
+    out = out[..., :orig_y, :]
+  return out, e_hist, steps
 
 
 def sharded_flow_step(device_mesh: Mesh, axis_name: str = 'mesh_y'):
@@ -250,16 +270,27 @@ def dense_flow_field_sharded(
   assert post_image.shape == pre_image.shape, 'sharded mode: equal shapes'
   py, px = int(patch_size[0]), int(patch_size[1])
   sy, sx = int(step[0]), int(step[1])
-  if h % n_dev != 0 or (h // n_dev) % sy != 0:
-    raise ValueError(
-        f'image height {h} must split into {n_dev} strips divisible by '
-        f'step {sy}; pad the section')
-  h_loc = h // n_dev
-  halo = py - sy
-  # Global grid (the valid rows; per-device strips produce h_loc/sy rows
-  # each, the tail rows crossing the global bottom edge are cropped).
+  # Global grid from the ORIGINAL extent (rows touching auto-padding are
+  # cropped below).
   gy = (h - (py - sy)) // sy
   gx = (w - (px - sx)) // sx
+  # Auto-pad: each device strip must be step-aligned. Padded rows are
+  # zero image / invalid mask, and every grid row they could influence
+  # lies beyond `gy`, so the crop restores exact single-device results.
+  unit = n_dev * sy
+  h_pad = -(-h // unit) * unit
+  if h_pad != h:
+    extra = ((0, h_pad - h), (0, 0))
+    pre_image = jnp.pad(jnp.asarray(pre_image, jnp.float32), extra)
+    post_image = jnp.pad(jnp.asarray(post_image, jnp.float32), extra)
+    for key in ('pre_mask', 'post_mask'):
+      if flow_kwargs.get(key) is not None:
+        flow_kwargs[key] = jnp.pad(
+            jnp.asarray(flow_kwargs[key]).astype(bool), extra,
+            constant_values=True)
+    h = h_pad
+  h_loc = h // n_dev
+  halo = py - sy
 
   # Send each device's TOP halo rows to the PREVIOUS device; the last
   # device receives zeros (its tail grid rows are cropped anyway).
@@ -297,7 +328,11 @@ def dense_flow_field_sharded(
       in_specs=(P(axis_name, None),) * n_in,
       out_specs=P(None, axis_name, None),
       # pallas_call (the TPU dense-flow kernel) does not participate in
-      # the varying-manual-axes check.
+      # the varying-manual-axes check; the exemption necessarily covers
+      # the whole body. Semantics are pinned by the exact parity tests
+      # in tests/test_parallel.py (TestDenseFlowSharded.
+      # test_matches_single_device / test_masked_matches_single_device)
+      # — keep them green when editing this body.
       check_vma=False)
 
   spec = NamedSharding(device_mesh, P(axis_name, None))

@@ -375,3 +375,113 @@ class TestContractIdentities:
     # rhs suffers double interpolation; identity holds to pixel noise.
     err = np.abs(lhs[sel] - rhs[sel]).mean()
     assert err < 2.0, err
+
+
+class TestInvertRobustness:
+  """Round-3 robustness envelope: stiff maps, folds, telemetry.
+
+  Oracle: the reference's algorithm — scattered interpolation of the
+  swapped (source, target) point sets (scipy griddata, i.e. Qhull), per
+  /root/reference/map_utils.py:392-487.
+  """
+
+  def _scipy_invert(self, coord_map, stride, query_shape):
+    from scipy.interpolate import griddata
+    g = coord_map.shape[-1]
+    ny, nx = np.mgrid[:g, :g].astype(np.float64) * stride
+    tx = nx + coord_map[0, 0]
+    ty = ny + coord_map[1, 0]
+    pts = np.stack([ty.ravel(), tx.ravel()], -1)
+    qy, qx = np.mgrid[:query_shape[0], :query_shape[1]].astype(
+        np.float64) * stride
+    q = np.stack([qy.ravel(), qx.ravel()], -1)
+    inv_x = griddata(pts, nx.ravel(), q, method='linear').reshape(qy.shape)
+    inv_y = griddata(pts, ny.ravel(), q, method='linear').reshape(qy.shape)
+    out = np.stack([inv_x - qx, inv_y - qy])  # relative, xy channels
+    return out[:, None]
+
+  def test_strong_compression_recovered_by_newton(self):
+    # Uniform 0.2x compression: the damped fixed point contracts at
+    # ~0.95/iter (far too slow for 32 iterations over a large grid);
+    # the Newton phase must still invert it.
+    g, stride = 30, 40
+    nx = np.arange(g, dtype=np.float32) * stride
+    cm = np.zeros((2, 1, g, g), np.float32)
+    cm[0] = np.broadcast_to(-0.8 * nx[None, :], (1, g, g))
+    cm[1] = np.broadcast_to(-0.8 * nx[:, None], (1, g, g))
+    box = BoundingBox(start=(0, 0, 0), size=(g, g, 1))
+    inv = map_utils.invert_map(cm, box, box, stride)
+    # Image of the map is [0, 0.2*(g-1)*stride]; interior queries there
+    # must satisfy the analytic inverse x = q / 0.2.
+    qx = np.arange(g, dtype=np.float32) * stride
+    lim = 0.2 * (g - 1) * stride
+    sel = qx < lim * 0.9
+    got_abs = inv[0, 0, 0, sel] + qx[sel]
+    np.testing.assert_allclose(got_abs, qx[sel] / 0.2, atol=0.5)
+    # Queries beyond the image stay NaN (convex-hull semantics).
+    assert np.isnan(inv[0, 0, 0, qx > lim * 1.05]).all()
+
+  def test_near_fold_mesh_map_vs_scattered_oracle(self):
+    # A mesh-like map driven to the edge of folding: high-frequency
+    # sinusoid with amplitude ~0.8 * stride / (2 pi) * period... chosen
+    # so min spacing ~0.1*stride (mask_irregular flags it).
+    g, stride = 24, 40
+    nx = np.arange(g, dtype=np.float32) * stride
+    wob = 22.0  # min d(abs_x)/dx ~ 0.28 -> node spacing < 0.5*stride
+    cm = np.zeros((2, 1, g, g), np.float32)
+    cm[0] = np.broadcast_to(
+        wob * np.sin(2 * np.pi * nx[None, :] / (4.8 * stride)),
+        (1, g, g)).astype(np.float32)
+
+    flagged = map_utils.mask_irregular(
+        cm[:, 0].copy(), stride=(stride, stride), frac=0.5)
+    assert flagged.any()  # genuinely near-fold
+
+    box = BoundingBox(start=(0, 0, 0), size=(g, g, 1))
+    inv = map_utils.invert_map(cm, box, box, stride)
+    oracle = self._scipy_invert(cm, stride, (g, g))
+
+    both = np.isfinite(inv[0, 0]) & np.isfinite(oracle[0, 0])
+    # Away from the compression throats the two inversions agree.
+    err = np.abs(inv[:, 0][:, both] - oracle[:, 0][:, both])
+    frac_close = (err.max(axis=0) < 2.0).mean()
+    assert frac_close > 0.9, (frac_close, err.max())
+    # Coverage: the dense inversion recovers at least 90% of the area
+    # the scattered oracle covers.
+    cover_o = np.isfinite(oracle[0, 0]).mean()
+    cover_d = np.isfinite(inv[0, 0]).mean()
+    assert cover_d > 0.9 * cover_o, (cover_d, cover_o)
+
+  def test_divergence_telemetry(self):
+    from sofima_tpu.utils import metrics
+    g, stride = 16, 40
+    # A map whose image covers only a corner: most queries must fail.
+    cm = np.full((2, 1, g, g), np.nan, np.float32)
+    cm[:, :, :4, :4] = 0.0
+    box = BoundingBox(start=(0, 0, 0), size=(g, g, 1))
+    before = metrics.registry().get_counter('map_utils',
+                                            'invert_map_sections')
+    inv = map_utils.invert_map(cm, box, box, stride)
+    after = metrics.registry().get_counter('map_utils',
+                                           'invert_map_sections')
+    assert after == before + 1
+    assert np.isnan(inv[0, 0, -1, -1])
+
+  def test_render_after_fold_fill_error_is_bounded(self):
+    # render_tiles papers over failed inversions with
+    # fill_missing(extrapolate); quantify that the filled values stay
+    # close to the scattered oracle where THE ORACLE is defined.
+    g, stride = 24, 40
+    nx = np.arange(g, dtype=np.float32) * stride
+    cm = np.zeros((2, 1, g, g), np.float32)
+    cm[0] = np.broadcast_to(
+        14.0 * np.sin(2 * np.pi * nx[None, :] / (4.8 * stride)),
+        (1, g, g)).astype(np.float32)
+    box = BoundingBox(start=(0, 0, 0), size=(g, g, 1))
+    inv = map_utils.invert_map(cm, box, box, stride)
+    filled = map_utils.fill_missing(inv, extrapolate=True)
+    oracle = self._scipy_invert(cm, stride, (g, g))
+    both = np.isfinite(oracle[0, 0]) & np.isfinite(filled[0, 0])
+    err = np.abs(filled[:, 0][:, both] - oracle[:, 0][:, both]).max(0)
+    # Mean fill error within a node spacing; document the envelope.
+    assert err.mean() < stride / 2, err.mean()

@@ -39,6 +39,20 @@ class TestShardedRelax:
     assert np.isfinite(np.asarray(e_hist)[0])
 
   @requires_multi
+  def test_autopads_indivisible_y(self):
+    # 18 rows over 4 devices: NaN-row padding, exact crop (round 3).
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 1, 18, 12).astype(np.float32))
+    prev = jnp.zeros_like(x)
+    cfg = _config()
+    ref, _, _ = mesh.relax_mesh_fused(x, prev, cfg)
+    dmesh = mesh_sharding.make_mesh(4)
+    out, _, _ = mesh_sharding.relax_mesh_sharded(x, prev, cfg, dmesh)
+    assert out.shape == x.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3)
+
+  @requires_multi
   def test_matches_single_device_3d(self):
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(3, 4, 8, 6).astype(np.float32))
@@ -135,12 +149,26 @@ class TestShardedDenseFlow:
     assert np.nanmedian(out[0][interior]) == 2.0
 
   @requires_multi
-  def test_rejects_unaligned_strips(self):
+  def test_autopads_unaligned_strips(self):
+    # Indivisible heights are padded internally (round-3: auto-pad
+    # instead of raising); results must equal the single-device run.
+    from sofima_tpu import flow_field
+    rng = np.random.RandomState(3)
+    noise = rng.rand(150, 128).astype(np.float32)
+    f = np.fft.rfft2(noise)
+    fy = np.fft.fftfreq(150)[:, None]
+    fx = np.fft.rfftfreq(128)[None, :]
+    f *= np.exp(-((fx**2 + fy**2) / (2 * 0.1**2)))
+    pre = np.fft.irfft2(f, s=(150, 128)).astype(np.float32)
+    post = np.roll(pre, (2, -1), (0, 1))
+    patch, step = (40, 40), (10, 10)
+    ref = np.asarray(flow_field.dense_flow_field(
+        jnp.asarray(pre), jnp.asarray(post), patch, step, batch_size=64))
     dmesh = mesh_sharding.make_mesh(4, 'mesh_y')
-    with pytest.raises(ValueError):
-      mesh_sharding.dense_flow_field_sharded(
-          dmesh, np.zeros((150, 128), np.float32),
-          np.zeros((150, 128), np.float32), (40, 40), (10, 10))
+    out = np.asarray(mesh_sharding.dense_flow_field_sharded(
+        dmesh, pre, post, patch, step, batch_size=64))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-3, equal_nan=True)
 
   @requires_multi
   def test_masked_matches_single_device(self):

@@ -375,3 +375,118 @@ class TestNdimageWarpShiftPath:
       shift_warp.MAX_SHIFT_RANGE = orig
     np.testing.assert_allclose(fast[2:-2, 4:-4, 4:-4], ref[2:-2, 4:-4, 4:-4],
                                atol=1e-4)
+
+
+class TestPrunedTiledWarp:
+  """Per-tile lattice pruning + device-side plans (round 3)."""
+
+  def _field(self, n=700, stride=40):
+    rng = np.random.RandomState(0)
+    img = rng.rand(1, n, n).astype(np.float32) * 255
+    grid_n = n // stride + 1
+    my, mx = np.mgrid[:grid_n, :grid_n].astype(np.float32)
+    dx = -12.0 + 12 * np.sin(2 * np.pi * my / 20)
+    dy = 7.0 + 12 * np.cos(2 * np.pi * mx / 20)
+    abs_map = np.zeros((1, 2, grid_n, grid_n), np.float32)
+    abs_map[:, 0] = dx + mx * stride
+    abs_map[:, 1] = dy + my * stride
+    node = np.arange(grid_n, dtype=np.float64) * stride
+    from sofima_tpu.ops import interp
+    dense = interp.upsample_map_linear(jnp.asarray(abs_map[0]), stride,
+                                       (0, 0), (n, n))
+    coords = jnp.stack([dense[1], dense[0]])[None]
+    return img, dy, dx, node, coords, (n, n)
+
+  @pytest.mark.parametrize('method', ['lanczos', 'linear'])
+  def test_pruned_matches_unpruned(self, method):
+    from sofima_tpu.ops import pallas_warp, shift_warp
+    img, dy, dx, node, coords, out_shape = self._field()
+    plan = shift_warp.tiled_shift_plan(dy[None], dx[None], node, node,
+                                       out_shape)
+    assert 'tile_bounds' in plan
+    # Per-tile bounds must lie inside the global residual bounds.
+    tb = plan['tile_bounds']
+    ry_lo, ry_hi, rx_lo, rx_hi = plan['residual_bounds']
+    assert tb[..., 0].min() >= ry_lo and tb[..., 1].max() <= ry_hi
+    assert tb[..., 2].min() >= rx_lo and tb[..., 3].max() <= rx_hi
+    args = (jnp.asarray(img), coords, jnp.asarray(plan['bases']), method,
+            *plan['residual_bounds'], *plan['base_bounds'], *plan['tile'])
+    old = pallas_warp.pallas_shift_warp_tiled(*args, interpret=True)
+    new = pallas_warp.pallas_shift_warp_tiled(
+        *args, interpret=True, tile_bounds=jnp.asarray(tb))
+    np.testing.assert_allclose(np.asarray(new), np.asarray(old), atol=2e-3)
+
+  def test_device_plan_matches_host_plan(self):
+    from sofima_tpu.ops import pallas_warp, shift_warp
+    img, dy, dx, node, coords, out_shape = self._field()
+    plan = shift_warp.tiled_shift_plan(dy[None], dx[None], node, node,
+                                       out_shape)
+    dplan = shift_warp.tiled_plan_device(
+        jnp.asarray(dy[None]), jnp.asarray(dx[None]), node, node,
+        out_shape, plan['residual_bounds'], plan['base_bounds'])
+    assert not bool(dplan['overflow'])
+    np.testing.assert_array_equal(np.asarray(dplan['bases']),
+                                  plan['bases'])
+    old = pallas_warp.pallas_shift_warp_tiled(
+        jnp.asarray(img), coords, jnp.asarray(plan['bases']), 'lanczos',
+        *plan['residual_bounds'], *plan['base_bounds'], *plan['tile'],
+        interpret=True)
+    new = pallas_warp.pallas_shift_warp_tiled(
+        jnp.asarray(img), coords, dplan['bases'], 'lanczos',
+        *plan['residual_bounds'], *plan['base_bounds'], *plan['tile'],
+        interpret=True, tile_bounds=dplan['tile_bounds'])
+    np.testing.assert_allclose(np.asarray(new), np.asarray(old),
+                               atol=2e-3)
+
+  def test_device_plan_overflow_flag(self):
+    from sofima_tpu.ops import shift_warp
+    _, dy, dx, node, _, out_shape = self._field()
+    dplan = shift_warp.tiled_plan_device(
+        jnp.asarray(dy[None]), jnp.asarray(dx[None]), node, node,
+        out_shape, (-2, 2, -2, 2), (-64, 64, -64, 64))
+    assert bool(dplan['overflow'])
+
+  def test_plan_grows_edge_extension_for_overhang(self):
+    # ADVICE r2: an output box overhanging the node grid by more than 2
+    # node spacings must not silently under-estimate bounds.
+    from sofima_tpu.ops import shift_warp
+    node = np.arange(6, dtype=np.float64) * 40  # nodes cover [0, 200]
+    dy = np.tile(np.linspace(0.0, 10.0, 6)[:, None], (1, 6))[None]
+    dx = np.zeros_like(dy)
+    # Output extends to 480 px: 7 spacings past the last node; the linear
+    # trend continues to 10 + 280/40*2 = 24.
+    plan = shift_warp.tiled_shift_plan(dy, dx, node, node, (480, 200),
+                                       tile=(64, 128))
+    assert plan['residual_bounds'][1] - plan['residual_bounds'][0] >= 0
+    ext_hull_max = plan['tile_bounds'][..., 1].max() + plan[
+        'bases'][..., 0].max()
+    assert ext_hull_max >= 22  # trend extrapolated to the overhang
+
+
+class TestCoarseToFineFlow:
+
+  def test_matches_direct_flow(self):
+    from sofima_tpu import flow_field
+    rng = np.random.RandomState(0)
+    n = 800
+    noise = rng.rand(n, n).astype(np.float32)
+    f = np.fft.rfft2(noise)
+    fy = np.fft.fftfreq(n)[:, None]
+    fx = np.fft.rfftfreq(n)[None, :]
+    f *= np.exp(-((fx**2 + fy**2) / (2 * 0.08**2)))
+    pre = np.fft.irfft2(f, s=(n, n)).astype(np.float32)
+    pre = (pre - pre.min()) / np.ptp(pre) * 255.0
+    # Shift beyond the fine patch's +-20 px capture range: only the
+    # coarse pass can find it.
+    post = np.roll(pre, (23, -31), (0, 1))
+    out = np.asarray(flow_field.coarse_to_fine_flow(
+        jnp.asarray(pre), jnp.asarray(post)))
+    ref = np.asarray(flow_field.dense_flow_field(
+        jnp.asarray(pre), jnp.asarray(post), (160, 160), (40, 40),
+        batch_size=256, circular=True, dft_matmul=True))
+    assert out.shape == ref.shape
+    sl = np.s_[2:-2, 2:-2]
+    agree = np.nanmean(
+        (np.abs(out[0][sl] - ref[0][sl]) <= 1.0)
+        & (np.abs(out[1][sl] - ref[1][sl]) <= 1.0))
+    assert agree > 0.98
