@@ -187,17 +187,16 @@ def main():
   n_strips = 4
   h = n // n_strips
 
-  tb_j = jax.device_put(plan['tile_bounds']) if plan is not None else None
-
   def run_warp():
     if use_tiled:
       dense = interp.upsample_map_linear(abs_map_j, stride, (0, 0),
                                          (n, n))
       coords = jnp.stack([dense[1], dense[0]])[None]
+      # tile_bounds pruning measured SLOWER on v5e (pl.when region
+      # overhead beats the skipped work) — plain lattice is the fast path.
       return pallas_warp.pallas_shift_warp_tiled(
           post[None], coords, bases_j, 'lanczos',
-          *plan['residual_bounds'], *plan['base_bounds'], *plan['tile'],
-          tile_bounds=tb_j)
+          *plan['residual_bounds'], *plan['base_bounds'], *plan['tile'])
     outs = []
     for i in range(n_strips):
       dense = interp.upsample_map_linear(
@@ -289,7 +288,7 @@ def main():
         make_section(jax.device_put(np.stack([dyz, dxz]))))
   stack = [s for s in stack_list]
 
-  pcfg = stack_align.StackAlignConfig(max_displacement=128, residual=16)
+  pcfg = stack_align.StackAlignConfig(max_displacement=128, residual=8)
   grid_nn = n // pcfg.stride
   solved0 = jnp.zeros((2, 1, grid_nn, grid_nn), jnp.float32)
 
@@ -400,6 +399,32 @@ def main():
   _, t_mesh_po = _time(run_mesh_po)
   results['mesh_glups_prefer_orig_order'] = round(
       cfg.num_iters * 2048 * 2048 / t_mesh_po / 1e9, 2)
+
+  # ---- MESH 3D: volumetric 26-neighbor relaxation (LICONN solver). -------
+  cfg3 = mesh.IntegrationConfig(
+      dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=(40.0, 40.0, 40.0),
+      num_iters=200, max_iters=200, stop_v_max=0.0, dt_max=100.0)
+  x3 = jax.device_put(rng.randn(3, 16, 512, 1024).astype(np.float32))
+  v3 = jnp.zeros_like(x3)
+  prev3 = jnp.zeros_like(x3)
+  pallas_force3 = pallas_mesh.make_elastic_mesh_3d(tile=128)
+
+  def run_mesh3d():
+    return mesh.velocity_verlet(x3, v3, prev3, cfg3, force_cap=1e6,
+                                mesh_force=pallas_force3)
+
+  _, t_mesh3 = _time(run_mesh3d, repeats=2)
+  n_nodes3 = 16 * 512 * 1024
+  results['mesh3d_glups'] = round(
+      cfg3.num_iters * n_nodes3 / t_mesh3 / 1e9, 2)
+
+  def run_mesh3d_xla():
+    return mesh.velocity_verlet(x3, v3, prev3, cfg3, force_cap=1e6,
+                                mesh_force=mesh.elastic_mesh_3d)
+
+  _, t_mesh3x = _time(run_mesh3d_xla)
+  results['mesh3d_glups_xla'] = round(
+      cfg3.num_iters * n_nodes3 / t_mesh3x / 1e9, 2)
 
   out = {
       'metric': ('end-to-end pipeline Mpix/s/chip '

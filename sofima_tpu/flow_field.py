@@ -619,6 +619,93 @@ def _strip_patches(strip: jnp.ndarray, rows: int, grid_x: int,
   return vert.reshape(rows * grid_x, py, px)
 
 
+def _strip_patches_3d(slab: jnp.ndarray, grid_y: int, grid_x: int,
+                      patch: tuple[int, int, int],
+                      step: tuple[int, int, int]) -> jnp.ndarray:
+  """[pz, strip_h, strip_w] slab -> [gy*gx, pz, py, px], gather-free.
+
+  The z extent of the slab IS the patch depth (one grid z-row), so only
+  the in-plane assembly is needed: the 2d reshape/stack trick
+  (_strip_patches) vmapped over z planes.
+  """
+  pz, py, px = patch
+  _, sy, sx = step
+  planes = jax.vmap(
+      lambda p: _strip_patches(p, grid_y, grid_x, (py, px), (sy, sx)))(
+          slab)  # [pz, gy*gx, py, px]
+  return jnp.moveaxis(planes, 0, 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=['patch_size', 'step', 'mean', 'min_distance',
+                     'threshold_rel', 'peak_radius'])
+def _dense_flow_strips_3d(
+    pre_image: jnp.ndarray,
+    post_image: jnp.ndarray,
+    patch_size: tuple[int, int, int],
+    step: tuple[int, int, int],
+    mean: float | None,
+    min_distance,
+    threshold_rel: float,
+    peak_radius,
+) -> jnp.ndarray:
+  """Dense circular 3d flow via strip-sliced patches (device resident).
+
+  The 3d twin of `_dense_flow_strips`: a lax.map over grid z-rows; each
+  step slices one [pz, strip_h, strip_w] slab (a single dynamic_slice),
+  assembles every patch of the z-row with reshape/stack slicing (no
+  gathers — the vmap(dynamic_slice) start-list path XLA lowers to
+  scalar gather code), and runs patch-periodic FFT correlation + the
+  dim-general peak extractor. Replaces the reference's treatment of 3d
+  as leading batch axes over scattered starts
+  (/root/reference/flow_field.py:44-47) with a TPU-shaped scan.
+
+  Circular (patch-periodic) correlation: integer peaks match the
+  padfield path for in-range shifts — the same contract the 2d
+  circular fast path ships under (tests/test_flow_field.py).
+  """
+  pz, py, px = patch_size
+  sz, sy, sx = step
+  d, h, w = pre_image.shape
+  gz = (d - (pz - sz)) // sz
+  gy = (h - (py - sy)) // sy
+  gx = (w - (px - sx)) // sx
+  strip_h = (gy - 1) * sy + py
+  strip_w = (gx - 1) * sx + px
+  center = (pz // 2, py // 2, px // 2)
+  axes = (-3, -2, -1)
+
+  pre_image = jnp.asarray(pre_image, jnp.float32)
+  post_image = jnp.asarray(post_image, jnp.float32)
+  z0s = jnp.arange(gz, dtype=jnp.int32) * sz
+
+  def one_zrow(z0):
+    def patches(img):
+      slab = jax.lax.dynamic_slice(img, (z0, 0, 0),
+                                   (pz, strip_h, strip_w))
+      return _strip_patches_3d(slab, gy, gx, patch_size, step)
+
+    a = patches(pre_image)
+    b = patches(post_image)
+    if mean is None:
+      a = a - jnp.mean(a, axis=axes, keepdims=True)
+      b = b - jnp.mean(b, axis=axes, keepdims=True)
+    else:
+      a = a - mean
+      b = b - mean
+    fa = jnp.fft.rfftn(a, axes=axes)
+    fb = jnp.fft.rfftn(b, axes=axes)
+    corr = jnp.fft.irfftn(fa * jnp.conj(fb), s=patch_size, axes=axes)
+    corr = jnp.roll(corr, center, axis=axes)
+    return _batched_peaks(corr, center, min_distance, threshold_rel,
+                          peak_radius)
+
+  peaks = jax.lax.map(one_zrow, z0s)  # [gz, gy*gx, 5]
+  out = peaks.reshape(gz, gy, gx, 5)
+  return jnp.moveaxis(out, -1, 0)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=['patch_size', 'step', 'mean', 'min_distance',
@@ -797,6 +884,16 @@ def dense_flow_field(
       (post_image.shape[a] - (post_patch_size[a] - step[a])) // step[a]
       for a in range(ndim))
 
+  # Gather-free 3d strip path (LICONN fine stitching geometry).
+  if (circular and ndim == 3 and post_patch_size == patch_size
+      and all(p % s == 0 for p, s in zip(patch_size, step))
+      and pre_image.shape == post_image.shape
+      and pre_mask is None and post_mask is None):
+    return _dense_flow_strips_3d(
+        jnp.asarray(pre_image, jnp.float32),
+        jnp.asarray(post_image, jnp.float32), patch_size, step, mean,
+        min_distance, threshold_rel, peak_radius)
+
   # Gather-free strip path: stride divides patch (production geometry).
   if (circular and ndim == 2 and post_patch_size == patch_size
       and patch_size[0] % step[0] == 0 and patch_size[1] % step[1] == 0
@@ -902,7 +999,7 @@ def coarse_to_fine_flow(
     batch_size: int = 256,
     bf16: bool = True,
     max_displacement: int = 96,
-    residual: int = 16,
+    residual: int = 8,
     pre_mask: jnp.ndarray | None = None,
     post_mask: jnp.ndarray | None = None,
     min_distance: int = 2,
@@ -977,10 +1074,53 @@ def coarse_to_fine_flow(
 
   cx = robustify(cx)
   cy = robustify(cy)
-
-  # Warp post toward pre: post_w(q) = post(q - f_coarse(q)).
-  g = jnp.stack([-cy, -cx])  # (y, x) displacement at coarse nodes
   cy0, cx0 = py // 2, px // 2  # first node center
+  interpret = jax.default_backend() not in ('tpu', 'axon')
+
+  gy = (h - (py - sy)) // sy
+  gx = (w - (px - sx)) // sx
+  k0y = (py // 2 - fy // 2) // sy
+  k0x = (px // 2 - fx // 2) // sx
+
+  if pre_mask is None and post_mask is None:
+    # TARGETED fine pass: the grid kernel DMAs each post window from
+    # round(-coarse) — an exact integer shift, no resampling, no
+    # intermediate warp. Total flow = fine peak - window shift.
+    from sofima_tpu.ops import pallas_flow
+    geo = pallas_flow.targeted_geometry((h, w), fine_patch, step)
+    ctr_y = ((jnp.arange(geo['nrsteps'], dtype=jnp.float32)
+              * (geo['rows'] * sy) + geo['win_r'] / 2.0 - cy0) / csy)
+    ctr_x = ((jnp.arange(geo['ngroups'], dtype=jnp.float32)
+              * (geo['group'] * sx) + geo['win_c'] / 2.0 - cx0) / csx)
+    mesh2 = jnp.stack([
+        jnp.broadcast_to(ctr_y[:, None], (geo['nrsteps'], geo['ngroups'])),
+        jnp.broadcast_to(ctr_x[None, :], (geo['nrsteps'], geo['ngroups'])),
+    ])
+    fx_c = interp_ops.grid_sample_linear(cx, mesh2)
+    fy_c = interp_ops.grid_sample_linear(cy, mesh2)
+    off_y = jnp.rint(-fy_c)
+    off_x = jnp.rint(-fx_c)
+    offs = jnp.clip(jnp.stack([off_y, off_x], axis=-1),
+                    -max_displacement, max_displacement).astype(jnp.int32)
+    fine = pallas_flow.dense_flow_peaks_targeted(
+        jnp.asarray(pre_image, jnp.float32),
+        jnp.asarray(post_image, jnp.float32), offs, fine_patch, step,
+        max_offset=max_displacement, bf16=bf16,
+        min_distance=min_distance, threshold_rel=threshold_rel,
+        peak_radius=peak_radius, interpret=interpret)
+    off_xg = jnp.repeat(jnp.repeat(offs[..., 1].astype(jnp.float32),
+                                   geo['rows'], axis=0),
+                        geo['group'], axis=1)[:geo['gy'], :geo['gx']]
+    off_yg = jnp.repeat(jnp.repeat(offs[..., 0].astype(jnp.float32),
+                                   geo['rows'], axis=0),
+                        geo['group'], axis=1)[:geo['gy'], :geo['gx']]
+    total = jnp.stack([fine[0] - off_xg, fine[1] - off_yg,
+                       fine[2], fine[3]])
+    return jax.lax.slice(total, (0, k0y, k0x), (4, k0y + gy, k0x + gx))
+
+  # MASKED fallback: warp post toward pre (post_w(q) = post(q - f)) and
+  # run the plain fine pass on the resampled pair.
+  g = jnp.stack([-cy, -cx])  # (y, x) displacement at coarse nodes
 
   def prepend(v, axis):
     first = jax.lax.slice_in_dim(v, 0, 1, axis=axis)
@@ -1003,13 +1143,14 @@ def coarse_to_fine_flow(
   env_b = (-md, md, -md, md)
   dplan = shift_warp.tiled_plan_device(
       g[0][None], g[1][None], node_y, node_x, (h, w), env_r, env_b)
-  interpret = jax.default_backend() not in ('tpu', 'axon')
 
   def warp_plane(plane, method):
+    # No tile_bounds pruning: measured slower than the plain lattice on
+    # v5e (pl.when region overhead) — the tight `residual` envelope is
+    # what keeps this warp cheap.
     return pallas_warp.pallas_shift_warp_tiled(
         plane[None].astype(jnp.float32), coords, dplan['bases'], method,
-        *env_r, *env_b, *dplan['tile'], tile_bounds=dplan['tile_bounds'],
-        interpret=interpret)[0]
+        *env_r, *env_b, *dplan['tile'], interpret=interpret)[0]
 
   post_w = warp_plane(post_image, 'linear')
   post_mask_w = None
@@ -1025,10 +1166,6 @@ def coarse_to_fine_flow(
       post_mask=post_mask_w, min_distance=min_distance,
       threshold_rel=threshold_rel, peak_radius=peak_radius)
 
-  gy = (h - (py - sy)) // sy
-  gx = (w - (px - sx)) // sx
-  k0y = (py // 2 - fy // 2) // sy
-  k0x = (px // 2 - fx // 2) // sx
   fine_c = jax.lax.slice(fine, (0, k0y, k0x), (4, k0y + gy, k0x + gx))
 
   # Coarse flow at the target node centers (coarse-grid coords i*s/cs).

@@ -189,11 +189,14 @@ def inner_box(coord_map: np.ndarray, box: BoundingBox,
 
 @functools.partial(
     jax.jit,
-    static_argnames=['num_iters', 'tol', 'newton_iters', 'return_stats'])
+    static_argnames=['num_iters', 'tol', 'newton_iters', 'return_stats',
+                     'shift_bound', 'shift_origin'])
 def _invert_section(abs_map_xy: jnp.ndarray, src_start_yx: jnp.ndarray,
                     query_xy: jnp.ndarray, stride_yx: jnp.ndarray,
                     num_iters: int = 32, tol: float = 1e-2,
-                    newton_iters: int = 8, return_stats: bool = False):
+                    newton_iters: int = 8, return_stats: bool = False,
+                    shift_bound: int | None = None,
+                    shift_origin: tuple[int, int] = (0, 0)):
   """Fixed-point + Newton inversion of one (2d or 3d) absolute map.
 
   Solves F(p) = q for p, where F(p) = p + d(p) and d is the relative
@@ -243,9 +246,54 @@ def _invert_section(abs_map_xy: jnp.ndarray, src_start_yx: jnp.ndarray,
         for a in range(dim)
     ])
 
-  def sample_d(p_xy):
-    return interp.sample_channels(d_xy, to_idx(p_xy), method='linear',
-                                  mode='constant', cval=np.nan)
+  if dim == 2 and shift_bound is not None:
+    # Gather-free sampling: on TPU every fixed-point iteration otherwise
+    # pays a per-pixel gather. The queries form a UNIT-SPACED grid at
+    # integer origin `shift_origin` in map-index space (the invert_map /
+    # pipeline geometry), and iterates stay within `shift_bound` nodes
+    # of their own query — so bilinear sampling decomposes over a static
+    # integer-shift lattice of contiguous slices, exactly like the shift
+    # warp. Matches interp.sample's semantics: zero-weight taps are
+    # inert, any covered out-of-grid tap or NaN coordinate yields NaN.
+    bnd = int(shift_bound)
+    org_y, org_x = int(shift_origin[0]), int(shift_origin[1])
+    oy_n, ox_n = query_xy.shape[1], query_xy.shape[2]
+    g0, g1 = d_xy.shape[1], d_xy.shape[2]
+    taps = list(range(-bnd - 1, bnd + 3))
+    pad_y0 = bnd + 3 + max(0, -org_y)
+    pad_y1 = bnd + 3 + max(0, org_y + oy_n - g0)
+    pad_x0 = bnd + 3 + max(0, -org_x)
+    pad_x1 = bnd + 3 + max(0, org_x + ox_n - g1)
+    d_pad = jnp.pad(d_xy, ((0, 0), (pad_y0, pad_y1), (pad_x0, pad_x1)),
+                    constant_values=np.nan)
+    ioy = jax.lax.broadcasted_iota(jnp.float32, (oy_n, ox_n), 0)
+    iox = jax.lax.broadcasted_iota(jnp.float32, (oy_n, ox_n), 1)
+
+    def sample_d(p_xy):
+      idx = to_idx(p_xy)
+      dy_ = idx[0] - ioy - org_y
+      dx_ = idx[1] - iox - org_x
+      bad = (~(jnp.abs(dy_) <= bnd + 1)) | (~(jnp.abs(dx_) <= bnd + 1))
+      acc0 = jnp.zeros((oy_n, ox_n), jnp.float32)
+      acc1 = jnp.zeros((oy_n, ox_n), jnp.float32)
+      for sy_t in taps:
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy_ - sy_t))
+        y0 = pad_y0 + org_y + sy_t
+        for sx_t in taps:
+          w = wy * jnp.maximum(0.0, 1.0 - jnp.abs(dx_ - sx_t))
+          x0 = pad_x0 + org_x + sx_t
+          win0 = jax.lax.slice(d_pad[0], (y0, x0), (y0 + oy_n, x0 + ox_n))
+          win1 = jax.lax.slice(d_pad[1], (y0, x0), (y0 + oy_n, x0 + ox_n))
+          keep = w > 0.0
+          acc0 = acc0 + jnp.where(keep, w * win0, 0.0)
+          acc1 = acc1 + jnp.where(keep, w * win1, 0.0)
+      return jnp.stack([jnp.where(bad, jnp.nan, acc0),
+                        jnp.where(bad, jnp.nan, acc1)])
+  else:
+
+    def sample_d(p_xy):
+      return interp.sample_channels(d_xy, to_idx(p_xy), method='linear',
+                                    mode='constant', cval=np.nan)
 
   def body(_, p):
     f = p + sample_d(p)

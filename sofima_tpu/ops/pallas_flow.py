@@ -615,6 +615,85 @@ def _grid_kernel(pre_hbm, post_hbm, wr1, wi1, wr1i, wi1i, frb, fib,
                    else jnp.concatenate(parts, axis=0))
 
 
+def _grid_kernel_targeted(offs_ref, pre_hbm, post_hbm, wr1, wi1, wr1i,
+                          wi1i, frb, fib, br2c, bi2c, dcmask, out_ref,
+                          win_a, win_b, sems, *, group, rows, py, px, sy,
+                          sx, win_r, win_c, win_r2, win_c2, pad_y, pad_x,
+                          ngroups, nsteps, mean, bf16, min_distance,
+                          threshold_rel, peak_radius):
+  """Targeted twin of _grid_kernel: per-step integer POST window offsets.
+
+  `offs_ref` (SMEM, [nsteps*2] int32) holds a (dy, dx) shift per
+  (row-step, group) window, derived from a prior coarse flow. The post
+  window is DMA'd from the shifted position — start rounded down to the
+  (8, 128) tiling, content realigned with two dynamic rolls (the tiled
+  warp kernel's trick) — so each patch pair is correlated at the coarse
+  prior, extending the capture range far beyond patch/2 with ZERO
+  resampling (integer shifts are exact). This is the reference's
+  targeting-field mechanism (/root/reference/flow_field.py:626-677)
+  restated at group granularity for the TPU grid kernel; the caller adds
+  the offsets back onto the returned peaks.
+  """
+  r = pl.program_id(0)
+  g = pl.program_id(1)
+  step = r * ngroups + g
+  slot = jax.lax.rem(step, 2)
+
+  def copy_pre(rr, gg, s):
+    row0 = rr * (rows * sy) + pad_y
+    col0 = gg * (group * sx) + pad_x
+    return pltpu.make_async_copy(
+        pre_hbm.at[pl.ds(row0, win_r), pl.ds(col0, win_c)],
+        win_a.at[s], sems.at[s, 0])
+
+  def copy_post(rr, gg, s):
+    idx = (rr * ngroups + gg) * 2
+    row_raw = rr * (rows * sy) + pad_y + offs_ref[idx]
+    col_raw = gg * (group * sx) + pad_x + offs_ref[idx + 1]
+    row_al = (row_raw // 8) * 8
+    col_al = (col_raw // 128) * 128
+    cp = pltpu.make_async_copy(
+        post_hbm.at[pl.ds(row_al, win_r2), pl.ds(col_al, win_c2)],
+        win_b.at[s], sems.at[s, 1])
+    return cp, row_raw - row_al, col_raw - col_al
+
+  @pl.when(step == 0)
+  def _prologue():
+    copy_pre(r, g, slot).start()
+    copy_post(r, g, slot)[0].start()
+
+  nxt = step + 1
+
+  @pl.when(nxt < nsteps)
+  def _prefetch():
+    rr = nxt // ngroups
+    gg = jax.lax.rem(nxt, ngroups)
+    copy_pre(rr, gg, 1 - slot).start()
+    copy_post(rr, gg, 1 - slot)[0].start()
+
+  copy_pre(r, g, slot).wait()
+  cp_b, off_y, off_x = copy_post(r, g, slot)
+  cp_b.wait()
+
+  full_a = win_a[slot]
+  fb = win_b[slot]
+  fb = pltpu.roll(fb, (win_r2 - off_y) % win_r2, 0)
+  fb = pltpu.roll(fb, (win_c2 - off_x) % win_c2, 1)
+  full_b = jax.lax.slice(fb, (0, 0), (win_r, win_c))
+
+  parts = []
+  for r2 in range(rows):
+    wa = jax.lax.slice(full_a, (r2 * sy, 0), (r2 * sy + py, win_c))
+    wb = jax.lax.slice(full_b, (r2 * sy, 0), (r2 * sy + py, win_c))
+    parts.append(_corr_peaks_grouped(
+        wa, wb, wr1[:], wi1[:], wr1i[:], wi1i[:], frb[:], fib[:],
+        br2c[:], bi2c[:], dcmask[:], group=group, py=py, px=px, sx=sx,
+        mean=mean, bf16=bf16, min_distance=min_distance,
+        threshold_rel=threshold_rel, peak_radius=peak_radius))
+  out_ref[0, 0] = (parts[0] if rows == 1
+                   else jnp.concatenate(parts, axis=0))
+
+
 def _grid_kernel_masked(pure_ref, pre_hbm, post_hbm, vpre_hbm, vpost_hbm,
                         wr1, wi1, wr1i, wi1i, frb, fib, br2c, bi2c,
                         out_ref, win_a, win_b, win_va, win_vb, sems, *,
@@ -716,6 +795,131 @@ def _grid_kernel_masked(pure_ref, pre_hbm, post_hbm, vpre_hbm, vpost_hbm,
           peak_radius=peak_radius))
     out_ref[0, 0] = (parts[0] if rows == 1
                      else jnp.concatenate(parts, axis=0))
+
+
+def targeted_geometry(shape, patch_size, step, group=None, rows=None):
+  """Grid/window geometry of the dense grid kernel, for offset building."""
+  py, px = patch_size
+  sy, sx = step
+  h, w = shape
+  gy = (h - (py - sy)) // sy
+  gx = (w - (px - sx)) // sx
+  group, rows, win_c, _ = pick_grid_geometry(patch_size, step, group,
+                                             rows, grid_y=gy)
+  return dict(gy=gy, gx=gx, group=group, rows=rows,
+              ngroups=-(-gx // group), nrsteps=-(-gy // rows),
+              win_r=(rows - 1) * sy + py, win_c=win_c)
+
+
+@functools.partial(
+    jax.jit, static_argnames=['patch_size', 'step', 'max_offset', 'mean',
+                              'bf16', 'group', 'rows', 'min_distance',
+                              'threshold_rel', 'peak_radius', 'interpret'])
+def dense_flow_peaks_targeted(
+    pre_image: jnp.ndarray,
+    post_image: jnp.ndarray,
+    post_offsets: jnp.ndarray,
+    patch_size: tuple[int, int] = (160, 160),
+    step: tuple[int, int] = (40, 40),
+    max_offset: int = 96,
+    mean: float | None = None,
+    bf16: bool = False,
+    group: int | None = None,
+    rows: int | None = None,
+    min_distance: int = 2,
+    threshold_rel: float = 0.5,
+    peak_radius: int = 5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+  """Dense grid flow with per-window integer POST offsets (targeting).
+
+  `post_offsets`: int32 [nrsteps, ngroups, 2] (dy, dx) window shifts
+  (clipped to +-max_offset), typically round(-coarse_flow) — see
+  flow_field.coarse_to_fine_flow. Returns [4, gy, gx] where the x/y
+  channels are peaks RELATIVE to the shifted windows; the caller must
+  subtract the per-window (dx, dy) to recover absolute flow. Unmasked
+  only.
+  """
+  py, px = patch_size
+  sy, sx = step
+  h, w = pre_image.shape
+  geo = targeted_geometry((h, w), patch_size, step, group, rows)
+  group, rows = geo['group'], geo['rows']
+  gy, gx = geo['gy'], geo['gx']
+  ngroups, nrsteps = geo['ngroups'], geo['nrsteps']
+  win_r, win_c = geo['win_r'], geo['win_c']
+  assert (group * sx) % 128 == 0 and sy % 8 == 0 and win_r % 8 == 0
+  assert post_offsets.shape == (nrsteps, ngroups, 2), post_offsets.shape
+
+  md = int(max_offset)
+  pad_y = -(-md // 8) * 8
+  pad_x = -(-md // 128) * 128
+  win_r2 = win_r + 8
+  win_c2 = win_c + 128
+
+  pad_h = max((nrsteps * rows - 1) * sy + py - h, 0)
+  pad_w = max((ngroups - 1) * group * sx + win_c - w, 0)
+  pre = jnp.pad(pre_image.astype(jnp.float32),
+                ((pad_y, pad_h), (pad_x, pad_w)))
+  post = jnp.pad(post_image.astype(jnp.float32),
+                 ((pad_y, pad_h + pad_y + 8), (pad_x, pad_w + pad_x + 128)))
+
+  from sofima_tpu import flow_field
+  wr1_np, wi1_np = flow_field._dft_mats(py)
+  fr2, fi2, br2, bi2 = flow_field._rdft_mats(px)
+  h0 = fr2.shape[1]
+  hp = -(-h0 // 128) * 128
+  frb_np = np.zeros((win_c, group * hp), np.float32)
+  fib_np = np.zeros((win_c, group * hp), np.float32)
+  for g in range(group):
+    frb_np[g * sx:g * sx + px, g * hp:g * hp + h0] = fr2
+    fib_np[g * sx:g * sx + px, g * hp:g * hp + h0] = fi2
+  wr1i_np = np.roll(wr1_np, py // 2, axis=0)
+  wi1i_np = np.roll(wi1_np, py // 2, axis=0)
+  br2c_np = np.roll(np.pad(br2, ((0, hp - h0), (0, 0))), px // 2, axis=1)
+  bi2c_np = np.roll(np.pad(bi2, ((0, hp - h0), (0, 0))), px // 2, axis=1)
+  dc_np = np.ones((py, group * hp), np.float32)
+  if mean is None:
+    dc_np[0, np.arange(group) * hp] = 0.0
+
+  offs = jnp.clip(post_offsets.astype(jnp.int32), -md, md).reshape(-1)
+  mats = tuple(jnp.asarray(m) for m in
+               (wr1_np, wi1_np, wr1i_np, wi1i_np, frb_np, fib_np,
+                br2c_np, bi2c_np, dc_np))
+  mat = lambda m: pl.BlockSpec(m.shape, lambda r, g: (0,) * m.ndim,
+                               memory_space=pltpu.VMEM)
+  kernel = functools.partial(
+      _grid_kernel_targeted, group=group, rows=rows, py=py, px=px, sy=sy,
+      sx=sx, win_r=win_r, win_c=win_c, win_r2=win_r2, win_c2=win_c2,
+      pad_y=pad_y, pad_x=pad_x, ngroups=ngroups,
+      nsteps=nrsteps * ngroups, mean=mean, bf16=bf16,
+      min_distance=min_distance, threshold_rel=threshold_rel,
+      peak_radius=peak_radius)
+  out = pl.pallas_call(
+      kernel,
+      grid=(nrsteps, ngroups),
+      in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [pl.BlockSpec(memory_space=pl.ANY)] * 2
+                + [mat(m) for m in mats]),
+      out_specs=pl.BlockSpec((1, 1, rows * group, 4),
+                             lambda r, g: (r, g, 0, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((nrsteps, ngroups, rows * group, 4),
+                                     jnp.float32),
+      scratch_shapes=[
+          pltpu.VMEM((2, win_r, win_c), jnp.float32),
+          pltpu.VMEM((2, win_r2, win_c2), jnp.float32),
+          pltpu.SemaphoreType.DMA((2, 2)),
+      ],
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=interpret,
+  )(offs, pre, post, *mats)
+  out = out.reshape(nrsteps, ngroups, rows, group, 4)
+  out = out.transpose(0, 2, 1, 3, 4).reshape(nrsteps * rows,
+                                             ngroups * group, 4)
+  out = out[:gy, :gx]
+  return jnp.moveaxis(out, -1, 0)
 
 
 @functools.partial(

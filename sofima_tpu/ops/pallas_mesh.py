@@ -293,3 +293,166 @@ def make_elastic_mesh_3d(tile: int = 128, interpret: bool = False):
         prefer_orig_order, tile=tile, interpret=interpret)
 
   return force
+
+
+def _roll_force_2d(xp: jnp.ndarray, k: float, stride,
+                   prefer_orig_order: bool) -> jnp.ndarray:
+  """8-neighbor in-plane force on a NaN-ring-padded [2, Y, X] array.
+
+  Neighbors come from circular rolls: the NaN guard ring makes the
+  wraparound harmless (wrapped neighbors are NaN -> zero spring, and the
+  ring's own nodes stay NaN through the integration). Pure jnp ops, so
+  it traces both in XLA and inside a Pallas kernel.
+  """
+  sx, sy = float(stride[0]), float(stride[1])
+  y_ax, x_ax = 1, 2
+  acc0 = jnp.zeros(xp.shape[1:], jnp.float32)
+  acc1 = jnp.zeros(xp.shape[1:], jnp.float32)
+  yn, xn = xp.shape[1], xp.shape[2]
+  for ey in (-1, 0, 1):
+    for ex in (-1, 0, 1):
+      if ex == 0 and ey == 0:
+        continue
+      nbor = xp
+      if ey:
+        nbor = pltpu.roll(nbor, (-ey) % yn, y_ax)
+      if ex:
+        nbor = pltpu.roll(nbor, (-ex) % xn, x_ax)
+      l0x = np.float32(sx * ex)
+      l0y = np.float32(sy * ey)
+      l0 = float(np.hypot(l0x, l0y))
+      # Same constants as _force_tile / mesh.inplane_force: axis links
+      # k, diagonals k/sqrt(2) (constant elasticity).
+      k_eff = k if (ex == 0 or ey == 0) else k / np.sqrt(2.0)
+      d0 = nbor[0] - xp[0] + l0x
+      d1 = nbor[1] - xp[1] + l0y
+      l = jnp.sqrt(d0 * d0 + d1 * d1)
+      inv_l = 1.0 / jnp.maximum(l, 1e-30)
+      if prefer_orig_order:
+        fac0 = float(ex) * jnp.sign(d0) if ex != 0 else 1.0
+        fac1 = float(ey) * jnp.sign(d1) if ey != 0 else 1.0
+        f0 = k_eff * (1.0 - l0 * fac0 * inv_l) * d0
+        f1 = k_eff * (1.0 - l0 * fac1 * inv_l) * d1
+      else:
+        coef = k_eff * (1.0 - l0 * inv_l)
+        f0 = coef * d0
+        f1 = coef * d1
+      acc0 = acc0 + jnp.nan_to_num(f0, posinf=0.0, neginf=0.0)
+      acc1 = acc1 + jnp.nan_to_num(f1, posinf=0.0, neginf=0.0)
+  return jnp.stack([acc0, acc1])
+
+
+def _fused_fire_kernel(x_ref, prev_ref, out_ref, ehist_ref, steps_ref, *,
+                       config, has_prev, max_chunks):
+  """The ENTIRE relax_mesh_fused convergence loop in one kernel launch.
+
+  State (x, v, a, prev) stays VMEM-resident across every FIRE step; the
+  chunked while_loop (num_iters steps per chunk, v_max/cap convergence
+  check) runs on in-register scalars. For small grids — one section's
+  mesh in the alignment pipeline is ~250^2 nodes — this removes the
+  per-step XLA op dispatch overhead that dominates the staged solver.
+  """
+  from sofima_tpu import mesh as mesh_lib
+
+  xp = x_ref[...]
+  prev = prev_ref[...] if has_prev else None
+
+  def force_fn(x, k, stride, prefer_orig_order=False):
+    return _roll_force_2d(x, k, stride, prefer_orig_order)
+
+  force, _, fire_step = mesh_lib._make_step_fns(config, force_fn, None)
+
+  a0 = force(xp, prev, jnp.float32(config.start_cap))
+  state0 = (xp, jnp.zeros_like(xp), a0, jnp.float32(config.dt),
+            jnp.float32(config.alpha), 0, jnp.float32(config.start_cap))
+  ehist0 = jnp.full((8, 128), jnp.nan, jnp.float32)
+  rid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+  cid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+  def chunk(carry):
+    state, chunk_idx, ehist, _ = carry
+    state = jax.lax.fori_loop(0, config.num_iters,
+                              lambda t, s: fire_step(s, prev), state)
+    x, v = state[0], state[1]
+    v_sq = v[0] * v[0] + v[1] * v[1]
+    e_kin = jnp.sum(v_sq)
+    ehist = jnp.where((rid == 0) & (cid == chunk_idx), e_kin, ehist)
+    v_max = jnp.sqrt(jnp.max(v_sq))
+    cap = state[-1]
+    done = (v_max < config.stop_v_max) & (cap >= config.final_cap)
+    new_cap = jnp.where(
+        (v_max < config.stop_v_max) & (cap < config.final_cap),
+        jnp.minimum(cap * config.cap_scale, config.final_cap), cap)
+    state = state[:-1] + (new_cap,)
+    return state, chunk_idx + 1, ehist, done
+
+  def cond(carry):
+    _, chunk_idx, _, done = carry
+    return jnp.logical_not(done) & (chunk_idx < max_chunks)
+
+  state, chunks, ehist, _ = jax.lax.while_loop(
+      cond, chunk, (state0, 0, ehist0, jnp.bool_(False)))
+  out_ref[...] = state[0]
+  ehist_ref[...] = ehist
+  steps_ref[...] = jnp.where((rid == 0) & (cid == 0),
+                             chunks * config.num_iters,
+                             jnp.zeros((8, 128), jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=['config', 'interpret'])
+def relax_mesh_fused_pallas(x: jnp.ndarray, prev: jnp.ndarray | None,
+                            config, interpret: bool = False):
+  """VMEM-resident twin of mesh.relax_mesh_fused for small 2d grids.
+
+  Same contract: (x_final, e_kin history, steps). Requires FIRE, no
+  drift removal, [2, 1, gy, gx] (or [2, gy, gx]) state small enough for
+  the whole solver state to live in VMEM (~<= 1M nodes). The staged
+  solver pays ~30 XLA op dispatches per Verlet step, which dwarfs the
+  arithmetic on a section-sized mesh; here the entire convergence loop
+  is one kernel launch.
+  """
+  if not config.fire:
+    raise NotImplementedError('relax_mesh_fused_pallas requires FIRE.')
+  if config.remove_drift:
+    raise NotImplementedError('drift removal not supported in-kernel')
+  squeeze = x.ndim == 4
+  if squeeze:
+    assert x.shape[1] == 1, 'one section per solve'
+    x = x[:, 0]
+    if prev is not None:
+      prev = prev[:, 0]
+  assert x.shape[0] == 2
+  gy, gx = x.shape[1:]
+  if gy * gx * 4 * 4 * 2 > 24 * 1024 * 1024:
+    raise ValueError('grid too large for the VMEM-resident solver')
+
+  max_chunks = min(int(np.ceil(config.max_iters / config.num_iters)), 128)
+  pad_cfg = ((0, 0), (1, 1), (1, 1))
+  xp = jnp.pad(x.astype(jnp.float32), pad_cfg, constant_values=np.nan)
+  has_prev = prev is not None
+  inputs = [xp]
+  if has_prev:
+    inputs.append(jnp.pad(prev.astype(jnp.float32), pad_cfg,
+                          constant_values=np.nan))
+  else:
+    inputs.append(jnp.zeros((1, 1, 1), jnp.float32))  # placeholder
+
+  kernel = functools.partial(_fused_fire_kernel, config=config,
+                             has_prev=has_prev, max_chunks=max_chunks)
+  out, ehist, steps = pl.pallas_call(
+      kernel,
+      in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+      out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+      out_shape=[
+          jax.ShapeDtypeStruct(xp.shape, jnp.float32),
+          jax.ShapeDtypeStruct((8, 128), jnp.float32),
+          jax.ShapeDtypeStruct((8, 128), jnp.int32),
+      ],
+      compiler_params=pltpu.CompilerParams(
+          vmem_limit_bytes=100 * 1024 * 1024),
+      interpret=interpret,
+  )(*inputs)
+  x_out = out[:, 1:1 + gy, 1:1 + gx]
+  if squeeze:
+    x_out = x_out[:, None]
+  return x_out, ehist[0, :max_chunks], steps[0, 0]

@@ -328,6 +328,15 @@ def _warp_tiled_pruned_kernel(bases_ref, tb_ref, coords_ref, img_hbm,
   if method == 'lanczos':
     ny_ref[:] = zero
     nx_ref[:] = zero
+  del inner_ref  # row accumulators live in registers inside the branch
+
+  # Predication granularity is a branch-overhead tradeoff: each pl.when
+  # region costs scalar-core setup, so rows are predicated individually
+  # (the y span is what per-tile hulls shrink most) and the x sweep in
+  # halves; inside a region everything stays in registers and only one
+  # read-modify-write of acc_ref happens per (row, half).
+  half = -(-rx // 2)
+  segs = [(0, half), (half, rx)] if rx > 1 else [(0, rx)]
 
   for i in range(ry):
 
@@ -336,29 +345,26 @@ def _warp_tiled_pruned_kernel(bases_ref, tb_ref, coords_ref, img_hbm,
       w_y = _weight_at(dy, planes_y, sy0 + i, method)
       if method == 'lanczos':
         ny_ref[:] = ny_ref[:] + w_y
-      inner_ref[:] = zero
-      for j0 in range(0, rx, chunk):
+      for j0, j1 in segs:
 
-        @pl.when((j0 + chunk - 1 >= jx0) & (j0 <= jx1))
-        def _cols(j0=j0):
-          v = inner_ref[:]
-          for j in range(j0, min(j0 + chunk, rx)):
+        @pl.when((j1 - 1 >= jx0) & (j0 <= jx1))
+        def _seg(j0=j0, j1=j1, w_y=w_y):
+          inner = zero
+          for j in range(j0, j1):
             w_x = _weight_at(dx, planes_x, sx0 + j, method)
-            v = v + w_x * jax.lax.slice(win, (i, j),
-                                        (i + tile_y, j + tile_x))
-          inner_ref[:] = v
-
-      acc_ref[:] = acc_ref[:] + w_y * inner_ref[:]
+            inner = inner + w_x * jax.lax.slice(
+                win, (i, j), (i + tile_y, j + tile_x))
+          acc_ref[:] = acc_ref[:] + w_y * inner
 
   if method == 'lanczos':
-    for j0 in range(0, rx, chunk):
+    for j0, j1 in segs:
 
-      @pl.when((j0 + chunk - 1 >= jx0) & (j0 <= jx1))
-      def _norm(j0=j0):
-        v = nx_ref[:]
-        for j in range(j0, min(j0 + chunk, rx)):
+      @pl.when((j1 - 1 >= jx0) & (j0 <= jx1))
+      def _norm(j0=j0, j1=j1):
+        v = zero
+        for j in range(j0, j1):
           v = v + _weight_at(dx, planes_x, sx0 + j, method)
-        nx_ref[:] = v
+        nx_ref[:] = nx_ref[:] + v
 
     out_ref[0, 0] = acc_ref[:] / jnp.maximum(ny_ref[:] * nx_ref[:],
                                              1e-12)

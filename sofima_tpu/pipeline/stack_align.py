@@ -55,9 +55,16 @@ class StackAlignConfig:
   max_magnitude: float = 80.0
   max_deviation: float = 20.0
   # Render/warp static envelopes (see flow_field.coarse_to_fine_flow).
+  # The residual envelope directly sizes the render's shift lattice
+  # ((residual*2 + taps)^2 iterations/pixel): keep it as tight as the
+  # per-tile displacement variation allows — the `overflow` output
+  # flags a too-small choice.
   max_displacement: int = 96
-  residual: int = 16
+  residual: int = 8
   method: str = 'lanczos'
+  # Newton refinement iterations for the map inversion (folds cannot
+  # occur in a freshly-relaxed smooth mesh, so a few suffice).
+  invert_newton_iters: int = 4
   mesh: mesh.IntegrationConfig = dataclasses.field(
       default_factory=lambda: mesh.IntegrationConfig(
           dt=0.001, gamma=0.0, k0=0.1, k=0.1, stride=(40.0, 40.0),
@@ -116,7 +123,17 @@ def align_step(sec_prev: jnp.ndarray, sec_cur: jnp.ndarray,
   prev = map_utils.compose_maps_fast(full, zero3, float(s), solved_prev,
                                      zero3, float(s))
   x0 = jnp.where(jnp.isnan(prev), solved_prev, prev)
-  solved, _, _ = mesh.relax_mesh_fused(x0, prev, cfg.mesh)
+  interpret = jax.default_backend() not in ('tpu', 'axon')
+  fits_vmem = grid_n * grid_n * 32 <= 24 * 1024 * 1024
+  if fits_vmem and not cfg.mesh.remove_drift:
+    # Whole convergence loop in ONE kernel launch: on section-sized
+    # grids the staged solver is bound by per-step op dispatch, not
+    # arithmetic (ops.pallas_mesh.relax_mesh_fused_pallas).
+    from sofima_tpu.ops import pallas_mesh
+    solved, _, _ = pallas_mesh.relax_mesh_fused_pallas(
+        x0, prev, cfg.mesh, interpret=interpret)
+  else:
+    solved, _, _ = mesh.relax_mesh_fused(x0, prev, cfg.mesh)
 
   # 4. INVERT (device fixed point) + harmonic fill of failed nodes.
   node = jnp.arange(grid_n, dtype=jnp.float32) * s
@@ -126,7 +143,10 @@ def align_step(sec_prev: jnp.ndarray, sec_cur: jnp.ndarray,
   abs_map = solved[:, 0] + query
   zeros2 = jnp.zeros(2, jnp.float32)
   stride2 = jnp.full((2,), float(s), jnp.float32)
-  inv_abs = map_utils._invert_section(abs_map, zeros2, query, stride2)
+  inv_abs = map_utils._invert_section(
+      abs_map, zeros2, query, stride2,
+      newton_iters=cfg.invert_newton_iters,
+      shift_bound=-(-cfg.max_displacement // s) + 1)
   rel_inv = inv_abs - query
   valid = jnp.isfinite(rel_inv[0]) & jnp.isfinite(rel_inv[1])
   rel_inv = fill_ops.fill_invalid(rel_inv, valid, extrapolate=True)
@@ -143,11 +163,12 @@ def align_step(sec_prev: jnp.ndarray, sec_cur: jnp.ndarray,
   dense = interp_ops.upsample_map_linear(
       jnp.stack([inv_abs[1], inv_abs[0]]), s, (0, 0), (n, n))
   coords = dense[None]  # [1, 2 (y, x), n, n]
-  interpret = jax.default_backend() not in ('tpu', 'axon')
+  # NOTE: tile_bounds pruning is deliberately NOT used — measured on
+  # v5e, pl.when region entry costs (~1us x regions x tiles) exceed the
+  # skipped work; the tight static envelope above is the fast path.
   rendered = pallas_warp.pallas_shift_warp_tiled(
       post[None], coords, dplan['bases'], cfg.method, *env_r, *env_b,
-      *dplan['tile'], tile_bounds=dplan['tile_bounds'],
-      interpret=interpret)[0]
+      *dplan['tile'], interpret=interpret)[0]
   return solved, rendered, dplan['overflow']
 
 

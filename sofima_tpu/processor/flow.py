@@ -8,8 +8,10 @@ multi-Δz re-estimation of missing flow entries.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any
 
+import jax
 import numpy as np
 
 from sofima_tpu import flow_field
@@ -318,6 +320,40 @@ class ReconcileAndFilterFlows(SubvolumeProcessor):
     return self.crop_box_and_data(box, ret)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=['search_patch', 'patch', 'stride', 'batch_size',
+                     'max_attempts', 'min_peak_ratio',
+                     'min_peak_sharpness', 'max_magnitude', 'delta_z'])
+def _missing_flow_wave(prev_d, curr_d, todo_d, attempts_d, out, bias_d,
+                       *, search_patch, patch, stride, batch_size,
+                       max_attempts, min_peak_ratio, min_peak_sharpness,
+                       max_magnitude, delta_z):
+  """One EstimateMissingFlow Δz wave as a single device program.
+
+  Computes the whole grid (enlarged search patches vs regular current
+  patches), subtracts the origin bias, gates quality, and folds the
+  accept/attempt bookkeeping in — the only host traffic per wave is the
+  dispatch itself. Module-level jit so the compile caches across
+  sections and work items.
+  """
+  flow4 = flow_field.dense_flow_field(
+      prev_d, curr_d, (search_patch, search_patch), (stride, stride),
+      batch_size=batch_size, post_patch_size=(patch, patch))
+  flow4 = flow4.at[0].add(-bias_d[0]).at[1].add(-bias_d[1])
+  active = todo_d & (attempts_d <= max_attempts)
+  raw_valid = jnp.isfinite(flow4[0])
+  attempts_new = attempts_d + (raw_valid & active).astype(jnp.int32)
+  clean = flow_utils.clean_flow_device(
+      flow4[:, None], min_peak_ratio, min_peak_sharpness, max_magnitude,
+      max_deviation=0.0)
+  accept = active & jnp.isfinite(clean[0, 0])
+  out = out.at[0].set(jnp.where(accept, clean[0, 0], out[0]))
+  out = out.at[1].set(jnp.where(accept, clean[1, 0], out[1]))
+  out = out.at[2].set(jnp.where(accept, float(delta_z), out[2]))
+  return todo_d & ~accept, attempts_new, out
+
+
 class EstimateMissingFlow(SubvolumeProcessor):
   """Fills invalid flow entries by estimating against farther sections.
 
@@ -471,6 +507,15 @@ class EstimateMissingFlow(SubvolumeProcessor):
     curr_slice = (slice(int(rel[1]), int(rel[1] + curr_image_box.size[1])),
                   slice(int(rel[0]), int(rel[0] + curr_image_box.size[0])))
 
+    # Unmasked configs take the device-resident wave path: every Δz wave
+    # is ONE device program over the whole grid with accept/attempt
+    # bookkeeping on device, and results come back in a single fetch per
+    # section — instead of one host round trip per batch per wave (the
+    # dominant cost on a slow accelerator link). `_force_host_waves` is
+    # a test seam pinning the two paths to each other.
+    device_waves = config.mask_configs is None and not getattr(
+        self, '_force_host_waves', False)
+
     for z in range(invalid.shape[0]):
       if not invalid[z].any():
         self.counter('sections-already-valid').inc()
@@ -491,6 +536,18 @@ class EstimateMissingFlow(SubvolumeProcessor):
       if sel_mask is not None:
         todo &= sel_mask[z]
       curr = image_section(curr_z)[curr_slice]
+
+      if device_waves:
+        filled = self._device_wave_fill(
+            curr, todo, image_section, curr_z, nz, search_deltas,
+            (float(rel[0]), float(rel[1])))
+        for delta_z, count in filled['counts'].items():
+          self.counter(f'filled-delta{delta_z}').inc(count)
+        acc = np.isfinite(filled['flow'][0])
+        ret[0, z][acc] = filled['flow'][0][acc]
+        ret[1, z][acc] = filled['flow'][1][acc]
+        ret[2, z][acc] = filled['flow'][2][acc]
+        continue
 
       for delta_z in search_deltas:
         prev_z = curr_z - delta_z
@@ -545,3 +602,47 @@ class EstimateMissingFlow(SubvolumeProcessor):
         ret[1, z, :sy, :sx][accept] = flow[1, 0][accept]
 
     return Subvolume(ret, out_box)
+
+  def _device_wave_fill(self, curr, todo, image_section, curr_z, nz,
+                        search_deltas, bias):
+    """Device-resident Δz waves: one program per wave, one final fetch.
+
+    Semantics match the host loop (selection_mask batching included):
+    attempts only increment for todo patches that produced a raw peak,
+    quality gating via clean_flow with max_deviation=0, first accepted
+    Δz wins. Patches outside every section's range stay NaN.
+    """
+    config = self._config
+    stride = config.stride
+    sp = self._search_patch_size
+    patch = config.patch_size
+
+    todo_d = jnp.asarray(todo)
+    attempts_d = jnp.zeros(todo.shape, jnp.int32)
+    out = jnp.full((3,) + todo.shape, jnp.nan, jnp.float32)
+    curr_d = jnp.asarray(np.ascontiguousarray(curr, np.float32))
+    bias_d = jnp.asarray([bias[0], bias[1]], jnp.float32)
+
+    ran_deltas = []
+    for delta_z in search_deltas:
+      prev_z = curr_z - delta_z
+      if prev_z < 0 or prev_z >= nz:
+        break
+      prev_d = jnp.asarray(
+          np.ascontiguousarray(image_section(prev_z), np.float32))
+      with self.timer('flow'):
+        todo_d, attempts_d, out = _missing_flow_wave(
+            prev_d, curr_d, todo_d, attempts_d, out, bias_d,
+            search_patch=sp, patch=patch, stride=stride,
+            batch_size=config.batch_size,
+            max_attempts=config.max_attempts,
+            min_peak_ratio=config.min_peak_ratio,
+            min_peak_sharpness=config.min_peak_sharpness,
+            max_magnitude=config.max_magnitude, delta_z=delta_z)
+      ran_deltas.append(delta_z)
+
+    flow_np = np.asarray(out)  # single d2h for all waves
+    counts = {}
+    for delta_z in ran_deltas:
+      counts[delta_z] = int((flow_np[2] == delta_z).sum())
+    return {'flow': flow_np, 'counts': counts}

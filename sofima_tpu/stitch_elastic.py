@@ -135,6 +135,7 @@ def compute_flow_map3d(
     patch_size: Vector = (120, 120, 120),
     stride: Vector = (40, 40, 40),
     batch_size: int = 16,
+    flow_mode: str = 'padfield',
 ) -> tuple[TileFlow, TileOffset]:
   """Fine flow between adjacent 3d tiles along `axis` (0: x, 1: y).
 
@@ -142,6 +143,13 @@ def compute_flow_map3d(
   [3, 1, ys, xs] with coarse XYZ offsets. Crop starts are stride-aligned
   in every dimension. Returns flows padded to the mesh grid and the XYZ
   offsets at which the neighboring tile was placed for flow computation.
+
+  `flow_mode='circular'` routes each overlap pair through the
+  device-resident 3d strip path (flow_field._dense_flow_strips_3d):
+  patch-periodic correlation in ONE dispatch per pair instead of the
+  host-batched scattered-start loop — the TPU fast path for LICONN fine
+  stitching. Integer peaks match 'padfield' for in-range shifts; stride
+  must divide patch_size in every dimension.
   """
   mfc = flow_field.JAXMaskedXCorrWithStatsCalculator()
   flows, offsets = {}, {}
@@ -192,8 +200,16 @@ def compute_flow_map3d(
       post = np.asarray(tile_post[isec_nbor.to_slice4d()]).squeeze(axis=0)
       assert pre.shape == post.shape
 
-      f = mfc.flow_field(pre, post, patch_size=patch_size, step=stride,
-                         batch_size=batch_size)
+      if (flow_mode == 'circular' and pre.shape == post.shape
+          and all(p % s == 0 for p, s in zip(patch_size, stride))):
+        f = np.asarray(flow_field.dense_flow_field(
+            jnp.asarray(pre, jnp.float32), jnp.asarray(post, jnp.float32),
+            tuple(int(p) for p in patch_size),
+            tuple(int(s) for s in stride), batch_size=batch_size,
+            circular=True))
+      else:
+        f = mfc.flow_field(pre, post, patch_size=patch_size, step=stride,
+                           batch_size=batch_size)
       flows[(x, y)] = np.pad(
           f, [[0, 0]] + [[p, p - 1] for p in pad_zyx],
           constant_values=np.nan)

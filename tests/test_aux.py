@@ -216,3 +216,47 @@ class TestMultiProcess:
         rec = json.load(f)
       assert rec['subvolumes_done'] > 0
       assert rec['chunk_dp_s'] > 0
+
+  def test_four_process_flow_pipeline(self, tmp_path):
+    """Round-3 scale validation beyond 2 processes: the same chunk-DP +
+    intra-host sharded-flow combination at 4 host processes (8 virtual
+    devices total). Output totals must match regardless of process
+    count (idempotent disjoint chunk writes)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    with socket.socket() as s:
+      s.bind(('localhost', 0))
+      port = s.getsockname()[1]
+    coordinator = f'localhost:{port}'
+    worker = os.path.join(os.path.dirname(__file__),
+                          'distributed_worker.py')
+    env = dict(os.environ)
+    env.pop('XLA_FLAGS', None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, '4', str(i),
+             str(tmp_path), 'flow'],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for i in range(4)
+    ]
+    outs = []
+    for p in procs:
+      try:
+        out, _ = p.communicate(timeout=420)
+      except subprocess.TimeoutExpired:
+        for q in procs:
+          q.kill()
+        pytest.fail('4-process distributed flow workers timed out')
+      outs.append(out)
+    assert all(p.returncode == 0 for p in procs), outs
+    assert 'DISTRIBUTED_FLOW_OK' in outs[0], outs[0][-2000:]
+    done = 0
+    for i in range(4):
+      with open(tmp_path / f'host{i}.json') as f:
+        rec = json.load(f)
+      done += rec['subvolumes_done']
+    assert done > 0

@@ -523,3 +523,39 @@ class TestMaskedGridKernel:
     fin = np.isfinite(ref[2]) & np.isfinite(got[2])
     close = np.abs(got[2][fin] - ref[2][fin]) / (np.abs(ref[2][fin]) + 1)
     assert (close < 0.01).mean() > 0.9
+
+
+class TestDenseFlow3d:
+  """Round-3: device-resident circular 3d strip path."""
+
+  def _vol(self, d=60, h=280, w=160, seed=0):
+    from scipy.ndimage import gaussian_filter
+    rng = np.random.RandomState(seed)
+    vol = gaussian_filter(rng.rand(d, h, w).astype(np.float32), 1.5)
+    return ((vol - vol.min()) / np.ptp(vol) * 255).astype(np.float32)
+
+  def test_matches_padfield_integer_peaks(self):
+    import jax.numpy as jnp
+    vol = self._vol()
+    post = np.roll(vol, (2, -3, 4), (0, 1, 2))
+    patch, step = (40, 80, 80), (20, 40, 40)
+    circ = np.asarray(flow_field.dense_flow_field(
+        jnp.asarray(vol), jnp.asarray(post), patch, step, circular=True))
+    mfc = flow_field.JAXMaskedXCorrWithStatsCalculator()
+    ref = mfc.flow_field(vol, post, patch_size=patch, step=step,
+                         batch_size=16)
+    assert circ.shape == ref.shape
+    for c in range(3):
+      np.testing.assert_array_equal(
+          np.nan_to_num(circ[c], nan=9e9), np.nan_to_num(ref[c], nan=9e9))
+
+  def test_known_shift_recovered(self):
+    import jax.numpy as jnp
+    vol = self._vol(48, 200, 200, seed=1)
+    post = np.roll(vol, (-1, 5, -6), (0, 1, 2))
+    out = np.asarray(flow_field.dense_flow_field(
+        jnp.asarray(vol), jnp.asarray(post), (40, 80, 80), (8, 40, 40),
+        circular=True))
+    assert float(np.nanmedian(out[0])) == 6.0   # x
+    assert float(np.nanmedian(out[1])) == -5.0  # y
+    assert float(np.nanmedian(out[2])) == 1.0   # z

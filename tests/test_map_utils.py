@@ -485,3 +485,27 @@ class TestInvertRobustness:
     err = np.abs(filled[:, 0][:, both] - oracle[:, 0][:, both]).max(0)
     # Mean fill error within a node spacing; document the envelope.
     assert err.mean() < stride / 2, err.mean()
+
+  def test_shift_sampler_matches_gather_invert(self):
+    # The gather-free fixed-point sampler (shift_bound) must reproduce
+    # the gather-based inversion bit-for-bit-ish, including NaN
+    # semantics at the grid boundary.
+    rng = np.random.RandomState(3)
+    g, stride = 20, 40
+    cm = (rng.randn(2, 1, g, g) * 4).astype(np.float32)
+    import jax.numpy as jnp
+    from scipy.ndimage import gaussian_filter
+    cm = gaussian_filter(cm, (0, 0, 2, 2)).astype(np.float32)
+    node = jnp.arange(g, dtype=jnp.float32) * stride
+    qx = jnp.broadcast_to(node[None, :], (g, g))
+    qy = jnp.broadcast_to(node[:, None], (g, g))
+    query = jnp.stack([qx, qy])
+    absm = jnp.asarray(cm[:, 0]) + query
+    z2 = jnp.zeros(2, jnp.float32)
+    s2 = jnp.full((2,), float(stride), jnp.float32)
+    ref = np.asarray(map_utils._invert_section(absm, z2, query, s2))
+    got = np.asarray(map_utils._invert_section(absm, z2, query, s2,
+                                               shift_bound=2))
+    np.testing.assert_array_equal(np.isnan(ref), np.isnan(got))
+    np.testing.assert_allclose(np.nan_to_num(got), np.nan_to_num(ref),
+                               atol=1e-3)

@@ -86,3 +86,36 @@ class TestPallas3dForce:
     ref = np.asarray(mesh.elastic_mesh_3d(jnp.asarray(x), 0.1, 40.0, True))
     out = np.asarray(FORCE3(jnp.asarray(x), 0.1, 40.0, True))
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+class TestFusedFireSolver:
+  """Whole-convergence-loop-in-one-kernel solver (round 3)."""
+
+  def _setup(self, g=24, seed=0):
+    rng = np.random.RandomState(seed)
+    prev = np.full((2, 1, g, g), np.nan, np.float32)
+    prev[:, :, 2:-2, 2:-2] = rng.randn(2, 1, g - 4, g - 4).astype(
+        np.float32) * 3
+    cfg = mesh.IntegrationConfig(
+        dt=0.001, gamma=0.0, k0=0.1, k=0.1, stride=(40.0, 40.0),
+        num_iters=200, max_iters=2000, stop_v_max=0.005, dt_max=100.0,
+        start_cap=0.01, final_cap=10.0, cap_scale=1.1,
+        prefer_orig_order=True)
+    return jnp.zeros_like(jnp.asarray(prev)), jnp.asarray(prev), cfg
+
+  def test_matches_staged_solver(self):
+    x0, prev, cfg = self._setup()
+    ref, _, steps_ref = mesh.relax_mesh_fused(x0, prev, cfg)
+    got, _, steps_got = pallas_mesh.relax_mesh_fused_pallas(
+        x0, prev, cfg, interpret=True)
+    assert int(steps_ref) == int(steps_got)
+    assert bool(jnp.all(jnp.isnan(ref) == jnp.isnan(got)))
+    assert float(jnp.nanmax(jnp.abs(ref - got))) < 1e-3
+
+  def test_no_prev(self):
+    x0, _, cfg = self._setup()
+    x0 = x0 + 1.5  # displaced nodes relax back under elastic forces
+    ref, _, _ = mesh.relax_mesh_fused(x0, None, cfg)
+    got, _, _ = pallas_mesh.relax_mesh_fused_pallas(
+        x0, None, cfg, interpret=True)
+    assert float(jnp.nanmax(jnp.abs(ref - got))) < 1e-3

@@ -148,6 +148,37 @@ class TestEstimateMissingFlow:
     # Lookback found z=1 at delta 2; flow = 0 (identical content).
     assert (out.data[2, 0][valid] == 2).any()
 
+  def test_device_wave_matches_host_path(self):
+    # The round-3 device-resident Δz wave must reproduce the host loop
+    # (selection/attempt/accept semantics) on unmasked configs.
+    tex = _texture(200, seed=3)
+    stack = np.stack([
+        tex,
+        np.roll(tex, (2, -4), axis=(0, 1)),
+        np.full_like(tex, 128.0),
+        np.roll(tex, (2, -4), axis=(0, 1)),
+    ])
+    cfg = em_2d.estimate_missing_flow_config({
+        'patch_size': 80, 'stride': 40, 'batch_size': 16,
+        'max_delta_z': 3})
+    grid = 200 // 40
+    flow_in = np.full((2, 1, grid, grid), np.nan, np.float32)
+    flow_in[:, 0, 0, 0] = 1.0  # one pre-valid node must be left alone
+
+    outs = []
+    for force_host in (False, True):
+      proc = flow.EstimateMissingFlow(
+          dataclasses.replace(cfg,
+                              image_volinfo=InMemoryVolume(
+                                  stack[np.newaxis], fill_value=0.0)))
+      proc._force_host_waves = force_host
+      sv = Subvolume(flow_in.copy(), BoundingBox(start=(0, 0, 3),
+                                                 size=(grid, grid, 1)))
+      outs.append(proc.process(sv).data)
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-4,
+                               equal_nan=True)
+    assert np.isfinite(outs[0][0, 0]).sum() > 1
+
 
 class TestMapProcessors:
 
@@ -345,6 +376,40 @@ class TestWarpByMap:
     expected = src.reshape(1, 1, 32, 2, 32, 2).mean(axis=(3, 5))
     np.testing.assert_allclose(out[0, 0, 2:-2, 2:-2],
                                expected[0, 0, 2:-2, 2:-2], atol=0.5)
+
+  def test_subdivision_matches_unsubdivided(self, monkeypatch):
+    # VERDICT r2 item 9: force the 2x2 source-box subdivision
+    # (processor/warp.py _max_source_extent; reference analogue
+    # /root/reference/processor/warp.py:517-539) and assert identical
+    # output to the single-dispatch warp.
+    import dataclasses as dc
+    from sofima_tpu.processor import warp as warp_proc
+    rng = np.random.RandomState(1)
+    src = rng.randint(0, 250, (1, 1, 96, 96)).astype(np.float32)
+    # Smooth non-identity inverse map at stride 8.
+    gy, gx = np.mgrid[:12, :12].astype(np.float32)
+    cmap = np.stack([(3.0 * np.sin(2 * np.pi * gy / 12))[None],
+                     (3.0 * np.cos(2 * np.pi * gx / 12))[None]])
+    cfg = em_2d.warp_config({'stride': 8.0, 'interpolation': 'linear'})
+    from sofima_tpu.utils.bounding_box import BoundingBox
+    from sofima_tpu.utils.subvolume import Subvolume
+    box = BoundingBox(start=(0, 0, 0), size=(64, 64, 1))
+
+    def run():
+      c = dc.replace(cfg,
+                     map_volinfo=InMemoryVolume(cmap.astype(np.float32)),
+                     data_volinfo=InMemoryVolume(src, fill_value=0.0))
+      proc = warp_proc.WarpByMap(c)
+      return proc.process(
+          Subvolume(np.zeros((1, 1, 64, 64), np.float32), box))[0].data
+
+    ref = run()
+    # The source box for the whole output is ~70 px wide; a 48-px cap
+    # forces recursive subdivision (two levels for the first quadrant).
+    monkeypatch.setattr(warp_proc.WarpByMap, '_max_source_extent', 48)
+    sub = run()
+    np.testing.assert_allclose(sub, ref, atol=5e-3)
+    assert np.abs(sub).sum() > 0
 
 
 class TestEstimateFlowFastMode:

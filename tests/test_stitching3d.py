@@ -62,6 +62,30 @@ class TestFlowMap3d:
     off = used_offsets[(0, 0)]
     assert off[0] == -24
 
+  def test_circular_mode_matches_padfield(self):
+    # Round-3 TPU fast path: flow_mode='circular' routes overlap pairs
+    # through the device-resident 3d strip kernel; integer peaks must
+    # match the scattered-start padfield driver.
+    vol = _texture3d((40, 64, 104))
+    t0 = vol[:, :, :64]
+    t1 = vol[:, :, 40:]
+    tile_map = {(0, 0): Tile(t0), (1, 0): Tile(t1)}
+    offsets = np.zeros((3, 1, 1, 2))
+    offsets[0, 0, 0, 0] = -24
+    kw = dict(tile_map=tile_map, tile_shape=(64, 64, 40),
+              offset_map=offsets, axis=0, patch_size=(16, 16, 16),
+              stride=(8, 8, 8), batch_size=8)
+    ref_flows, ref_off = stitch_elastic.compute_flow_map3d(**kw)
+    fast_flows, fast_off = stitch_elastic.compute_flow_map3d(
+        flow_mode='circular', **kw)
+    assert ref_off == fast_off
+    for key in ref_flows:
+      a, b = ref_flows[key], fast_flows[key]
+      assert a.shape == b.shape
+      for c in range(3):
+        np.testing.assert_array_equal(np.nan_to_num(a[c], nan=9e9),
+                                      np.nan_to_num(b[c], nan=9e9))
+
   def test_full_3d_stitch_and_render(self, tmp_path):
     vol = _texture3d((24, 48, 80), seed=3)
     overlap = 16
