@@ -246,6 +246,34 @@ def main():
   results['warp3d_s'] = round(t_w3, 3)
   results['warp3d_mvox_s'] = round(64 * 1024 * 1024 / t_w3 / 1e6, 1)
 
+  # ---- FLOW 3D: LICONN fine-stitching overlap pair. ----------------------
+  # Circular strip path (one device program, gather-free patch assembly)
+  # vs the scattered-start padfield driver on a tile-overlap-sized crop.
+  # 64 z-planes of EM-like texture (staggered crops of the 2d section).
+  vol3a = jax.device_put(np.ascontiguousarray(
+      np.stack([pre_np[i * 7:i * 7 + 480, :160]
+                for i in range(64)])).astype(np.float32))
+  vol3b = jnp.roll(vol3a, (2, -3, 4), (0, 1, 2))
+  patch3, step3 = (40, 80, 80), (8, 40, 40)
+
+  def run_flow3d():
+    return flow_field.dense_flow_field(vol3a, vol3b, patch3, step3,
+                                       circular=True)
+
+  f3, t_f3 = _time(run_flow3d)
+  results['flow3d_s'] = round(t_f3, 3)
+  results['flow3d_grid'] = list(int(v) for v in f3.shape[1:])
+  mfc3 = flow_field.JAXMaskedXCorrWithStatsCalculator()
+  t0 = time.perf_counter()
+  f3_ref = mfc3.flow_field(np.asarray(vol3a), np.asarray(vol3b),
+                           patch_size=patch3, step=step3, batch_size=32)
+  t_f3_ref = time.perf_counter() - t0
+  results['flow3d_padfield_s'] = round(t_f3_ref, 3)
+  agree3 = float(np.mean(
+      np.nan_to_num(np.asarray(f3)[:3], nan=9e9)
+      == np.nan_to_num(f3_ref[:3], nan=9e9)))
+  results['flow3d_peak_agreement'] = round(agree3, 5)
+
   # ---- PIPELINE: streamed z-stack alignment. -----------------------------
   # The production metric: 16 sections of 10k^2 streamed through the
   # FUSED per-section chain (coarse-to-fine flow -> clean -> mesh solve
@@ -425,6 +453,21 @@ def main():
   _, t_mesh3x = _time(run_mesh3d_xla)
   results['mesh3d_glups_xla'] = round(
       cfg3.num_iters * n_nodes3 / t_mesh3x / 1e9, 2)
+
+  # VMEM-resident fused 3d FIRE solver (whole convergence loop in one
+  # kernel) on a LICONN-sized tile mesh.
+  cfg3f = mesh.IntegrationConfig(
+      dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=(40.0, 40.0, 40.0),
+      num_iters=500, max_iters=1000, stop_v_max=0.0, dt_max=100.0)
+  x3f = jax.device_put(rng.randn(3, 8, 128, 256).astype(np.float32))
+  prev3f = jnp.zeros_like(x3f)
+
+  def run_mesh3d_fused():
+    return pallas_mesh.relax_mesh_fused_pallas_3d(x3f, prev3f, cfg3f)[0]
+
+  _, t_m3f = _time(run_mesh3d_fused, repeats=2)
+  results['mesh3d_fused_glups'] = round(
+      cfg3f.max_iters * 8 * 128 * 256 / t_m3f / 1e9, 2)
 
   out = {
       'metric': ('end-to-end pipeline Mpix/s/chip '

@@ -27,34 +27,39 @@ shard_map = jax.shard_map if hasattr(jax, 'shard_map') else (
     jax.experimental.shard_map.shard_map)
 
 
-def _halo_pad_y(x_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
-  """Pads the local block with 1-row halos from ring neighbors along y.
+def _halo_pad(x_local: jnp.ndarray, axis_name: str,
+              spatial_axis: int) -> jnp.ndarray:
+  """Pads the local block with 1-slice halos from ring neighbors.
 
-  `x_local`: [c, ..., y_local, x]. Edge devices receive NaN halos
-  (= no springs across the global boundary).
+  `spatial_axis` is the array axis being exchanged (negative ok). Edge
+  devices receive NaN halos (= no springs across the global boundary).
   """
   n = jax.lax.axis_size(axis_name)
   idx = jax.lax.axis_index(axis_name)
-  y_axis = x_local.ndim - 2
+  ax = spatial_axis % x_local.ndim
 
-  top_row = jax.lax.slice_in_dim(x_local, 0, 1, axis=y_axis)
-  bot_row = jax.lax.slice_in_dim(
-      x_local, x_local.shape[y_axis] - 1, x_local.shape[y_axis], axis=y_axis)
+  first = jax.lax.slice_in_dim(x_local, 0, 1, axis=ax)
+  last = jax.lax.slice_in_dim(
+      x_local, x_local.shape[ax] - 1, x_local.shape[ax], axis=ax)
 
   if n > 1:
-    # Send my last row down (to i+1) -> becomes their top halo.
-    halo_top = jax.lax.ppermute(
-        bot_row, axis_name, [(i, i + 1) for i in range(n - 1)])
-    # Send my first row up (to i-1) -> becomes their bottom halo.
-    halo_bot = jax.lax.ppermute(
-        top_row, axis_name, [(i + 1, i) for i in range(n - 1)])
+    # Send my last slice forward (to i+1) -> becomes their lead halo.
+    halo_lead = jax.lax.ppermute(
+        last, axis_name, [(i, i + 1) for i in range(n - 1)])
+    # Send my first slice backward (to i-1) -> their trail halo.
+    halo_trail = jax.lax.ppermute(
+        first, axis_name, [(i + 1, i) for i in range(n - 1)])
   else:
-    halo_top = top_row
-    halo_bot = bot_row
+    halo_lead = first
+    halo_trail = last
 
-  halo_top = jnp.where(idx == 0, jnp.nan, halo_top)
-  halo_bot = jnp.where(idx == n - 1, jnp.nan, halo_bot)
-  return jnp.concatenate([halo_top, x_local, halo_bot], axis=y_axis)
+  halo_lead = jnp.where(idx == 0, jnp.nan, halo_lead)
+  halo_trail = jnp.where(idx == n - 1, jnp.nan, halo_trail)
+  return jnp.concatenate([halo_lead, x_local, halo_trail], axis=ax)
+
+
+def _halo_pad_y(x_local: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+  return _halo_pad(x_local, axis_name, -2)
 
 
 def _sharded_force_2d(axis_name: str, base_force=None):
@@ -68,10 +73,31 @@ def _sharded_force_2d(axis_name: str, base_force=None):
     base_force = mesh_lib.inplane_force
 
   def force(x_local, k, stride, prefer_orig_order=False):
-    padded = _halo_pad_y(x_local, axis_name)
+    padded = _halo_pad(x_local, axis_name, -2)
     f = base_force(padded, k, stride, prefer_orig_order)
     y_axis = f.ndim - 2
     return jax.lax.slice_in_dim(f, 1, f.shape[y_axis] - 1, axis=y_axis)
+  return force
+
+
+def _sharded_force_2d_grid(axis_y: str, axis_x: str, base_force=None):
+  """2-D (y, x)-sharded in-plane force: sequential halo exchanges.
+
+  The x exchange runs on the already-y-padded block, so the corner
+  nodes travel two hops (y neighbor then x neighbor) and the diagonal
+  spring families see correct corner halos — the standard 2-D stencil
+  decomposition. For pod-scale square meshes this halves the surface-
+  to-volume ratio of 1-D strips.
+  """
+  if base_force is None:
+    base_force = mesh_lib.inplane_force
+
+  def force(x_local, k, stride, prefer_orig_order=False):
+    padded = _halo_pad(x_local, axis_y, -2)
+    padded = _halo_pad(padded, axis_x, -1)
+    f = base_force(padded, k, stride, prefer_orig_order)
+    f = jax.lax.slice_in_dim(f, 1, f.shape[-2] - 1, axis=f.ndim - 2)
+    return jax.lax.slice_in_dim(f, 1, f.shape[-1] - 1, axis=f.ndim - 1)
   return force
 
 
@@ -80,7 +106,7 @@ def _sharded_force_3d(axis_name: str, base_force=None):
     base_force = mesh_lib.elastic_mesh_3d
 
   def force(x_local, k, stride, prefer_orig_order=False):
-    padded = _halo_pad_y(x_local, axis_name)
+    padded = _halo_pad(x_local, axis_name, -2)
     f = base_force(padded, k, stride, prefer_orig_order)
     y_axis = f.ndim - 2
     return jax.lax.slice_in_dim(f, 1, f.shape[y_axis] - 1, axis=y_axis)
@@ -93,6 +119,13 @@ def make_mesh(n_devices: int | None = None,
   if n_devices is not None:
     devices = devices[:n_devices]
   return Mesh(np.array(devices), (axis_name,))
+
+
+def make_mesh_2d(ny: int, nx: int, axis_y: str = 'mesh_y',
+                 axis_x: str = 'mesh_x') -> Mesh:
+  """2-D device mesh for (y, x)-sharded relaxation."""
+  devices = np.array(jax.devices()[:ny * nx]).reshape(ny, nx)
+  return Mesh(devices, (axis_y, axis_x))
 
 
 def relax_mesh_sharded(
@@ -123,24 +156,37 @@ def relax_mesh_sharded(
   """
   if not config.fire:
     raise NotImplementedError('Sharded relaxation requires FIRE.')
-  n_dev = device_mesh.shape[axis_name]
-  # Auto-pad indivisible y extents with NaN rows: NaN nodes are "absent"
-  # to the spring stencil (no forces, zero velocity), so the padded
-  # solve matches the unpadded one exactly; the global reductions below
-  # are NaN-aware so drift removal ignores the padding.
+  two_d = len(device_mesh.axis_names) == 2
+  if two_d and dim != 2:
+    raise NotImplementedError('2-D device meshes support dim=2 only')
+  axis_y = device_mesh.axis_names[0] if two_d else axis_name
+  axis_x = device_mesh.axis_names[1] if two_d else None
+  n_dev = device_mesh.shape[axis_y]
+  n_dev_x = device_mesh.shape[axis_x] if two_d else 1
+  # Auto-pad indivisible extents with NaN rows/cols: NaN nodes are
+  # "absent" to the spring stencil (no forces, zero velocity), so the
+  # padded solve matches the unpadded one exactly; the global
+  # reductions below are NaN-aware so drift removal ignores padding.
   orig_y = x.shape[-2]
+  orig_x = x.shape[-1]
   pad_y = (-orig_y) % n_dev
-  if pad_y:
-    widths = [(0, 0)] * (x.ndim - 2) + [(0, pad_y), (0, 0)]
+  pad_x = (-orig_x) % n_dev_x
+  if pad_y or pad_x:
+    widths = [(0, 0)] * (x.ndim - 2) + [(0, pad_y), (0, pad_x)]
     x = jnp.pad(x, widths, constant_values=np.nan)
     if prev is not None:
       prev = jnp.pad(prev, widths, constant_values=np.nan)
 
-  force_fn = (_sharded_force_2d(axis_name, base_force) if dim == 2
-              else _sharded_force_3d(axis_name, base_force))
+  if two_d:
+    force_fn = _sharded_force_2d_grid(axis_y, axis_x, base_force)
+    all_axes = (axis_y, axis_x)
+  else:
+    force_fn = (_sharded_force_2d(axis_y, base_force) if dim == 2
+                else _sharded_force_3d(axis_y, base_force))
+    all_axes = (axis_y,)
 
   def psum(v):
-    return jax.lax.psum(v, axis_name)
+    return jax.lax.psum(v, all_axes)
 
   def pmean_keepdims(v, axes):
     # NaN-aware: padded/absent nodes must not poison drift removal.
@@ -150,7 +196,7 @@ def relax_mesh_sharded(
                     keepdims=True)
     return psum(local) / jnp.maximum(psum(count), 1.0)
 
-  spec = P(*([None] * (x.ndim - 2) + [axis_name, None]))
+  spec = P(*([None] * (x.ndim - 2) + [axis_y, axis_x]))
   has_prev = prev is not None
 
   max_chunks = int(np.ceil(config.max_iters / config.num_iters))
@@ -184,7 +230,7 @@ def relax_mesh_sharded(
       v = state[1]
       v_sq = jnp.sum(jnp.square(v), axis=0)
       e_hist = e_hist.at[chunk_idx].set(psum(jnp.sum(v_sq)))
-      v_max = jnp.sqrt(jax.lax.pmax(jnp.max(v_sq), axis_name))
+      v_max = jnp.sqrt(jax.lax.pmax(jnp.max(v_sq), all_axes))
       cap = state[-1]
       done = (v_max < config.stop_v_max) & (cap >= config.final_cap)
       new_cap = jnp.where(
@@ -209,8 +255,8 @@ def relax_mesh_sharded(
       out, e_hist, steps = run(x, prev)
     else:
       out, e_hist, steps = run(x)
-  if pad_y:
-    out = out[..., :orig_y, :]
+  if pad_y or pad_x:
+    out = out[..., :orig_y, :orig_x]
   return out, e_hist, steps
 
 

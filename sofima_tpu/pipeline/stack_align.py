@@ -10,8 +10,8 @@ TPU the whole per-section chain compiles into ONE jit program:
   3. SOLVE   relax_mesh_fused, warm-started from the spring targets
   4. INVERT  fixed-point map inversion + harmonic hole fill
   5. RENDER  per-tile-base Pallas Lanczos warp with a device-computed
-             plan (shift_warp.tiled_plan_device) and per-tile lattice
-             pruning
+             plan (shift_warp.tiled_plan_device) and a tight static
+             residual envelope
 
 There is NO host synchronization anywhere in the chain: section z's
 solve feeds section z+1's compose as a device array, plans are computed

@@ -57,8 +57,10 @@ class EstimateFlow(SubvolumeProcessor):
     selection_mask_configs: Any = None
     batch_size: int = 1024
     # Correlation backend for dense unmasked runs:
-    # 'padfield' | 'circular' | 'circular_dft' | 'circular_dft_bf16'
-    # (see flow_field.flow_field).
+    # 'padfield' | 'circular' | 'circular_dft' | 'circular_dft_bf16' |
+    # 'coarse_to_fine' (full-patch coarse grid + targeted half-patch
+    # fine pass — the fastest TPU mode; see
+    # flow_field.coarse_to_fine_flow).
     flow_mode: str = 'padfield'
 
   def __init__(self, config: 'EstimateFlow.Config',
@@ -111,6 +113,11 @@ class EstimateFlow(SubvolumeProcessor):
 
     mfc = flow_field.JAXMaskedXCorrWithStatsCalculator()
 
+    # coarse_to_fine is a dense unmasked grid mode; masked / selection
+    # work items fall back to the padfield driver (same grid contract).
+    per_pair_mode = ('padfield' if config.flow_mode == 'coarse_to_fine'
+                     else config.flow_mode)
+
     def estimate(z_prev, z_curr):
       return mfc.flow_field(
           image[z_prev], image[z_curr], config.patch_size, config.stride,
@@ -118,7 +125,7 @@ class EstimateFlow(SubvolumeProcessor):
           None if mask is None else mask[z_curr],
           mask_only_for_patch_selection=config.mask_only_for_patch_selection,
           selection_mask=None if sel_mask is None else sel_mask[z_curr],
-          batch_size=config.batch_size, mode=config.flow_mode)
+          batch_size=config.batch_size, mode=per_pair_mode)
 
     with self.timer('flow'):
       nz = image.shape[0]
@@ -135,9 +142,25 @@ class EstimateFlow(SubvolumeProcessor):
           pairs = [(z, z + config.z_stride)
                    for z in range(-config.z_stride, nz)]
 
-      fast_batch = (config.flow_mode != 'padfield' and mask is None
-                    and sel_mask is None and len(pairs) > 1)
-      if fast_batch:
+      if (config.flow_mode == 'coarse_to_fine' and mask is None
+          and sel_mask is None):
+        import jax.numpy as jnp
+        patch_t = (config.patch_size, config.patch_size)
+        step_t = (config.stride, config.stride)
+        flows = [
+            np.asarray(flow_field.coarse_to_fine_flow(
+                jnp.asarray(image[zp], jnp.float32),
+                jnp.asarray(image[zc], jnp.float32), patch_t, step_t))
+            for zp, zc in pairs
+        ]
+        ret = np.array(flows)
+        fast_batch = None
+      else:
+        fast_batch = (config.flow_mode != 'padfield' and mask is None
+                      and sel_mask is None and len(pairs) > 1)
+      if fast_batch is None:
+        pass
+      elif fast_batch:
         # All section pairs in ONE vmapped device dispatch.
         import jax
         import jax.numpy as jnp

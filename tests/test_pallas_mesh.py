@@ -119,3 +119,21 @@ class TestFusedFireSolver:
     got, _, _ = pallas_mesh.relax_mesh_fused_pallas(
         x0, None, cfg, interpret=True)
     assert float(jnp.nanmax(jnp.abs(ref - got))) < 1e-3
+
+  def test_3d_matches_staged_solver(self):
+    rng = np.random.RandomState(2)
+    g = 10
+    prev = np.full((3, 6, g, g), np.nan, np.float32)
+    prev[:, 1:-1, 2:-2, 2:-2] = rng.randn(3, 4, g - 4, g - 4).astype(
+        np.float32) * 3
+    cfg = mesh.IntegrationConfig(
+        dt=0.001, gamma=0.0, k0=0.1, k=0.1, stride=(40.0, 40.0, 40.0),
+        num_iters=100, max_iters=1000, stop_v_max=0.005, dt_max=100.0,
+        start_cap=0.01, final_cap=10.0, cap_scale=1.1)
+    x0 = jnp.zeros_like(jnp.asarray(prev))
+    ref, _, steps_ref = mesh.relax_mesh_fused(
+        x0, jnp.asarray(prev), cfg, mesh_force=mesh.elastic_mesh_3d)
+    got, _, steps_got = pallas_mesh.relax_mesh_fused_pallas_3d(
+        x0, jnp.asarray(prev), cfg, interpret=True)
+    assert int(steps_ref) == int(steps_got)
+    assert float(jnp.nanmax(jnp.abs(ref - got))) < 1e-3

@@ -39,6 +39,24 @@ class TestShardedRelax:
     assert np.isfinite(np.asarray(e_hist)[0])
 
   @requires_multi
+  def test_2d_device_mesh_matches_single_device(self):
+    # Round-3: (y, x) 2-D sharding with corner-correct halo exchange
+    # (diagonal springs cross tile corners) and NaN auto-pad on both
+    # dims (18x14 over a 2x4 device grid).
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 1, 18, 14).astype(np.float32))
+    prev = jnp.zeros_like(x)
+    cfg = _config()
+    ref, _, _ = mesh.relax_mesh_fused(x, prev, cfg)
+    dmesh = mesh_sharding.make_mesh_2d(2, 4)
+    out, e_hist, _ = mesh_sharding.relax_mesh_sharded(x, prev, cfg,
+                                                      dmesh)
+    assert out.shape == x.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3)
+    assert np.isfinite(np.asarray(e_hist)[0])
+
+  @requires_multi
   def test_autopads_indivisible_y(self):
     # 18 rows over 4 devices: NaN-row padding, exact crop (round 3).
     rng = np.random.RandomState(5)

@@ -412,6 +412,41 @@ class TestWarpByMap:
     assert np.abs(sub).sum() > 0
 
 
+class TestEstimateFlowCoarseToFine:
+
+  def test_coarse_to_fine_mode_matches_padfield(self):
+    tex = _texture(480, seed=11)
+    # Shift beyond patch/2 of the HALF patch: only targeting finds it.
+    stack = np.stack([tex, np.roll(tex, (9, -7), (0, 1))])
+    vol = InMemoryVolume(stack[np.newaxis].astype(np.float32),
+                         fill_value=0.0)
+    base_cfg = em_2d.estimate_flow_config({'patch_size': 160,
+                                           'stride': 40,
+                                           'batch_size': 64})
+    ref = runner.process_volume(flow.EstimateFlow(base_cfg), vol,
+                                subvolume_size=(480, 480, 2))
+    c2f_cfg = em_2d.estimate_flow_config({
+        'patch_size': 160, 'stride': 40, 'batch_size': 64,
+        'flow_mode': 'coarse_to_fine'})
+    fast = runner.process_volume(flow.EstimateFlow(c2f_cfg), vol,
+                                 subvolume_size=(480, 480, 2))
+    a = np.asarray(ref[(slice(None),) * 4])
+    b = np.asarray(fast[(slice(None),) * 4])
+    assert a.shape == b.shape
+    # Compare interior nodes only: at zero-context borders the padfield
+    # driver reports spurious 0-shift matches while the targeted pass
+    # follows the (correct) coarse prior — a border-behavior difference,
+    # not a defect.
+    sl = np.s_[3:-3, 3:-3]
+    # z=0 has no reference section (all NaN); z=1 carries the flow.
+    assert np.isfinite(a[0, 1]).any() and np.isfinite(b[0, 1]).any()
+    fin = np.isfinite(a[0, 1][sl]) & np.isfinite(b[0, 1][sl])
+    agree = np.mean((np.abs(a[0, 1][sl] - b[0, 1][sl]) <= 1.0)
+                    & (np.abs(a[1, 1][sl] - b[1, 1][sl]) <= 1.0)
+                    | ~fin)
+    assert agree > 0.97, agree
+
+
 class TestEstimateFlowFastMode:
 
   def test_circular_dft_batched_matches_padfield(self):

@@ -192,9 +192,103 @@ def check_sharded_flow():
   print('dense flow under shard_map: OK')
 
 
+def check_targeted_flow():
+  """Round-3: grid kernel with per-window integer post offsets."""
+  import jax.numpy as jnp
+  from sofima_tpu import flow_field
+  pre = _texture(520, seed=6)
+  post = np.roll(pre, (23, -31), (0, 1))
+  out = np.asarray(flow_field.coarse_to_fine_flow(
+      jnp.asarray(pre), jnp.asarray(post)))
+  ref = np.asarray(flow_field.dense_flow_field(
+      jnp.asarray(pre), jnp.asarray(post), (160, 160), (40, 40),
+      batch_size=64, circular=True, dft_matmul=True))
+  sl = np.s_[1:-1, 1:-1]
+  agree = np.nanmean((np.abs(out[0][sl] - ref[0][sl]) <= 1.0)
+                     & (np.abs(out[1][sl] - ref[1][sl]) <= 1.0))
+  assert agree > 0.97, agree
+  print('coarse-to-fine targeted flow: OK')
+
+
+def check_fused_fire_solver():
+  """Round-3: whole FIRE convergence loop in one kernel launch."""
+  import jax.numpy as jnp
+  from sofima_tpu import mesh
+  from sofima_tpu.ops import pallas_mesh
+  rng = np.random.RandomState(7)
+  g = 48
+  prev = np.full((2, 1, g, g), np.nan, np.float32)
+  prev[:, :, 2:-2, 2:-2] = rng.randn(2, 1, g - 4, g - 4).astype(
+      np.float32) * 3
+  cfg = mesh.IntegrationConfig(
+      dt=0.001, gamma=0.0, k0=0.1, k=0.1, stride=(40.0, 40.0),
+      num_iters=200, max_iters=2000, stop_v_max=0.005, dt_max=100.0,
+      start_cap=0.01, final_cap=10.0, cap_scale=1.1,
+      prefer_orig_order=True)
+  x0 = jnp.zeros_like(jnp.asarray(prev))
+  ref, _, _ = mesh.relax_mesh_fused(x0, jnp.asarray(prev), cfg)
+  got, _, steps = pallas_mesh.relax_mesh_fused_pallas(
+      x0, jnp.asarray(prev), cfg)
+  assert int(steps) > 0
+  d = float(np.nanmax(np.abs(np.asarray(ref) - np.asarray(got))))
+  assert d < 1e-2, d
+  print('fused FIRE solver kernel: OK')
+
+
+def check_pruned_warp_lowering():
+  """tile_bounds pruning is default-off (slow) but must stay CORRECT."""
+  import jax.numpy as jnp
+  from sofima_tpu.ops import interp, pallas_warp, shift_warp
+  rng = np.random.RandomState(8)
+  n, stride = 700, 40
+  img = rng.rand(1, n, n).astype(np.float32) * 255
+  grid_n = n // stride + 1
+  my, mx = np.mgrid[:grid_n, :grid_n].astype(np.float32)
+  dx = -12.0 + 12 * np.sin(2 * np.pi * my / 20)
+  dy = 7.0 + 12 * np.cos(2 * np.pi * mx / 20)
+  amap = np.zeros((2, grid_n, grid_n), np.float32)
+  amap[0] = dx + mx * stride
+  amap[1] = dy + my * stride
+  node = np.arange(grid_n, dtype=np.float64) * stride
+  plan = shift_warp.tiled_shift_plan(dy[None], dx[None], node, node,
+                                     (n, n))
+  dense = interp.upsample_map_linear(jnp.asarray(amap), stride, (0, 0),
+                                     (n, n))
+  coords = jnp.stack([dense[1], dense[0]])[None]
+  args = (jnp.asarray(img), coords, jnp.asarray(plan['bases']),
+          'lanczos', *plan['residual_bounds'], *plan['base_bounds'],
+          *plan['tile'])
+  ref = np.asarray(pallas_warp.pallas_shift_warp_tiled(*args))
+  got = np.asarray(pallas_warp.pallas_shift_warp_tiled(
+      *args, tile_bounds=jnp.asarray(plan['tile_bounds'])))
+  np.testing.assert_allclose(got, ref, atol=5e-3)
+  print('pruned tiled warp lowering: OK')
+
+
+def check_pipeline_step():
+  """One fused align_step on a small section pair."""
+  import jax.numpy as jnp
+  from sofima_tpu.pipeline import stack_align
+  pre = _texture(800, seed=9)
+  post = np.roll(pre, (9, -6), (0, 1))
+  cfg = stack_align.StackAlignConfig(max_displacement=64, residual=8)
+  solved0 = jnp.zeros((2, 1, 800 // 40, 800 // 40), jnp.float32)
+  solved, rendered, overflow = stack_align.align_step(
+      jnp.asarray(pre.astype(np.uint8)),
+      jnp.asarray(post.astype(np.uint8)), solved0, cfg)
+  assert not bool(overflow)
+  err = float(np.mean(np.abs(
+      np.asarray(rendered)[160:-160, 160:-160]
+      - pre[160:-160, 160:-160])))
+  assert err < 4.0, err
+  print('fused pipeline align_step: OK')
+
+
 CHECKS = [check_dense_flow, check_dense_flow_masked, check_flow_vmap,
           check_warp_2d, check_warp_3d, check_mesh_force,
-          check_sharded_flow]
+          check_sharded_flow, check_targeted_flow,
+          check_fused_fire_solver, check_pruned_warp_lowering,
+          check_pipeline_step]
 
 
 @pytest.mark.parametrize('check', CHECKS, ids=lambda c: c.__name__)
