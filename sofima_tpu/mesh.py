@@ -253,7 +253,10 @@ def _make_step_fns(config: IntegrationConfig, mesh_force, prev_fn,
 
     a_norm = jnp.linalg.norm(a, axis=0, keepdims=True) + 1e-6
     v_norm = jnp.linalg.norm(v, axis=0, keepdims=True)
-    power = reduce_fn(jnp.vdot(a, v))
+    # sum(a*v), not jnp.vdot: identical for real arrays, and vdot's
+    # scalar dot_general does not lower in Mosaic (the fused Pallas
+    # solver kernels trace this step function directly).
+    power = reduce_fn(jnp.sum(a * v))
     v = v + alpha * (a / a_norm * v_norm - v)
 
     uphill = power < 0
