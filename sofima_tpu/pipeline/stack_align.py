@@ -48,6 +48,11 @@ class StackAlignConfig:
   patch: int = 160
   stride: int = 40
   coarse_to_fine: bool = True
+  # Fine-pass patch edge for coarse_to_fine (None = patch // 2). Smaller
+  # is faster (the correlation is O(edge^3) per patch) at some
+  # statistical robustness cost; capture range is set by the coarse
+  # prior, not this.
+  fine_patch: int | None = None
   bf16: bool = True
   # clean_flow gates (EM-2D defaults, processor/defaults/em_2d.py).
   min_peak_ratio: float = 1.6
@@ -97,8 +102,10 @@ def align_step(sec_prev: jnp.ndarray, sec_cur: jnp.ndarray,
 
   # 1. FLOW (grid identical to dense_flow_field(patch, stride)).
   if cfg.coarse_to_fine:
+    fp = None if cfg.fine_patch is None else (cfg.fine_patch,
+                                              cfg.fine_patch)
     f4 = flow_field.coarse_to_fine_flow(
-        pre, post, (p, p), (s, s), bf16=cfg.bf16,
+        pre, post, (p, p), (s, s), fine_patch=fp, bf16=cfg.bf16,
         max_displacement=cfg.max_displacement, residual=cfg.residual)
   else:
     f4 = flow_field.dense_flow_field(
