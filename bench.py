@@ -58,6 +58,15 @@ def _time(fn, repeats=1):
   return out, best
 
 
+def _guard(results, name, fn):
+  """Stage isolation: one failing stage must not erase the whole run's
+  numbers (the JSON line is printed once at the end)."""
+  try:
+    fn()
+  except Exception as e:  # noqa: BLE001 - record and continue
+    results[name + '_error'] = f'{type(e).__name__}: {e}'[:300]
+
+
 def main():
   import jax
   try:
@@ -249,30 +258,34 @@ def main():
   # ---- FLOW 3D: LICONN fine-stitching overlap pair. ----------------------
   # Circular strip path (one device program, gather-free patch assembly)
   # vs the scattered-start padfield driver on a tile-overlap-sized crop.
-  # 64 z-planes of EM-like texture (staggered crops of the 2d section).
-  vol3a = jax.device_put(np.ascontiguousarray(
-      np.stack([pre_np[i * 7:i * 7 + 480, :160]
-                for i in range(64)])).astype(np.float32))
-  vol3b = jnp.roll(vol3a, (2, -3, 4), (0, 1, 2))
-  patch3, step3 = (40, 80, 80), (8, 40, 40)
+  def stage_flow3d():
+    # 64 z-planes of EM-like texture (staggered crops of the section).
+    vol3a = jax.device_put(np.ascontiguousarray(
+        np.stack([pre_np[i * 7:i * 7 + 480, :160]
+                  for i in range(64)])).astype(np.float32))
+    vol3b = jnp.roll(vol3a, (2, -3, 4), (0, 1, 2))
+    patch3, step3 = (40, 80, 80), (8, 40, 40)
 
-  def run_flow3d():
-    return flow_field.dense_flow_field(vol3a, vol3b, patch3, step3,
-                                       circular=True)
+    def run_flow3d():
+      return flow_field.dense_flow_field(vol3a, vol3b, patch3, step3,
+                                         circular=True)
 
-  f3, t_f3 = _time(run_flow3d)
-  results['flow3d_s'] = round(t_f3, 3)
-  results['flow3d_grid'] = list(int(v) for v in f3.shape[1:])
-  mfc3 = flow_field.JAXMaskedXCorrWithStatsCalculator()
-  t0 = time.perf_counter()
-  f3_ref = mfc3.flow_field(np.asarray(vol3a), np.asarray(vol3b),
-                           patch_size=patch3, step=step3, batch_size=32)
-  t_f3_ref = time.perf_counter() - t0
-  results['flow3d_padfield_s'] = round(t_f3_ref, 3)
-  agree3 = float(np.mean(
-      np.nan_to_num(np.asarray(f3)[:3], nan=9e9)
-      == np.nan_to_num(f3_ref[:3], nan=9e9)))
-  results['flow3d_peak_agreement'] = round(agree3, 5)
+    f3, t_f3 = _time(run_flow3d)
+    results['flow3d_s'] = round(t_f3, 3)
+    results['flow3d_grid'] = list(int(v) for v in f3.shape[1:])
+    mfc3 = flow_field.JAXMaskedXCorrWithStatsCalculator()
+    t0 = time.perf_counter()
+    f3_ref = mfc3.flow_field(np.asarray(vol3a), np.asarray(vol3b),
+                             patch_size=patch3, step=step3,
+                             batch_size=32)
+    t_f3_ref = time.perf_counter() - t0
+    results['flow3d_padfield_s'] = round(t_f3_ref, 3)
+    agree3 = float(np.mean(
+        np.nan_to_num(np.asarray(f3)[:3], nan=9e9)
+        == np.nan_to_num(f3_ref[:3], nan=9e9)))
+    results['flow3d_peak_agreement'] = round(agree3, 5)
+
+  _guard(results, 'flow3d', stage_flow3d)
 
   # ---- PIPELINE: streamed z-stack alignment. -----------------------------
   # The production metric: 16 sections of 10k^2 streamed through the
@@ -429,45 +442,55 @@ def main():
       cfg.num_iters * 2048 * 2048 / t_mesh_po / 1e9, 2)
 
   # ---- MESH 3D: volumetric 26-neighbor relaxation (LICONN solver). -------
-  cfg3 = mesh.IntegrationConfig(
-      dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=(40.0, 40.0, 40.0),
-      num_iters=200, max_iters=200, stop_v_max=0.0, dt_max=100.0)
-  x3 = jax.device_put(rng.randn(3, 16, 512, 1024).astype(np.float32))
-  v3 = jnp.zeros_like(x3)
-  prev3 = jnp.zeros_like(x3)
-  pallas_force3 = pallas_mesh.make_elastic_mesh_3d(tile=128)
+  # z=8 x tile-32 windows: the 26-neighbor unrolled compute spills
+  # registers at larger windows (z=16 x tile-128 exceeded VMEM; tile-64
+  # crashed the remote compile helper).
+  def stage_mesh3d():
+    cfg3 = mesh.IntegrationConfig(
+        dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=(40.0, 40.0, 40.0),
+        num_iters=200, max_iters=200, stop_v_max=0.0, dt_max=100.0)
+    x3 = jax.device_put(rng.randn(3, 8, 512, 1024).astype(np.float32))
+    v3 = jnp.zeros_like(x3)
+    prev3 = jnp.zeros_like(x3)
+    pallas_force3 = pallas_mesh.make_elastic_mesh_3d(tile=32)
 
-  def run_mesh3d():
-    return mesh.velocity_verlet(x3, v3, prev3, cfg3, force_cap=1e6,
-                                mesh_force=pallas_force3)
+    def run_mesh3d():
+      return mesh.velocity_verlet(x3, v3, prev3, cfg3, force_cap=1e6,
+                                  mesh_force=pallas_force3)
 
-  _, t_mesh3 = _time(run_mesh3d, repeats=2)
-  n_nodes3 = 16 * 512 * 1024
-  results['mesh3d_glups'] = round(
-      cfg3.num_iters * n_nodes3 / t_mesh3 / 1e9, 2)
+    _, t_mesh3 = _time(run_mesh3d, repeats=2)
+    n_nodes3 = 8 * 512 * 1024
+    results['mesh3d_glups'] = round(
+        cfg3.num_iters * n_nodes3 / t_mesh3 / 1e9, 2)
 
-  def run_mesh3d_xla():
-    return mesh.velocity_verlet(x3, v3, prev3, cfg3, force_cap=1e6,
-                                mesh_force=mesh.elastic_mesh_3d)
+    def run_mesh3d_xla():
+      return mesh.velocity_verlet(x3, v3, prev3, cfg3, force_cap=1e6,
+                                  mesh_force=mesh.elastic_mesh_3d)
 
-  _, t_mesh3x = _time(run_mesh3d_xla)
-  results['mesh3d_glups_xla'] = round(
-      cfg3.num_iters * n_nodes3 / t_mesh3x / 1e9, 2)
+    _, t_mesh3x = _time(run_mesh3d_xla)
+    results['mesh3d_glups_xla'] = round(
+        cfg3.num_iters * n_nodes3 / t_mesh3x / 1e9, 2)
 
-  # VMEM-resident fused 3d FIRE solver (whole convergence loop in one
-  # kernel) on a LICONN-sized tile mesh.
-  cfg3f = mesh.IntegrationConfig(
-      dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=(40.0, 40.0, 40.0),
-      num_iters=500, max_iters=1000, stop_v_max=0.0, dt_max=100.0)
-  x3f = jax.device_put(rng.randn(3, 8, 128, 256).astype(np.float32))
-  prev3f = jnp.zeros_like(x3f)
+  _guard(results, 'mesh3d', stage_mesh3d)
 
-  def run_mesh3d_fused():
-    return pallas_mesh.relax_mesh_fused_pallas_3d(x3f, prev3f, cfg3f)[0]
+  def stage_mesh3d_fused():
+    # VMEM-resident fused 3d FIRE solver (whole convergence loop in one
+    # kernel) on a LICONN-sized tile mesh.
+    cfg3f = mesh.IntegrationConfig(
+        dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=(40.0, 40.0, 40.0),
+        num_iters=500, max_iters=1000, stop_v_max=0.0, dt_max=100.0)
+    x3f = jax.device_put(rng.randn(3, 8, 128, 256).astype(np.float32))
+    prev3f = jnp.zeros_like(x3f)
 
-  _, t_m3f = _time(run_mesh3d_fused, repeats=2)
-  results['mesh3d_fused_glups'] = round(
-      cfg3f.max_iters * 8 * 128 * 256 / t_m3f / 1e9, 2)
+    def run_mesh3d_fused():
+      return pallas_mesh.relax_mesh_fused_pallas_3d(x3f, prev3f,
+                                                    cfg3f)[0]
+
+    _, t_m3f = _time(run_mesh3d_fused, repeats=2)
+    results['mesh3d_fused_glups'] = round(
+        cfg3f.max_iters * 8 * 128 * 256 / t_m3f / 1e9, 2)
+
+  _guard(results, 'mesh3d_fused', stage_mesh3d_fused)
 
   out = {
       'metric': ('end-to-end pipeline Mpix/s/chip '

@@ -1028,12 +1028,9 @@ def _dense_flow_peaks_impl(
   h, w = pre_image.shape
   gy = (h - (py - sy)) // sy
   gx = (w - (px - sx)) // sx
-  if rows is None and pre_valid is not None:
-    # Masked runs: single-row steps halve the window each purity
-    # decision covers, sending more steps down the cheap fully-valid
-    # path (the ~1% per-step overhead of rows=1 is far below the 3x
-    # cost of the 6-term masked pipeline).
-    rows = 1
+  # (Measured dead end: rows=1 for masked runs — finer purity
+  # granularity — LOST to the doubled per-step overhead: 0.36 -> 0.41 s
+  # on the 10k^2 masked bench. Keep the shared rows=2 default.)
   group, rows, win_c, _ = pick_grid_geometry(patch_size, step, group,
                                              rows, grid_y=gy)
   assert (group * sx) % 128 == 0, (group, sx)

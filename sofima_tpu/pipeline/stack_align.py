@@ -70,11 +70,17 @@ class StackAlignConfig:
   # Newton refinement iterations for the map inversion (folds cannot
   # occur in a freshly-relaxed smooth mesh, so a few suffice).
   invert_newton_iters: int = 4
+  # Solver protocol: start_cap=1.0 (not the archival 0.01) — with the
+  # fused whole-loop kernel the cap escalation 0.01 -> 10 at 1.1x per
+  # converged chunk otherwise forces EVERY section to burn the full
+  # max_iters budget (~0.5 s/section measured); flows here are already
+  # clean_flow-gated, so early settling needs far less clamping.
+  # Fold safety is retained (prefer_orig_order + final cap 10).
   mesh: mesh.IntegrationConfig = dataclasses.field(
       default_factory=lambda: mesh.IntegrationConfig(
           dt=0.001, gamma=0.0, k0=0.1, k=0.1, stride=(40.0, 40.0),
-          num_iters=1000, max_iters=20000, stop_v_max=0.005,
-          dt_max=100.0, start_cap=0.01, final_cap=10.0, cap_scale=1.1,
+          num_iters=500, max_iters=8000, stop_v_max=0.005,
+          dt_max=100.0, start_cap=1.0, final_cap=10.0, cap_scale=1.1,
           prefer_orig_order=True))
 
 
