@@ -445,13 +445,29 @@ def main():
   # z=8 x tile-32 windows: the 26-neighbor unrolled compute spills
   # registers at larger windows (z=16 x tile-128 exceeded VMEM; tile-64
   # crashed the remote compile helper).
+  cfg3 = mesh.IntegrationConfig(
+      dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=(40.0, 40.0, 40.0),
+      num_iters=200, max_iters=200, stop_v_max=0.0, dt_max=100.0)
+  x3 = jax.device_put(rng.randn(3, 8, 512, 1024).astype(np.float32))
+  v3 = jnp.zeros_like(x3)
+  prev3 = jnp.zeros_like(x3)
+  n_nodes3 = 8 * 512 * 1024
+
+  def stage_mesh3d_xla():
+    def run_mesh3d_xla():
+      return mesh.velocity_verlet(x3, v3, prev3, cfg3, force_cap=1e6,
+                                  mesh_force=mesh.elastic_mesh_3d)
+
+    _, t_mesh3x = _time(run_mesh3d_xla, repeats=2)
+    results['mesh3d_glups_xla'] = round(
+        cfg3.num_iters * n_nodes3 / t_mesh3x / 1e9, 2)
+
+  _guard(results, 'mesh3d_xla', stage_mesh3d_xla)
+
   def stage_mesh3d():
-    cfg3 = mesh.IntegrationConfig(
-        dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=(40.0, 40.0, 40.0),
-        num_iters=200, max_iters=200, stop_v_max=0.0, dt_max=100.0)
-    x3 = jax.device_put(rng.randn(3, 8, 512, 1024).astype(np.float32))
-    v3 = jnp.zeros_like(x3)
-    prev3 = jnp.zeros_like(x3)
+    # NOTE: the 26-direction unrolled Pallas kernels currently crash
+    # this relay's remote compile helper at every tile size tried
+    # (128/64/32); guarded so the error is recorded, not fatal.
     pallas_force3 = pallas_mesh.make_elastic_mesh_3d(tile=32)
 
     def run_mesh3d():
@@ -459,17 +475,8 @@ def main():
                                   mesh_force=pallas_force3)
 
     _, t_mesh3 = _time(run_mesh3d, repeats=2)
-    n_nodes3 = 8 * 512 * 1024
     results['mesh3d_glups'] = round(
         cfg3.num_iters * n_nodes3 / t_mesh3 / 1e9, 2)
-
-    def run_mesh3d_xla():
-      return mesh.velocity_verlet(x3, v3, prev3, cfg3, force_cap=1e6,
-                                  mesh_force=mesh.elastic_mesh_3d)
-
-    _, t_mesh3x = _time(run_mesh3d_xla)
-    results['mesh3d_glups_xla'] = round(
-        cfg3.num_iters * n_nodes3 / t_mesh3x / 1e9, 2)
 
   _guard(results, 'mesh3d', stage_mesh3d)
 
