@@ -497,6 +497,56 @@ def _masked_xcorr_circular(pre_b, post_b, pre_valid, post_valid):
                    out)
 
 
+def _masked_xcorr_circular_fft(pre_b, post_b, pre_valid, post_valid,
+                               patch_size):
+  """Dim-generic circular masked NCC (Padfield) via FFTs.
+
+  The N-d twin of `_masked_xcorr_circular` (which routes the 2d case
+  through MXU DFT matmuls): identical Padfield term structure
+  (/root/reference/flow_field.py:61-156 is the linear-correlation
+  original; here every term is a circular correlation on the
+  patch-periodic torus), with the transforms as rfftn over the last
+  `len(patch_size)` axes — the XLA FFT unit handles any rank, so 3d
+  masked LICONN overlaps ride the same fast strip path as unmasked.
+  """
+  dim = len(patch_size)
+  axes = tuple(range(-dim, 0))
+  eps = jnp.float32(np.finfo(np.float32).eps)
+
+  pre_z = jnp.where(pre_valid, pre_b, 0.0)
+  post_z = jnp.where(post_valid, post_b, 0.0)
+
+  f_p = jnp.fft.rfftn(pre_z, axes=axes)
+  f_c = jnp.fft.rfftn(post_z, axes=axes)
+  f_mp = jnp.fft.rfftn(pre_valid.astype(jnp.float32), axes=axes)
+  f_mc = jnp.fft.rfftn(post_valid.astype(jnp.float32), axes=axes)
+  f_p2 = jnp.fft.rfftn(jnp.square(pre_z), axes=axes)
+  f_c2 = jnp.fft.rfftn(jnp.square(post_z), axes=axes)
+
+  def icorr(a, b):
+    return jnp.fft.irfftn(a * jnp.conj(b), s=patch_size, axes=axes)
+
+  xcorr = icorr(f_p, f_c)
+  overlap = jnp.fmax(jnp.round(icorr(f_mp, f_mc)), eps)
+  inv_overlap = 1.0 / overlap
+  sum_p = icorr(f_p, f_mc)
+  sum_c = icorr(f_mp, f_c)
+
+  numerator = xcorr - sum_p * sum_c * inv_overlap
+  var_p = jnp.fmax(icorr(f_p2, f_mc) - jnp.square(sum_p) * inv_overlap,
+                   0.0)
+  var_c = jnp.fmax(icorr(f_mp, f_c2) - jnp.square(sum_c) * inv_overlap,
+                   0.0)
+  denom = jnp.sqrt(var_p * var_c)
+
+  tol = 1e3 * eps * jnp.max(jnp.abs(denom), keepdims=True)
+  out = jnp.where(denom > tol,
+                  numerator / jnp.where(denom > tol, denom, 1.0), 0.0)
+  out = jnp.clip(out, -1.0, 1.0)
+  return jnp.where(overlap < 0.3 * jnp.max(overlap, keepdims=True), 0.0,
+                   out)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=['patch_size', 'mean', 'min_distance', 'threshold_rel',
@@ -558,13 +608,15 @@ def _batched_xcorr_peaks_circular(
     post_b = post_b - mean
 
   if pre_valid is not None or post_valid is not None:
-    if dim != 2:
-      raise NotImplementedError('masked circular mode is 2d only')
     if pre_valid is None:
       pre_valid = jnp.ones_like(pre_b, bool)
     if post_valid is None:
       post_valid = jnp.ones_like(post_b, bool)
-    corr = _masked_xcorr_circular(pre_b, post_b, pre_valid, post_valid)
+    if dim == 2:
+      corr = _masked_xcorr_circular(pre_b, post_b, pre_valid, post_valid)
+    else:
+      corr = _masked_xcorr_circular_fft(pre_b, post_b, pre_valid,
+                                        post_valid, tuple(patch_size))
   elif dft_matmul and dim == 2:
     corr = _circular_xcorr_matmul(pre_b, post_b)
   else:
@@ -649,6 +701,8 @@ def _dense_flow_strips_3d(
     min_distance,
     threshold_rel: float,
     peak_radius,
+    pre_mask: jnp.ndarray | None = None,
+    post_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
   """Dense circular 3d flow via strip-sliced patches (device resident).
 
@@ -664,6 +718,11 @@ def _dense_flow_strips_3d(
   Circular (patch-periodic) correlation: integer peaks match the
   padfield path for in-range shifts — the same contract the 2d
   circular fast path ships under (tests/test_flow_field.py).
+
+  With masks the per-patch correlation is the dim-generic circular
+  Padfield NCC (_masked_xcorr_circular_fft) — the masked 3d LICONN
+  regime rides the same gather-free strip assembly instead of falling
+  back to the scattered-start padfield driver.
   """
   pz, py, px = patch_size
   sz, sy, sx = step
@@ -688,15 +747,35 @@ def _dense_flow_strips_3d(
 
     a = patches(pre_image)
     b = patches(post_image)
+    va = vb = None
+    if pre_mask is not None:
+      va = patches(pre_mask.astype(jnp.float32)) <= 0
+    if post_mask is not None:
+      vb = patches(post_mask.astype(jnp.float32)) <= 0
+
+    def masked_mean(batch, valid):
+      if valid is None:
+        return jnp.mean(batch, axis=axes, keepdims=True)
+      count = jnp.maximum(jnp.sum(valid, axis=axes, keepdims=True), 1)
+      return (jnp.sum(jnp.where(valid, batch, 0.0), axis=axes,
+                      keepdims=True) / count)
+
     if mean is None:
-      a = a - jnp.mean(a, axis=axes, keepdims=True)
-      b = b - jnp.mean(b, axis=axes, keepdims=True)
+      a = a - masked_mean(a, va)
+      b = b - masked_mean(b, vb)
     else:
       a = a - mean
       b = b - mean
-    fa = jnp.fft.rfftn(a, axes=axes)
-    fb = jnp.fft.rfftn(b, axes=axes)
-    corr = jnp.fft.irfftn(fa * jnp.conj(fb), s=patch_size, axes=axes)
+    if va is not None or vb is not None:
+      if va is None:
+        va = jnp.ones_like(a, bool)
+      if vb is None:
+        vb = jnp.ones_like(b, bool)
+      corr = _masked_xcorr_circular_fft(a, b, va, vb, patch_size)
+    else:
+      fa = jnp.fft.rfftn(a, axes=axes)
+      fb = jnp.fft.rfftn(b, axes=axes)
+      corr = jnp.fft.irfftn(fa * jnp.conj(fb), s=patch_size, axes=axes)
     corr = jnp.roll(corr, center, axis=axes)
     return _batched_peaks(corr, center, min_distance, threshold_rel,
                           peak_radius)
@@ -887,12 +966,12 @@ def dense_flow_field(
   # Gather-free 3d strip path (LICONN fine stitching geometry).
   if (circular and ndim == 3 and post_patch_size == patch_size
       and all(p % s == 0 for p, s in zip(patch_size, step))
-      and pre_image.shape == post_image.shape
-      and pre_mask is None and post_mask is None):
+      and pre_image.shape == post_image.shape):
     return _dense_flow_strips_3d(
         jnp.asarray(pre_image, jnp.float32),
         jnp.asarray(post_image, jnp.float32), patch_size, step, mean,
-        min_distance, threshold_rel, peak_radius)
+        min_distance, threshold_rel, peak_radius,
+        pre_mask=pre_mask, post_mask=post_mask)
 
   # Gather-free strip path: stride divides patch (production geometry).
   if (circular and ndim == 2 and post_patch_size == patch_size
@@ -988,7 +1067,8 @@ def dense_flow_field(
     jax.jit,
     static_argnames=['patch_size', 'step', 'coarse_step', 'fine_patch',
                      'batch_size', 'bf16', 'max_displacement', 'residual',
-                     'min_distance', 'threshold_rel', 'peak_radius'])
+                     'min_distance', 'threshold_rel', 'peak_radius',
+                     'return_overflow'])
 def coarse_to_fine_flow(
     pre_image: jnp.ndarray,
     post_image: jnp.ndarray,
@@ -1005,6 +1085,7 @@ def coarse_to_fine_flow(
     min_distance: int = 2,
     threshold_rel: float = 0.5,
     peak_radius: int = 5,
+    return_overflow: bool = False,
 ) -> jnp.ndarray:
   """Coarse-to-fine dense flow: same grid as `dense_flow_field`, ~2x faster.
 
@@ -1033,6 +1114,13 @@ def coarse_to_fine_flow(
   the intermediate warp's per-tile residual lattice is bounded by
   `residual` (local variation of the coarse field across a warp tile —
   raise it for very high-frequency deformations).
+
+  With `return_overflow=True` also returns a bool scalar flagging that
+  a static envelope was exceeded somewhere: on the targeted path, a
+  coarse prior beyond `max_displacement` (the fine window was targeted
+  at the clipped offset); on the masked fallback, the intermediate
+  warp's residual-lattice overflow (affected tiles resampled as zeros,
+  so the fine peaks there measured corrupted data).
   """
   from sofima_tpu.ops import interp as interp_ops
   from sofima_tpu.ops import pallas_warp
@@ -1048,8 +1136,14 @@ def coarse_to_fine_flow(
   fy, fx = fine_patch
   if csy != csx:
     raise ValueError('coarse_step must be isotropic')
-  if (py // 2 - fy // 2) % sy or (px // 2 - fx // 2) % sx:
-    raise ValueError('fine grid must align with the target grid')
+  if fy > py or fx > px:
+    raise ValueError('fine_patch must not exceed patch_size')
+  # Fine-grid alignment: run the fine pass on a cropped image so its
+  # node centers (crop + fine_patch/2 + i*step) land exactly on the
+  # target grid (patch_size/2 + i*step) — any fine_patch works, no
+  # resampling, no restriction to (py/2 - fy/2) % step == 0 geometries.
+  crop_y = (py // 2 - fy // 2) % sy
+  crop_x = (px // 2 - fx // 2) % sx
   h, w = pre_image.shape
 
   coarse = dense_flow_field(
@@ -1079,19 +1173,30 @@ def coarse_to_fine_flow(
 
   gy = (h - (py - sy)) // sy
   gx = (w - (px - sx)) // sx
-  k0y = (py // 2 - fy // 2) // sy
-  k0x = (px // 2 - fx // 2) // sx
+  k0y = (py // 2 - fy // 2 - crop_y) // sy
+  k0x = (px // 2 - fx // 2 - crop_x) // sx
+  hc, wc = h - crop_y, w - crop_x
+
+  def fine_crop(img):
+    if img is None or (crop_y == 0 and crop_x == 0):
+      return img
+    return jax.lax.slice(img, (crop_y, crop_x), (h, w))
+
+  def maybe_overflow(flow, ovf):
+    return (flow, ovf) if return_overflow else flow
 
   if pre_mask is None and post_mask is None:
     # TARGETED fine pass: the grid kernel DMAs each post window from
     # round(-coarse) — an exact integer shift, no resampling, no
     # intermediate warp. Total flow = fine peak - window shift.
     from sofima_tpu.ops import pallas_flow
-    geo = pallas_flow.targeted_geometry((h, w), fine_patch, step)
+    geo = pallas_flow.targeted_geometry((hc, wc), fine_patch, step)
     ctr_y = ((jnp.arange(geo['nrsteps'], dtype=jnp.float32)
-              * (geo['rows'] * sy) + geo['win_r'] / 2.0 - cy0) / csy)
+              * (geo['rows'] * sy) + geo['win_r'] / 2.0 + crop_y - cy0)
+             / csy)
     ctr_x = ((jnp.arange(geo['ngroups'], dtype=jnp.float32)
-              * (geo['group'] * sx) + geo['win_c'] / 2.0 - cx0) / csx)
+              * (geo['group'] * sx) + geo['win_c'] / 2.0 + crop_x - cx0)
+             / csx)
     mesh2 = jnp.stack([
         jnp.broadcast_to(ctr_y[:, None], (geo['nrsteps'], geo['ngroups'])),
         jnp.broadcast_to(ctr_x[None, :], (geo['nrsteps'], geo['ngroups'])),
@@ -1100,12 +1205,14 @@ def coarse_to_fine_flow(
     fy_c = interp_ops.grid_sample_linear(cy, mesh2)
     off_y = jnp.rint(-fy_c)
     off_x = jnp.rint(-fx_c)
-    offs = jnp.clip(jnp.stack([off_y, off_x], axis=-1),
-                    -max_displacement, max_displacement).astype(jnp.int32)
+    offs_raw = jnp.stack([off_y, off_x], axis=-1)
+    offs = jnp.clip(offs_raw, -max_displacement,
+                    max_displacement).astype(jnp.int32)
+    overflow = jnp.any(jnp.abs(offs_raw) > max_displacement)
     fine = pallas_flow.dense_flow_peaks_targeted(
-        jnp.asarray(pre_image, jnp.float32),
-        jnp.asarray(post_image, jnp.float32), offs, fine_patch, step,
-        max_offset=max_displacement, bf16=bf16,
+        fine_crop(jnp.asarray(pre_image, jnp.float32)),
+        fine_crop(jnp.asarray(post_image, jnp.float32)), offs, fine_patch,
+        step, max_offset=max_displacement, bf16=bf16,
         min_distance=min_distance, threshold_rel=threshold_rel,
         peak_radius=peak_radius, interpret=interpret)
     off_xg = jnp.repeat(jnp.repeat(offs[..., 1].astype(jnp.float32),
@@ -1116,10 +1223,17 @@ def coarse_to_fine_flow(
                         geo['group'], axis=1)[:geo['gy'], :geo['gx']]
     total = jnp.stack([fine[0] - off_xg, fine[1] - off_yg,
                        fine[2], fine[3]])
-    return jax.lax.slice(total, (0, k0y, k0x), (4, k0y + gy, k0x + gx))
+    total = jax.lax.slice(total, (0, k0y, k0x), (4, k0y + gy, k0x + gx))
+    return maybe_overflow(total, overflow)
 
   # MASKED fallback: warp post toward pre (post_w(q) = post(q - f)) and
   # run the plain fine pass on the resampled pair.
+  if csy < py // 2 or csx < px // 2:
+    # The one-node extrapolation below covers a phase deficit of at most
+    # one coarse cell; smaller coarse steps would need a negative
+    # upsample phase that upsample_map_linear does not support.
+    raise ValueError('masked coarse_to_fine requires '
+                     'coarse_step >= patch_size // 2')
   g = jnp.stack([-cy, -cx])  # (y, x) displacement at coarse nodes
 
   def prepend(v, axis):
@@ -1161,10 +1275,11 @@ def coarse_to_fine_flow(
     post_mask_w = warp_plane(post_mask.astype(jnp.float32), 'nearest') > 0.5
 
   fine = dense_flow_field(
-      pre_image, post_w, fine_patch, step, batch_size=batch_size,
-      circular=True, dft_matmul=True, bf16=bf16, pre_mask=pre_mask,
-      post_mask=post_mask_w, min_distance=min_distance,
-      threshold_rel=threshold_rel, peak_radius=peak_radius)
+      fine_crop(pre_image), fine_crop(post_w), fine_patch, step,
+      batch_size=batch_size, circular=True, dft_matmul=True, bf16=bf16,
+      pre_mask=fine_crop(pre_mask), post_mask=fine_crop(post_mask_w),
+      min_distance=min_distance, threshold_rel=threshold_rel,
+      peak_radius=peak_radius)
 
   fine_c = jax.lax.slice(fine, (0, k0y, k0x), (4, k0y + gy, k0x + gx))
 
@@ -1175,8 +1290,9 @@ def coarse_to_fine_flow(
                     jnp.broadcast_to(qx, (gy, gx))])
   cg_x = interp_ops.grid_sample_linear(cx, mesh)
   cg_y = interp_ops.grid_sample_linear(cy, mesh)
-  return jnp.stack([fine_c[0] + cg_x, fine_c[1] + cg_y,
-                    fine_c[2], fine_c[3]])
+  total = jnp.stack([fine_c[0] + cg_x, fine_c[1] + cg_y,
+                     fine_c[2], fine_c[3]])
+  return maybe_overflow(total, dplan['overflow'])
 
 
 class JAXMaskedXCorrWithStatsCalculator:

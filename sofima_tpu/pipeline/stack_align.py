@@ -84,57 +84,46 @@ class StackAlignConfig:
           prefer_orig_order=True))
 
 
-@functools.partial(jax.jit, static_argnames=['cfg'])
-def align_step(sec_prev: jnp.ndarray, sec_cur: jnp.ndarray,
-               solved_prev: jnp.ndarray, cfg: StackAlignConfig):
-  """One fused pipeline step: returns (solved, rendered, overflow).
-
-  Args:
-    sec_prev/sec_cur: [n, n] raw adjacent sections (uint8 or float)
-    solved_prev: [2, 1, G, G] relative mesh of the previous section
-      (zeros for the first moving section); G = n // stride
-    cfg: static configuration
-
-  Returns:
-    solved: [2, 1, G, G] relative mesh for sec_cur
-    rendered: [n, n] float32 sec_cur rendered into the aligned frame
-    overflow: bool scalar — render displacement exceeded the static
-      envelope somewhere (affected border pixels render as zeros)
-  """
-  n = sec_cur.shape[-1]
+def _flow_phase(sec_prev, sec_cur, cfg: StackAlignConfig, grid_n: int):
+  """FLOW + CLEAN for one section pair -> ([2, 1, G, G], overflow)."""
   p, s = cfg.patch, cfg.stride
   pre = sec_prev.astype(jnp.float32)
   post = sec_cur.astype(jnp.float32)
 
-  # 1. FLOW (grid identical to dense_flow_field(patch, stride)).
+  overflow = jnp.bool_(False)
   if cfg.coarse_to_fine:
     fp = None if cfg.fine_patch is None else (cfg.fine_patch,
                                               cfg.fine_patch)
-    f4 = flow_field.coarse_to_fine_flow(
+    f4, overflow = flow_field.coarse_to_fine_flow(
         pre, post, (p, p), (s, s), fine_patch=fp, bf16=cfg.bf16,
-        max_displacement=cfg.max_displacement, residual=cfg.residual)
+        max_displacement=cfg.max_displacement, residual=cfg.residual,
+        return_overflow=True)
   else:
     f4 = flow_field.dense_flow_field(
         pre, post, (p, p), (s, s), batch_size=256, circular=True,
         dft_matmul=True, bf16=cfg.bf16)
 
-  # 2. CLEAN.
   clean = flow_utils.clean_flow_device(
       f4[:, None], cfg.min_peak_ratio, cfg.min_peak_sharpness,
       cfg.max_magnitude, cfg.max_deviation)
 
-  grid_n = n // s
   pad = p // 2 // s
   full = jnp.full((2, 1, grid_n, grid_n), jnp.nan, jnp.float32)
   full = jax.lax.dynamic_update_slice(full, clean, (0, 0, pad, pad))
+  return full, overflow
 
-  # 3. SOLVE: prev targets = flow composed with the already-solved
-  # reference mesh (processor/mesh.py compute_ref_mesh); warm-start from
-  # the targets themselves (NaN -> previous solution) — the k0 springs
-  # then begin satisfied and FIRE only has to relax elastic smoothness.
+
+def _solve_phase(flow_full, solved_prev, cfg: StackAlignConfig):
+  """SOLVE one section: spring targets from the composed flow, fused
+  FIRE relaxation warm-started from the targets themselves (the k0
+  springs then begin satisfied and FIRE only relaxes elastic
+  smoothness); cf. the reference's compute_ref_mesh
+  (/root/reference/processor/mesh.py:248-277)."""
+  s = cfg.stride
+  grid_n = flow_full.shape[-1]
   zero3 = np.zeros(3, np.float32)
-  prev = map_utils.compose_maps_fast(full, zero3, float(s), solved_prev,
-                                     zero3, float(s))
+  prev = map_utils.compose_maps_fast(flow_full, zero3, float(s),
+                                     solved_prev, zero3, float(s))
   x0 = jnp.where(jnp.isnan(prev), solved_prev, prev)
   interpret = jax.default_backend() not in ('tpu', 'axon')
   fits_vmem = grid_n * grid_n * 32 <= 24 * 1024 * 1024
@@ -147,8 +136,13 @@ def align_step(sec_prev: jnp.ndarray, sec_cur: jnp.ndarray,
         x0, prev, cfg.mesh, interpret=interpret)
   else:
     solved, _, _ = mesh.relax_mesh_fused(x0, prev, cfg.mesh)
+  return solved
 
-  # 4. INVERT (device fixed point) + harmonic fill of failed nodes.
+
+def _invert_phase(solved, cfg: StackAlignConfig):
+  """INVERT one solved mesh -> (rel_inv [2, G, G], inv_abs [2, G, G])."""
+  s = cfg.stride
+  grid_n = solved.shape[-1]
   node = jnp.arange(grid_n, dtype=jnp.float32) * s
   qx = jnp.broadcast_to(node[None, :], (grid_n, grid_n))
   qy = jnp.broadcast_to(node[:, None], (grid_n, grid_n))
@@ -164,8 +158,15 @@ def align_step(sec_prev: jnp.ndarray, sec_cur: jnp.ndarray,
   valid = jnp.isfinite(rel_inv[0]) & jnp.isfinite(rel_inv[1])
   rel_inv = fill_ops.fill_invalid(rel_inv, valid, extrapolate=True)
   inv_abs = rel_inv + query
+  return rel_inv, inv_abs
 
-  # 5. RENDER via the pruned tiled shift kernel, plan computed on device.
+
+def _render_phase(sec_cur, rel_inv, inv_abs, cfg: StackAlignConfig):
+  """RENDER one section through its inverted map -> (image, overflow)."""
+  s = cfg.stride
+  n = sec_cur.shape[-1]
+  grid_n = rel_inv.shape[-1]
+  interpret = jax.default_backend() not in ('tpu', 'axon')
   node_np = np.arange(grid_n, dtype=np.float64) * s
   md = -(-cfg.max_displacement // 64) * 64
   env_r = (-cfg.residual, cfg.residual, -cfg.residual, cfg.residual)
@@ -180,19 +181,126 @@ def align_step(sec_prev: jnp.ndarray, sec_cur: jnp.ndarray,
   # v5e, pl.when region entry costs (~1us x regions x tiles) exceed the
   # skipped work; the tight static envelope above is the fast path.
   rendered = pallas_warp.pallas_shift_warp_tiled(
-      post[None], coords, dplan['bases'], cfg.method, *env_r, *env_b,
-      *dplan['tile'], interpret=interpret)[0]
-  return solved, rendered, dplan['overflow']
+      sec_cur.astype(jnp.float32)[None], coords, dplan['bases'],
+      cfg.method, *env_r, *env_b, *dplan['tile'],
+      interpret=interpret)[0]
+  return rendered, dplan['overflow']
 
 
-def align_stack(stack, cfg: StackAlignConfig = StackAlignConfig()):
-  """Aligns a [Z, n, n] stack; returns (rendered [Z, n, n] f32, solved).
+@functools.partial(jax.jit, static_argnames=['cfg'])
+def align_step(sec_prev: jnp.ndarray, sec_cur: jnp.ndarray,
+               solved_prev: jnp.ndarray, cfg: StackAlignConfig):
+  """One fused pipeline step: returns (solved, rendered, overflow).
 
-  Host loop, but every iteration only enqueues device work (the solved
-  mesh flows z -> z+1 as a device array) — fetch the outputs (or a
-  checksum) once at the end.
+  Args:
+    sec_prev/sec_cur: [n, n] raw adjacent sections (uint8 or float)
+    solved_prev: [2, 1, G, G] relative mesh of the previous section
+      (zeros for the first moving section); G = n // stride
+    cfg: static configuration
+
+  Returns:
+    solved: [2, 1, G, G] relative mesh for sec_cur
+    rendered: [n, n] float32 sec_cur rendered into the aligned frame
+    overflow: bool scalar — a static envelope was exceeded somewhere
+      (flow targeting or render displacement; affected pixels render
+      as zeros / from clipped targets)
+  """
+  grid_n = sec_cur.shape[-1] // cfg.stride
+  flow_full, ov_flow = _flow_phase(sec_prev, sec_cur, cfg, grid_n)
+  solved = _solve_phase(flow_full, solved_prev, cfg)
+  rel_inv, inv_abs = _invert_phase(solved, cfg)
+  rendered, ov_render = _render_phase(sec_cur, rel_inv, inv_abs, cfg)
+  return solved, rendered, jnp.logical_or(ov_flow, ov_render)
+
+
+@functools.partial(jax.jit, static_argnames=['cfg', 'out_dtype'])
+def align_stack_pipelined(stack: jnp.ndarray,
+                          cfg: StackAlignConfig = StackAlignConfig(),
+                          out_dtype=None):
+  """Whole-stack alignment as ONE jit program with batched phases.
+
+  The per-section chain (`align_step`) is more sequential than its own
+  dependency graph: only the mesh solve carries the z -> z+1 dependency
+  (a tiny [2, 1, G, G] state), while flow/clean and invert/render are
+  z-independent. This driver restructures the stack into four phases:
+
+    1. FLOW+CLEAN   all Z-1 section pairs, a lax.map of grid-kernel
+                    dispatches (each pair is already one fused program);
+    2. SOLVE        a lax.scan of the fused FIRE kernel over z — the
+                    only truly sequential work, on G^2-node state;
+    3. INVERT+FILL  vmap over z: the small-grid algebra (fixed point +
+                    Newton + harmonic fill) is op-dispatch-latency
+                    bound per section, so batching all sections into
+                    each op amortizes it Z-fold;
+    4. RENDER       lax.map of the tiled Lanczos warp kernel.
+
+  Returns (rendered [Z, n, n], solved [Z, 2, 1, G, G], overflow), with
+  rendered[0] = stack[0] and solved[0] = 0 (the anchor section).
+  `out_dtype=jnp.uint8` halves HBM for large stacks (values are
+  clip-rounded); None keeps float32.
+  """
+  z_dim, n, _ = stack.shape
+  grid_n = n // cfg.stride
+  solved0 = jnp.zeros((2, 1, grid_n, grid_n), jnp.float32)
+
+  # Phase 1: flow + clean for every adjacent pair (z-independent).
+  def flow_one(z):
+    pre = jax.lax.dynamic_index_in_dim(stack, z, keepdims=False)
+    post = jax.lax.dynamic_index_in_dim(stack, z + 1, keepdims=False)
+    return _flow_phase(pre, post, cfg, grid_n)
+
+  flows, ov_flow = jax.lax.map(flow_one, jnp.arange(z_dim - 1))
+
+  # Phase 2: the sequential solve chain (tiny state, fused kernel).
+  def solve_one(solved_prev, flow_full):
+    solved = _solve_phase(flow_full, solved_prev, cfg)
+    return solved, solved
+
+  _, solved_seq = jax.lax.scan(solve_one, solved0, flows)
+
+  # Phase 3: invert + fill, batched over z.
+  rel_inv_all, inv_abs_all = jax.vmap(
+      lambda sv: _invert_phase(sv, cfg))(solved_seq)
+
+  # Phase 4: render each section (the kernel is bandwidth-bound; lax.map
+  # keeps the dense per-section coords transient).
+  def render_one(args):
+    z1, rel_inv, inv_abs = args
+    sec = jax.lax.dynamic_index_in_dim(stack, z1, keepdims=False)
+    rendered, ov = _render_phase(sec, rel_inv, inv_abs, cfg)
+    if out_dtype is not None and rendered.dtype != jnp.dtype(out_dtype):
+      rendered = jnp.clip(jnp.rint(rendered), 0, 255).astype(out_dtype)
+    return rendered, ov
+
+  rendered_seq, ov_render = jax.lax.map(
+      render_one, (jnp.arange(1, z_dim), rel_inv_all, inv_abs_all))
+
+  first = stack[0]
+  if out_dtype is None:
+    first = first.astype(jnp.float32)
+  else:
+    first = jnp.clip(jnp.rint(first.astype(jnp.float32)),
+                     0, 255).astype(out_dtype)
+  rendered = jnp.concatenate([first[None], rendered_seq], axis=0)
+  solved = jnp.concatenate([solved0[None], solved_seq], axis=0)
+  overflow = jnp.any(ov_flow) | jnp.any(ov_render)
+  return rendered, solved, overflow
+
+
+def align_stack(stack, cfg: StackAlignConfig = StackAlignConfig(),
+                pipelined: bool = True, out_dtype=None):
+  """Aligns a [Z, n, n] stack; returns (rendered [Z, n, n], solved,
+  overflow).
+
+  `pipelined=True` runs the whole stack as one batched-phase program
+  (`align_stack_pipelined`); `pipelined=False` streams section by
+  section through `align_step` — a host loop that only enqueues device
+  work (the solved mesh flows z -> z+1 as a device array), useful when
+  sections arrive incrementally or the stack exceeds HBM.
   """
   stack = jnp.asarray(stack)
+  if pipelined:
+    return align_stack_pipelined(stack, cfg, out_dtype)
   z_dim, n, _ = stack.shape
   grid_n = n // cfg.stride
   solved = jnp.zeros((2, 1, grid_n, grid_n), jnp.float32)

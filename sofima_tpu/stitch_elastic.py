@@ -136,6 +136,7 @@ def compute_flow_map3d(
     stride: Vector = (40, 40, 40),
     batch_size: int = 16,
     flow_mode: str = 'padfield',
+    mask_map: Mapping[TileXY, Any] | None = None,
 ) -> tuple[TileFlow, TileOffset]:
   """Fine flow between adjacent 3d tiles along `axis` (0: x, 1: y).
 
@@ -150,6 +151,11 @@ def compute_flow_map3d(
   host-batched scattered-start loop — the TPU fast path for LICONN fine
   stitching. Integer peaks match 'padfield' for in-range shifts; stride
   must divide patch_size in every dimension.
+
+  `mask_map` optionally maps tile coordinates to [1, z, y, x] invalid-
+  pixel masks (nonzero = invalid, the flow_field mask convention); the
+  masked overlaps run the dim-generic circular Padfield NCC on the same
+  strip path (or the padfield driver under flow_mode='padfield').
   """
   mfc = flow_field.JAXMaskedXCorrWithStatsCalculator()
   flows, offsets = {}, {}
@@ -200,16 +206,29 @@ def compute_flow_map3d(
       post = np.asarray(tile_post[isec_nbor.to_slice4d()]).squeeze(axis=0)
       assert pre.shape == post.shape
 
+      pre_mask = post_mask = None
+      if mask_map is not None:
+        if (x, y) in mask_map:
+          pre_mask = np.asarray(
+              mask_map[(x, y)][isec_curr.to_slice4d()]).squeeze(axis=0)
+        if (nx, ny) in mask_map:
+          post_mask = np.asarray(
+              mask_map[(nx, ny)][isec_nbor.to_slice4d()]).squeeze(axis=0)
+
       if (flow_mode == 'circular' and pre.shape == post.shape
           and all(p % s == 0 for p, s in zip(patch_size, stride))):
         f = np.asarray(flow_field.dense_flow_field(
             jnp.asarray(pre, jnp.float32), jnp.asarray(post, jnp.float32),
             tuple(int(p) for p in patch_size),
             tuple(int(s) for s in stride), batch_size=batch_size,
-            circular=True))
+            circular=True,
+            pre_mask=None if pre_mask is None else jnp.asarray(pre_mask),
+            post_mask=(None if post_mask is None
+                       else jnp.asarray(post_mask))))
       else:
-        f = mfc.flow_field(pre, post, patch_size=patch_size, step=stride,
-                           batch_size=batch_size)
+        f = mfc.flow_field(pre, post, pre_mask=pre_mask,
+                           post_mask=post_mask, patch_size=patch_size,
+                           step=stride, batch_size=batch_size)
       flows[(x, y)] = np.pad(
           f, [[0, 0]] + [[p, p - 1] for p in pad_zyx],
           constant_values=np.nan)

@@ -366,6 +366,53 @@ class TestStripPath:
     np.testing.assert_array_equal(fast[0], ref[0])
     np.testing.assert_array_equal(fast[1], ref[1])
 
+  def test_strip_masked_3d_matches_padfield(self):
+    # Dim-generic masked circular NCC (the 3d LICONN production regime,
+    # previously a NotImplementedError cliff onto the padfield path):
+    # strip path peaks must match the masked padfield oracle on a
+    # decoy-masked 3d impulse.
+    import jax.numpy as jnp
+    rng = np.random.RandomState(5)
+    pre = (rng.rand(24, 96, 96) * 50).astype(np.float32)
+    post = np.roll(pre, (2, -3, 4), (0, 1, 2))
+    pre[12, 48, 48] += 200.0
+    post[14, 45, 52] += 200.0
+    post[8, 60, 40] += 500.0  # decoy, masked out below
+    post_mask = np.zeros(post.shape, bool)
+    post_mask[4:12, 52:68, 32:48] = True
+    patch, step = (16, 32, 32), (8, 16, 16)
+    mfc = flow_field.JAXMaskedXCorrWithStatsCalculator()
+    ref = mfc.flow_field(pre, post, patch_size=patch, step=step,
+                         post_mask=post_mask, batch_size=16)
+    fast = np.asarray(flow_field.dense_flow_field(
+        jnp.asarray(pre), jnp.asarray(post), patch, step,
+        circular=True, post_mask=jnp.asarray(post_mask)))
+    v = np.isfinite(ref[0]) & np.isfinite(fast[0])
+    assert v.mean() > 0.9, v.mean()
+    agree = np.mean([(fast[c][v] == ref[c][v]).mean() for c in range(3)])
+    assert agree > 0.98, agree
+
+  def test_masked_3d_start_path_no_raise(self):
+    # Non-strip 3d geometries (patch not a multiple of step) route
+    # through the batched circular path, which now handles masks for
+    # any rank instead of raising.
+    import jax.numpy as jnp
+    rng = np.random.RandomState(6)
+    pre = (rng.rand(20, 60, 60) * 50).astype(np.float32)
+    post = np.roll(pre, (1, -2, 3), (0, 1, 2))
+    mask = np.zeros(pre.shape, bool)
+    mask[:, :10] = True
+    out = np.asarray(flow_field.dense_flow_field(
+        jnp.asarray(pre), jnp.asarray(post), (12, 36, 36), (8, 24, 24),
+        circular=True, pre_mask=jnp.asarray(mask),
+        post_mask=jnp.asarray(mask)))
+    v = np.isfinite(out[0])
+    assert v.any()
+    # flow = position in pre minus position in post = -(roll amount)
+    assert np.nanmedian(out[0]) == -3.0  # x
+    assert np.nanmedian(out[1]) == 2.0   # y
+    assert np.nanmedian(out[2]) == -1.0  # z
+
 
 class TestPallasFlowKernel:
 
