@@ -142,13 +142,27 @@ def main():
   mask = jax.device_put(mask_np)
   del yy, xx
 
-  def run_flow_masked():
+  def run_flow_masked(bf16):
     return flow_field.dense_flow_field(
         pre, post, (patch, patch), (stride, stride), batch_size=256,
-        circular=True, dft_matmul=True, bf16=True,
+        circular=True, dft_matmul=True, bf16=bf16,
         pre_mask=mask, post_mask=mask)
 
-  flow_m, t_flow_m = _time(run_flow_masked)
+  # bf16 image-term split in the masked NCC kernel (mask/overlap chain
+  # stays f32), gated on integer-peak agreement with the full-f32 run.
+  flow_m32, t_flow_m32 = _time(lambda: run_flow_masked(False))
+  flow_m16, t_flow_m16 = _time(lambda: run_flow_masked(True))
+  agree_m = float(jnp.mean(
+      jnp.nan_to_num(flow_m32[0], nan=9e9)
+      == jnp.nan_to_num(flow_m16[0], nan=9e9)))
+  results['flow_masked_bf16_peak_agreement'] = round(agree_m, 5)
+  results['flow_masked_s_f32'] = round(t_flow_m32, 3)
+  if agree_m >= 0.9995:
+    flow_m, t_flow_m = flow_m16, t_flow_m16
+    results['flow_masked_mode'] = 'bf16_split'
+  else:
+    flow_m, t_flow_m = flow_m32, t_flow_m32
+    results['flow_masked_mode'] = 'f32'
   results['flow_masked_s'] = round(t_flow_m, 3)
   results['flow_masked_valid_frac'] = round(
       float(jnp.mean(jnp.isfinite(flow_m[0]))), 3)
@@ -329,33 +343,41 @@ def main():
         make_section(jax.device_put(np.stack([dyz, dxz]))))
   stack = [s for s in stack_list]
 
-  pcfg = stack_align.StackAlignConfig(max_displacement=128, residual=8)
+  # Config chosen by the round-4 hardware ablation (scratch/ablate_r4
+  # + docs/ROADMAP.md): fine_patch=64 (the correlation core is
+  # O(edge^3)/patch) and residual=6 (the render lattice is
+  # O((2*residual + taps)^2)/pixel), gated below on unchanged
+  # ground-truth quality.
+  pcfg = stack_align.StackAlignConfig(max_displacement=128, residual=6,
+                                      fine_patch=64)
   grid_nn = n // pcfg.stride
-  solved0 = jnp.zeros((2, 1, grid_nn, grid_nn), jnp.float32)
-
-  # Warmup / compile.
-  _s, _r, _o = stack_align.align_step(stack[0], stack[1], solved0, pcfg)
-  float(jnp.sum(_r[::997]))
-
-  t0 = time.perf_counter()
-  solved_z = solved0
-  acc = jnp.float32(0.0)
-  overflow = jnp.bool_(False)
-  err_acc = jnp.float32(0.0)
+  stack_j = jnp.stack(stack)
   base_f = stack[0].astype(jnp.float32)
   inter = np.s_[320:-320, 320:-320]
-  for z in range(1, n_z):
-    solved_z, rendered_z, ov = stack_align.align_step(
-        stack[z - 1], stack[z], solved_z, pcfg)
-    acc = acc + jnp.sum(rendered_z[::97, ::97])
-    overflow = jnp.logical_or(overflow, ov)
-    err_acc = jnp.maximum(
-        err_acc, jnp.mean(jnp.abs(rendered_z[inter] - base_f[inter])))
-  acc_v = float(acc)  # single d2h barrier ends the timed region
-  t_pipe = time.perf_counter() - t0
-  del acc_v
+
+  def run_pipeline():
+    rendered, _, overflow = stack_align.align_stack_pipelined(
+        stack_j, pcfg, out_dtype=jnp.uint8)
+    r = rendered[1:].astype(jnp.float32)
+    acc = jnp.sum(r[:, ::97, ::97])
+    err = jnp.max(jnp.mean(
+        jnp.abs(r[:, 320:-320, 320:-320] - base_f[inter][None]),
+        axis=(1, 2)))
+    return acc, err, overflow
+
+  acc, err_acc, overflow = run_pipeline()  # compile + warmup
+  float(acc)
+  times = []
+  for _ in range(3):
+    t0 = time.perf_counter()
+    acc, err_acc, overflow = run_pipeline()
+    float(acc)  # single d2h barrier ends the timed region
+    times.append(time.perf_counter() - t0)
+  t_pipe = sorted(times)[1]  # median of 3: the relay shows run-to-run
+  # contention on long multi-dispatch programs (8.9 vs 20 s in r3)
   pipe_mpix = (n_z - 1) * n * n / t_pipe / 1e6
   results['pipeline_s'] = round(t_pipe, 3)
+  results['pipeline_times_s'] = [round(t, 3) for t in times]
   results['pipeline_sections'] = n_z - 1
   results['pipeline_mpix_s'] = round(pipe_mpix, 1)
   results['pipeline_overflow'] = bool(overflow)
@@ -365,6 +387,38 @@ def main():
   raw_err = float(jnp.mean(jnp.abs(
       stack[n_z - 1].astype(jnp.float32)[inter] - base_f[inter])))
   results['pipeline_raw_err'] = round(raw_err, 2)
+
+  # Streamed per-section variant (the incremental-arrival mode) for
+  # regression tracking of the align_step path.
+  def stage_pipeline_stepwise():
+    pcfg_s = stack_align.StackAlignConfig(max_displacement=128,
+                                          residual=8)
+    solved0 = jnp.zeros((2, 1, grid_nn, grid_nn), jnp.float32)
+
+    def run_stepwise():
+      solved_z = solved0
+      acc = jnp.float32(0.0)
+      ovf = jnp.bool_(False)
+      for z in range(1, n_z):
+        solved_z, rendered_z, ov = stack_align.align_step(
+            stack[z - 1], stack[z], solved_z, pcfg_s)
+        acc = acc + jnp.sum(rendered_z[::97, ::97])
+        ovf = jnp.logical_or(ovf, ov)
+      return acc, ovf
+
+    acc_s, _ = run_stepwise()
+    float(acc_s)
+    ts = []
+    for _ in range(3):
+      t0 = time.perf_counter()
+      acc_s, _ = run_stepwise()
+      float(acc_s)
+      ts.append(time.perf_counter() - t0)
+    results['pipeline_stepwise_s'] = round(sorted(ts)[1], 3)
+    results['pipeline_stepwise_mpix_s'] = round(
+        (n_z - 1) * n * n / sorted(ts)[1] / 1e6, 1)
+
+  _guard(results, 'pipeline_stepwise', stage_pipeline_stepwise)
 
   # ---- ESTIMATE MISSING FLOW: host-orchestrated retry stage. -------------
   # Small scale: the stage is host-loop + relay-latency bound in this dev
@@ -465,10 +519,11 @@ def main():
   _guard(results, 'mesh3d_xla', stage_mesh3d_xla)
 
   def stage_mesh3d():
-    # NOTE: the 26-direction unrolled Pallas kernels currently crash
-    # this relay's remote compile helper at every tile size tried
-    # (128/64/32); guarded so the error is recorded, not fatal.
-    pallas_force3 = pallas_mesh.make_elastic_mesh_3d(tile=32)
+    # link_loop=True: the 26-direction force as ONE fori_loop body with
+    # SMEM link tables — the unrolled form crashed the relay's remote
+    # compile helper at every tile size (BENCH_r03); guarded so a
+    # compile error is recorded, not fatal.
+    pallas_force3 = pallas_mesh.make_elastic_mesh_3d(tile=128)
 
     def run_mesh3d():
       return mesh.velocity_verlet(x3, v3, prev3, cfg3, force_cap=1e6,
@@ -482,7 +537,7 @@ def main():
 
   def stage_mesh3d_fused():
     # VMEM-resident fused 3d FIRE solver (whole convergence loop in one
-    # kernel) on a LICONN-sized tile mesh.
+    # kernel) on a LICONN-sized tile mesh, link-loop force body.
     cfg3f = mesh.IntegrationConfig(
         dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=(40.0, 40.0, 40.0),
         num_iters=500, max_iters=1000, stop_v_max=0.0, dt_max=100.0)
@@ -499,6 +554,25 @@ def main():
 
   _guard(results, 'mesh3d_fused', stage_mesh3d_fused)
 
+  # ---- HARD QUALITY GATES: a regression exits nonzero (the numbers ----
+  # above are still printed first so the record survives).
+  gates = {
+      'pipeline_max_err <= 3.5':
+          results.get('pipeline_max_err', 99.0) <= 3.5,
+      'pipeline_overflow == False':
+          not results.get('pipeline_overflow', True),
+      'flow_bf16_peak_agreement >= 0.999':
+          results.get('flow_bf16_peak_agreement', 0.0) >= 0.999,
+      'flow3d_peak_agreement >= 0.999':
+          results.get('flow3d_peak_agreement', 1.0) >= 0.999,
+      'warp_vs_gather_err <= 1.0':
+          results.get('warp_vs_gather_err', 9.9) <= 1.0,
+      'flow_masked_valid_frac >= 0.5':
+          results.get('flow_masked_valid_frac', 0.0) >= 0.5,
+  }
+  failed = sorted(name for name, ok in gates.items() if not ok)
+  results['gates_failed'] = failed
+
   out = {
       'metric': ('end-to-end pipeline Mpix/s/chip '
                  '(16x 10k^2 stack: flow+clean+solve+invert+render)'),
@@ -509,6 +583,9 @@ def main():
       **results,
   }
   print(json.dumps(out))
+  if failed:
+    print(f'BENCH QUALITY GATES FAILED: {failed}', file=sys.stderr)
+    return 1
   return 0
 
 

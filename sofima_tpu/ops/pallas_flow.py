@@ -445,17 +445,23 @@ def _masked_corr_peaks_grouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
   tolerance (NCC is exactly invariant to the constant-mean handling
   difference).
 
-  Always float32 regardless of `bf16`: the overlap counts must survive
-  jnp.round (bf16 DFT matrices perturb a 25600-px overlap by O(100)),
-  and the subtractive variance cancellation amplifies matrix rounding
-  into percent-level NCC errors. The reference masked path is f32 too.
+  Precision split under `bf16`: every matmul in the MASK-ONLY chain
+  (the overlap counts smp x smc) stays float32 — overlap must survive
+  jnp.round exactly, and bf16 DFT matrices perturb a 25600-px count by
+  O(100). Matmuls whose operands involve the IMAGES (xcorr, sum and
+  variance terms) run with bfloat16 inputs and float32 accumulation
+  (the MXU-native mode): mean-subtracted EM patches lose <0.5% relative
+  spectral amplitude, which the NCC normalization and integer peak
+  extraction tolerate — gated by the bench masked peak-agreement check
+  on hardware data. bf16=False keeps everything float32 (the reference
+  masked path's precision).
   """
-  del bf16
-  in_t = jnp.float32
+  f32 = jnp.float32
+  img_t = jnp.bfloat16 if bf16 else jnp.float32
   eps = jnp.float32(np.finfo(np.float32).eps)
 
-  def mm(x, y):
-    return jnp.dot(x.astype(in_t), y.astype(in_t),
+  def mm(x, y, t=f32):
+    return jnp.dot(x.astype(t), y.astype(t),
                    preferred_element_type=jnp.float32)
 
   # Constant subtraction is exactly neutral under the NCC normalization;
@@ -465,38 +471,40 @@ def _masked_corr_peaks_grouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
   pz = wa * va
   cz = wb * vb
 
-  def gdft(w):
-    ar = mm(w, frb)
-    ai = mm(w, fib)
-    return (mm(wr1, ar) - mm(wi1, ai), mm(wr1, ai) + mm(wi1, ar))
+  def gdft(w, t=f32):
+    ar = mm(w, frb, t)
+    ai = mm(w, fib, t)
+    return (mm(wr1, ar, t) - mm(wi1, ai, t),
+            mm(wr1, ai, t) + mm(wi1, ar, t))
 
-  sp = gdft(pz)
-  sc = gdft(cz)
+  sp = gdft(pz, img_t)
+  sc = gdft(cz, img_t)
   smp = gdft(va)
   smc = gdft(vb)
-  sp2 = gdft(pz * pz)
-  sc2 = gdft(cz * cz)
+  sp2 = gdft(pz * pz, img_t)
+  sc2 = gdft(cz * cz, img_t)
 
   def prod(a, b):  # a * conj(b), grouped layout
     return (a[0] * b[0] + a[1] * b[1], a[1] * b[0] - a[0] * b[1])
 
-  def ginv(t):
+  def ginv(t, dt=f32):
     tr, ti = t
-    gr = (mm(wr1i, tr) + mm(wi1i, ti)) / py
-    gi = (mm(wr1i, ti) - mm(wi1i, tr)) / py
+    gr = (mm(wr1i, tr, dt) + mm(wi1i, ti, dt)) / py
+    gi = (mm(wr1i, ti, dt) - mm(wi1i, tr, dt)) / py
     return gr, gi
 
-  terms = [ginv(prod(sp, sc)), ginv(prod(smp, smc)),
-           ginv(prod(sp, smc)), ginv(prod(smp, sc)),
-           ginv(prod(sp2, smc)), ginv(prod(smp, sc2))]
+  terms = [ginv(prod(sp, sc), img_t), ginv(prod(smp, smc)),
+           ginv(prod(sp, smc), img_t), ginv(prod(smp, sc), img_t),
+           ginv(prod(sp2, smc), img_t), ginv(prod(smp, sc2), img_t)]
+  term_t = [img_t, f32, img_t, img_t, img_t, img_t]
 
   hp = br2c.shape[0]
 
-  def col_inv(t, g):
+  def col_inv(t, g, dt=f32):
     gr, gi = t
     grg = jax.lax.slice(gr, (0, g * hp), (py, (g + 1) * hp))
     gig = jax.lax.slice(gi, (0, g * hp), (py, (g + 1) * hp))
-    return (mm(grg, br2c) + mm(gig, bi2c)) / px
+    return (mm(grg, br2c, dt) + mm(gig, bi2c, dt)) / px
 
   iy = jax.lax.broadcasted_iota(jnp.int32, (py, px), 0)
   ix = jax.lax.broadcasted_iota(jnp.int32, (py, px), 1)
@@ -514,7 +522,7 @@ def _masked_corr_peaks_grouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
   tolmax = jnp.float32(0.0)
   for g in range(group):
     xcorr, ovl_raw, sum_p, sum_c, t_p2, t_c2 = (
-        col_inv(t, g) for t in terms)
+        col_inv(t, g, dt) for t, dt in zip(terms, term_t))
     overlap = jnp.fmax(jnp.round(ovl_raw), eps)
     inv_overlap = 1.0 / overlap
     num = xcorr - sum_p * sum_c * inv_overlap

@@ -225,18 +225,47 @@ def _kernel_3d(x_hbm, out_ref, scratch, sem, *, k, stride,
                                 prefer_orig_order)
 
 
+def _kernel_3d_loop(e_ref, ei_ref, l0v_ref, kl0_ref, x_hbm, out_ref,
+                    scratch, sem, *, k, stride, prefer_orig_order,
+                    tile_y, tile_x, nz):
+  """Link-loop twin of _kernel_3d: the force is computed with the
+  compact fori_loop body over the whole halo window, then sliced to the
+  interior. Distance-1 neighbors of interior nodes never wrap, so the
+  circular rolls are exact there; the discarded window ring absorbs the
+  wraparound."""
+  iy = pl.program_id(0)
+  ix = pl.program_id(1)
+  copy = pltpu.make_async_copy(
+      x_hbm.at[:, :, pl.ds(iy * tile_y, tile_y + 2 * _MARGIN_Y),
+               pl.ds(ix * tile_x, tile_x + 2 * _MARGIN_X)],
+      scratch, sem)
+  copy.start()
+  copy.wait()
+  tables = (e_ref[:], ei_ref[:], l0v_ref[:], kl0_ref[:])
+  force = _roll_force_3d_loop(scratch[:], k, stride, prefer_orig_order,
+                              tables=tables)
+  out_ref[...] = jax.lax.slice(
+      force, (0, 1, _MARGIN_Y, _MARGIN_X),
+      (3, 1 + nz, _MARGIN_Y + tile_y, _MARGIN_X + tile_x))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=['k', 'stride', 'prefer_orig_order', 'tile',
-                     'interpret'])
+                     'interpret', 'link_loop'])
 def elastic_mesh_3d_pallas(x: jnp.ndarray, k: float, stride,
                            prefer_orig_order: bool = False,
                            tile: int = 128,
-                           interpret: bool = False) -> jnp.ndarray:
+                           interpret: bool = False,
+                           link_loop: bool = True) -> jnp.ndarray:
   """Pallas 3d mesh force (26-neighborhood); contract of elastic_mesh_3d.
 
   The z extent stays VMEM-resident per tile (volumetric tile stacks are
-  shallow); y/x are tiled with aligned halo windows.
+  shallow); y/x are tiled with aligned halo windows. `link_loop=True`
+  (default) computes the force with ONE fori_loop body over the 26 link
+  directions (constants from SMEM tables) instead of 26 unrolled bodies
+  — the unrolled form's generated code crashed the relay's remote
+  Mosaic compile at every tile size (BENCH_r03).
   """
   if not hasattr(stride, '__len__'):
     stride = (float(stride),) * 3
@@ -254,32 +283,53 @@ def elastic_mesh_3d_pallas(x: jnp.ndarray, k: float, stride,
                ((0, 0), (1, 1), (_MARGIN_Y, pad_y), (_MARGIN_X, pad_x)),
                constant_values=np.nan)
 
-  kernel = functools.partial(
-      _kernel_3d, k=float(k), stride=tuple(float(s) for s in stride),
-      prefer_orig_order=prefer_orig_order, tile_y=tile_y, tile_x=tile_x,
-      nz=nz)
+  stride_t = tuple(float(s) for s in stride)
+  scratch_shapes = [
+      pltpu.VMEM((3, nz + 2, tile_y + 2 * _MARGIN_Y,
+                  tile_x + 2 * _MARGIN_X), jnp.float32),
+      pltpu.SemaphoreType.DMA,
+  ]
+  out_spec = pl.BlockSpec((3, nz, tile_y, tile_x),
+                          lambda iy, ix: (0, 0, iy, ix),
+                          memory_space=pltpu.VMEM)
+  out_shape = jax.ShapeDtypeStruct((3, nz, gy * tile_y, gx * tile_x),
+                                   jnp.float32)
 
-  out = pl.pallas_call(
-      kernel,
-      grid=(gy, gx),
-      in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-      out_specs=pl.BlockSpec(
-          (3, nz, tile_y, tile_x),
-          lambda iy, ix: (0, 0, iy, ix),
-          memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((3, nz, gy * tile_y, gx * tile_x),
-                                     jnp.float32),
-      scratch_shapes=[
-          pltpu.VMEM((3, nz + 2, tile_y + 2 * _MARGIN_Y,
-                      tile_x + 2 * _MARGIN_X), jnp.float32),
-          pltpu.SemaphoreType.DMA,
-      ],
-      interpret=interpret,
-  )(xp)
+  if link_loop:
+    kernel = functools.partial(
+        _kernel_3d_loop, k=float(k), stride=stride_t,
+        prefer_orig_order=prefer_orig_order, tile_y=tile_y,
+        tile_x=tile_x, nz=nz)
+    tables = [jnp.asarray(t) for t in _link_tables_np(stride_t, float(k))]
+    out = pl.pallas_call(
+        kernel,
+        grid=(gy, gx),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+                  + [pl.BlockSpec(memory_space=pl.ANY)]),
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(*tables, xp)
+  else:
+    kernel = functools.partial(
+        _kernel_3d, k=float(k), stride=stride_t,
+        prefer_orig_order=prefer_orig_order, tile_y=tile_y,
+        tile_x=tile_x, nz=nz)
+    out = pl.pallas_call(
+        kernel,
+        grid=(gy, gx),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_spec,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(xp)
   return out[:, :, :ny, :nx]
 
 
-def make_elastic_mesh_3d(tile: int = 128, interpret: bool = False):
+def make_elastic_mesh_3d(tile: int = 128, interpret: bool = False,
+                         link_loop: bool = True):
   """Returns a 3d mesh_force callable backed by the Pallas kernel.
 
   Note: supports [3, z, y, x] inputs (no extra batch dims) and the full
@@ -290,7 +340,8 @@ def make_elastic_mesh_3d(tile: int = 128, interpret: bool = False):
     del links
     return elastic_mesh_3d_pallas(
         x, k, stride if hasattr(stride, '__len__') else (stride,) * 3,
-        prefer_orig_order, tile=tile, interpret=interpret)
+        prefer_orig_order, tile=tile, interpret=interpret,
+        link_loop=link_loop)
 
   return force
 
@@ -498,16 +549,96 @@ def _roll_force_3d(xp: jnp.ndarray, k: float, stride,
   return jnp.stack(acc)
 
 
-@functools.partial(jax.jit, static_argnames=['config', 'interpret'])
+def _link_table_3d(stride, k: float):
+  """Static per-link tables for the 26-neighbor force: [26, 3] e and
+  l0 components, plus k_eff — one row per direction."""
+  sx, sy, sz = (float(stride[0]), float(stride[1]), float(stride[2]))
+  es, l0vs, keffs = [], [], []
+  for ez in (-1, 0, 1):
+    for ey in (-1, 0, 1):
+      for ex in (-1, 0, 1):
+        if ex == 0 and ey == 0 and ez == 0:
+          continue
+        l0v = (sx * ex, sy * ey, sz * ez)
+        l0 = float(np.linalg.norm(l0v))
+        es.append((ex, ey, ez))
+        l0vs.append(l0v)
+        keffs.append(k * sx / l0)
+  return (np.asarray(es, np.float32), np.asarray(l0vs, np.float32),
+          np.asarray(keffs, np.float32))
+
+
+def _link_tables_np(stride, k: float):
+  """Kernel-input link tables: (e f32 [26,3], e i32 [26,3], l0v f32
+  [26,3], [k_eff; l0] f32 [2, 26])."""
+  e_np, l0v_np, keff_np = _link_table_3d(stride, k)
+  l0_np = np.linalg.norm(l0v_np, axis=1).astype(np.float32)
+  return (e_np, e_np.astype(np.int32), l0v_np,
+          np.stack([keff_np, l0_np]))
+
+
+def _roll_force_3d_loop(xp: jnp.ndarray, k: float, stride,
+                        prefer_orig_order: bool,
+                        tables=None) -> jnp.ndarray:
+  """26-neighbor force as a fori_loop over link directions.
+
+  Functionally identical to `_roll_force_3d`, but the 26 link bodies
+  become ONE loop body with dynamic pltpu.roll shifts and per-link
+  constants read from a table — 26x less generated code (the unrolled
+  form crashes this relay's remote Mosaic compile helper, exit 1 at
+  every tile size, BENCH_r03). Inside a Pallas kernel the tables MUST
+  be passed in as kernel inputs (`tables` = the `_link_tables_np`
+  quadruple read from SMEM refs); pallas_call rejects captured
+  constants.
+  """
+  zn, yn, xn = xp.shape[1], xp.shape[2], xp.shape[3]
+  if tables is None:
+    tables = tuple(jnp.asarray(t) for t in _link_tables_np(stride, k))
+  e_t, e_i, l0v_t, kl0_t = tables
+
+  def body(i, acc):
+    ez, ey, ex = e_t[i, 2], e_t[i, 1], e_t[i, 0]
+    # Dynamic circular shifts; the NaN guard ring absorbs wraparound.
+    iz = jax.lax.rem(jnp.int32(zn) - e_i[i, 2], jnp.int32(zn))
+    iy = jax.lax.rem(jnp.int32(yn) - e_i[i, 1], jnp.int32(yn))
+    ix = jax.lax.rem(jnp.int32(xn) - e_i[i, 0], jnp.int32(xn))
+    nbor = pltpu.roll(xp, iz, 1)
+    nbor = pltpu.roll(nbor, iy, 2)
+    nbor = pltpu.roll(nbor, ix, 3)
+    k_eff = kl0_t[0, i]
+    l0 = kl0_t[1, i]
+    d = [nbor[c] - xp[c] + l0v_t[i, c] for c in range(3)]
+    l = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+    inv_l = 1.0 / jnp.maximum(l, 1e-30)
+    e = (ex, ey, ez)
+    outs = []
+    for c in range(3):
+      if prefer_orig_order:
+        fac = jnp.where(e[c] != 0, e[c] * jnp.sign(d[c]), 1.0)
+        f = k_eff * (1.0 - l0 * fac * inv_l) * d[c]
+      else:
+        f = k_eff * (1.0 - l0 * inv_l) * d[c]
+      outs.append(acc[c] + jnp.nan_to_num(f, posinf=0.0, neginf=0.0))
+    return jnp.stack(outs)
+
+  acc0 = jnp.zeros((3,) + xp.shape[1:], jnp.float32)
+  return jax.lax.fori_loop(0, 26, body, acc0)
+
+
+@functools.partial(jax.jit, static_argnames=['config', 'interpret',
+                                             'link_loop'])
 def relax_mesh_fused_pallas_3d(x: jnp.ndarray, prev: jnp.ndarray | None,
-                               config, interpret: bool = False):
+                               config, interpret: bool = False,
+                               link_loop: bool = True):
   """VMEM-resident fused FIRE solver for 3d grids ([3, z, y, x]).
 
   The 3d multi-step-per-launch solver: every FIRE step's 26-neighbor
   force, integration, and the chunked convergence loop run inside one
   kernel, so shallow volumetric tile meshes (LICONN stitching solves)
   never stage x/v/a through HBM between steps. Same contract as
-  mesh.relax_mesh_fused.
+  mesh.relax_mesh_fused. `link_loop=True` (default) uses the compact
+  fori_loop force body (_roll_force_3d_loop) — the 26-way unrolled
+  force crashed the relay's remote Mosaic compile (BENCH_r03).
   """
   if not config.fire:
     raise NotImplementedError('requires FIRE')
@@ -528,9 +659,22 @@ def relax_mesh_fused_pallas_3d(x: jnp.ndarray, prev: jnp.ndarray | None,
                           constant_values=np.nan))
   else:
     inputs.append(jnp.zeros((1, 1, 1, 1), jnp.float32))
+  stride_t = tuple(float(s) for s in config.stride) \
+      if hasattr(config.stride, '__len__') else (float(config.stride),) * 3
+  if link_loop:
+    inputs.extend(
+        jnp.asarray(t) for t in _link_tables_np(stride_t, config.k))
 
-  def kernel(x_ref, prev_ref, out_ref, ehist_ref, steps_ref):
+  def kernel(x_ref, prev_ref, *rest):
     from sofima_tpu import mesh as mesh_lib
+
+    if link_loop:
+      e_ref, ei_ref, l0v_ref, kl0_ref = rest[:4]
+      out_ref, ehist_ref, steps_ref = rest[4:]
+      tables = (e_ref[:], ei_ref[:], l0v_ref[:], kl0_ref[:])
+    else:
+      out_ref, ehist_ref, steps_ref = rest
+      tables = None
 
     xk = x_ref[...]
     prev_k = prev_ref[...] if has_prev else None
@@ -538,6 +682,9 @@ def relax_mesh_fused_pallas_3d(x: jnp.ndarray, prev: jnp.ndarray | None,
     def force_fn(xv, k, stride, prefer_orig_order=False, links=None):
       del links
       s = stride if hasattr(stride, '__len__') else (stride,) * 3
+      if link_loop:
+        return _roll_force_3d_loop(xv, k, s, prefer_orig_order,
+                                   tables=tables)
       return _roll_force_3d(xv, k, s, prefer_orig_order)
 
     force, _, fire_step = mesh_lib._make_step_fns(config, force_fn, None)
@@ -578,9 +725,12 @@ def relax_mesh_fused_pallas_3d(x: jnp.ndarray, prev: jnp.ndarray | None,
                                chunks * config.num_iters,
                                jnp.zeros((8, 128), jnp.int32))
 
+  in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+  if link_loop:
+    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
   out, ehist, steps = pl.pallas_call(
       kernel,
-      in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+      in_specs=in_specs,
       out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
       out_shape=[
           jax.ShapeDtypeStruct(xp.shape, jnp.float32),

@@ -137,3 +137,34 @@ class TestFusedFireSolver:
         x0, jnp.asarray(prev), cfg, interpret=True)
     assert int(steps_ref) == int(steps_got)
     assert float(jnp.nanmax(jnp.abs(ref - got))) < 1e-3
+
+  def test_3d_link_loop_matches_unrolled(self):
+    # The fori-loop force body (SMEM link tables, dynamic rolls) must be
+    # numerically identical to the 26-way unrolled form it replaces
+    # (the unrolled form crashes the axon relay's remote Mosaic
+    # compile; the loop form is the hardware path).
+    rng = np.random.RandomState(3)
+    x0 = jnp.asarray(rng.randn(3, 4, 12, 16).astype(np.float32))
+    prev = jnp.zeros_like(x0)
+    cfg = mesh.IntegrationConfig(
+        dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=(40.0, 30.0, 20.0),
+        num_iters=50, max_iters=100, stop_v_max=0.0, dt_max=100.0)
+    a, _, _ = pallas_mesh.relax_mesh_fused_pallas_3d(
+        x0, prev, cfg, interpret=True, link_loop=False)
+    b, _, _ = pallas_mesh.relax_mesh_fused_pallas_3d(
+        x0, prev, cfg, interpret=True, link_loop=True)
+    assert float(jnp.nanmax(jnp.abs(a - b))) < 1e-4
+
+
+class TestElasticMesh3dLinkLoop:
+
+  def test_force_link_loop_matches_xla(self):
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(3, 5, 20, 24).astype(np.float32) * 5)
+    for poo in (False, True):
+      ref = mesh.elastic_mesh_3d(x, 0.1, (40.0, 30.0, 20.0),
+                                 prefer_orig_order=poo)
+      got = pallas_mesh.elastic_mesh_3d_pallas(
+          x, 0.1, (40.0, 30.0, 20.0), prefer_orig_order=poo,
+          tile=16, interpret=True, link_loop=True)
+      assert float(jnp.nanmax(jnp.abs(ref - got))) < 1e-4, poo
