@@ -299,6 +299,23 @@ def main():
         == np.nan_to_num(f3_ref[:3], nan=9e9)))
     results['flow3d_peak_agreement'] = round(agree3, 5)
 
+    # MASKED 3d flow (the LICONN production regime): the dim-generic
+    # circular Padfield NCC on the same strip path — previously a
+    # NotImplementedError cliff onto the 3.2 s padfield driver.
+    mask3_np = np.zeros((64, 480, 160), bool)
+    mask3_np[:, 0:480:7, :] = True  # ~14% invalid, striped
+    mask3 = jax.device_put(mask3_np)
+
+    def run_flow3d_masked():
+      return flow_field.dense_flow_field(vol3a, vol3b, patch3, step3,
+                                         circular=True, pre_mask=mask3,
+                                         post_mask=mask3)
+
+    f3m, t_f3m = _time(run_flow3d_masked)
+    results['flow3d_masked_s'] = round(t_f3m, 3)
+    results['flow3d_masked_valid_frac'] = round(
+        float(jnp.mean(jnp.isfinite(f3m[0]))), 3)
+
   _guard(results, 'flow3d', stage_flow3d)
 
   # ---- PIPELINE: streamed z-stack alignment. -----------------------------
@@ -341,29 +358,43 @@ def main():
     dxz = -2.0 * z + 7.0 * np.cos(2 * np.pi * gm_y / 2500.0 + 0.4 * z)
     stack_list.append(
         make_section(jax.device_put(np.stack([dyz, dxz]))))
-  stack = [s for s in stack_list]
 
-  # Config chosen by the round-4 hardware ablation (scratch/ablate_r4
-  # + docs/ROADMAP.md): fine_patch=64 (the correlation core is
-  # O(edge^3)/patch) and residual=6 (the render lattice is
-  # O((2*residual + taps)^2)/pixel), gated below on unchanged
-  # ground-truth quality.
-  pcfg = stack_align.StackAlignConfig(max_displacement=128, residual=6,
-                                      fine_patch=64)
+  # Config chosen by the round-4 hardware ablation (docs/ROADMAP.md
+  # round-4 table): residual=6 shrinks the render lattice
+  # ((2*residual + taps)^2 per pixel) for +6% at unchanged ground-truth
+  # error; fine_patch=64 measured NO speedup (the fine-pass window DMA
+  # + peak chain, not the O(edge^3) correlation, bounds the targeted
+  # kernel at this size) and worse error (3.11 -> 3.45), so it stays
+  # off; fine_patch=48 broke the 3.5 quality gate (4.11).
+  pcfg = stack_align.StackAlignConfig(max_displacement=128, residual=6)
   grid_nn = n // pcfg.stride
-  stack_j = jnp.stack(stack)
-  base_f = stack[0].astype(jnp.float32)
+  stack_j = jnp.stack(stack_list)
+  # Free every large device buffer except the stack itself — the
+  # whole-stack program needs the HBM headroom (leftover stage buffers
+  # alone were enough to OOM the 16x10k^2 run; make_section's jit
+  # closure pins base_u8 until the function is dropped and caches
+  # cleared — compiled programs reload from the persistent disk cache).
+  del stack_list, base_u8, pre, post, images, warped, vol, coords3
+  del flow, flow_m, flow_m32, flow_m16, mask
+  del flow_f32, flow_b16, abs_map_j, bases_j, make_section
+  jax.clear_caches()
   inter = np.s_[320:-320, 320:-320]
 
   def run_pipeline():
     rendered, _, overflow = stack_align.align_stack_pipelined(
         stack_j, pcfg, out_dtype=jnp.uint8)
-    r = rendered[1:].astype(jnp.float32)
-    acc = jnp.sum(r[:, ::97, ::97])
-    err = jnp.max(jnp.mean(
-        jnp.abs(r[:, 320:-320, 320:-320] - base_f[inter][None]),
-        axis=(1, 2)))
-    return acc, err, overflow
+
+    # Per-section stats WITHOUT materializing an f32 render stack
+    # (15 x 400 MB of f32 sections OOM'd the ablation runs): lax.map
+    # keeps one f32 section transient at a time.
+    def stats_one(r_u8):
+      r = r_u8.astype(jnp.float32)
+      base_i = stack_j[0][inter].astype(jnp.float32)
+      return (jnp.sum(r[::97, ::97]),
+              jnp.mean(jnp.abs(r[inter] - base_i)))
+
+    sums, errs = jax.lax.map(stats_one, rendered[1:])
+    return jnp.sum(sums), jnp.max(errs), overflow
 
   acc, err_acc, overflow = run_pipeline()  # compile + warmup
   float(acc)
@@ -385,7 +416,8 @@ def main():
   # raw (unaligned) neighbors differ by ~20+ gray levels at this drift.
   results['pipeline_max_err'] = round(float(err_acc), 2)
   raw_err = float(jnp.mean(jnp.abs(
-      stack[n_z - 1].astype(jnp.float32)[inter] - base_f[inter])))
+      stack_j[n_z - 1][inter].astype(jnp.float32)
+      - stack_j[0][inter].astype(jnp.float32))))
   results['pipeline_raw_err'] = round(raw_err, 2)
 
   # Streamed per-section variant (the incremental-arrival mode) for
@@ -401,7 +433,7 @@ def main():
       ovf = jnp.bool_(False)
       for z in range(1, n_z):
         solved_z, rendered_z, ov = stack_align.align_step(
-            stack[z - 1], stack[z], solved_z, pcfg_s)
+            stack_j[z - 1], stack_j[z], solved_z, pcfg_s)
         acc = acc + jnp.sum(rendered_z[::97, ::97])
         ovf = jnp.logical_or(ovf, ov)
       return acc, ovf

@@ -74,8 +74,12 @@ def main():
     stack_list.append(make_section(jax.device_put(np.stack([dyz, dxz]))))
   stack = jnp.stack(stack_list)
   float(jnp.sum(stack[-1][::997]))  # materialize
+  # Free everything but the stack: the whole-stack program needs the
+  # HBM headroom (the first ablation runs OOM'd from leftover buffers;
+  # make_section's jit closure pins base_u8 until deleted).
+  del stack_list, base_u8, post, make_section
+  jax.clear_caches()
   print('stack ready', stack.shape, flush=True)
-  base_f = stack[0].astype(jnp.float32)
   inter = np.s_[320:-320, 320:-320]
 
   def run_stepwise(cfg):
@@ -83,24 +87,31 @@ def main():
     acc = jnp.float32(0.0)
     overflow = jnp.bool_(False)
     err_acc = jnp.float32(0.0)
+    base_i = stack[0][inter].astype(jnp.float32)
     for z in range(1, n_z):
       solved_z, rendered_z, ov = stack_align.align_step(
           stack[z - 1], stack[z], solved_z, cfg)
       acc = acc + jnp.sum(rendered_z[::97, ::97])
       overflow = jnp.logical_or(overflow, ov)
       err_acc = jnp.maximum(
-          err_acc, jnp.mean(jnp.abs(rendered_z[inter] - base_f[inter])))
+          err_acc, jnp.mean(jnp.abs(rendered_z[inter] - base_i)))
     return acc, err_acc, overflow
 
   def run_pipelined(cfg):
     rendered, _, overflow = stack_align.align_stack_pipelined(
         stack, cfg, out_dtype=jnp.uint8)
-    r = rendered[1:].astype(jnp.float32)
-    acc = jnp.sum(r[:, ::97, ::97])
-    err_acc = jnp.max(jnp.mean(
-        jnp.abs(r[:, 320:-320, 320:-320] - base_f[inter][None]),
-        axis=(1, 2)))
-    return acc, err_acc, overflow
+
+    # Per-section stats WITHOUT materializing the f32 stack (15 x 400MB
+    # of f32 renders OOM'd the first ablation run): lax.map keeps one
+    # f32 section transient at a time.
+    def stats_one(r_u8):
+      r = r_u8.astype(jnp.float32)
+      base_i = stack[0][inter].astype(jnp.float32)
+      return (jnp.sum(r[::97, ::97]),
+              jnp.mean(jnp.abs(r[inter] - base_i)))
+
+    sums, errs = jax.lax.map(stats_one, rendered[1:])
+    return jnp.sum(sums), jnp.max(errs), overflow
 
   def measure(name, fn, cfg):
     try:
@@ -132,7 +143,9 @@ def main():
   C = stack_align.StackAlignConfig
   base_kw = dict(max_displacement=128, residual=8)
 
-  measure('stepwise_r3', run_stepwise, C(**base_kw))
+  import os
+  if os.environ.get('ABLATE_STEPWISE'):
+    measure('stepwise_r3', run_stepwise, C(**base_kw))
   measure('pipelined', run_pipelined, C(**base_kw))
   measure('pipelined_fp64', run_pipelined, C(fine_patch=64, **base_kw))
   measure('pipelined_r6', run_pipelined,

@@ -1531,10 +1531,21 @@ class JAXMaskedXCorrWithStatsCalculator:
       return kernel(pre_j, post_j, pre_mask_j, post_mask_j, starts=ps,
                     post_starts=qs)
 
-    # progress_fn is honored for API compatibility; the computation itself
-    # is a single dispatch.
-    list(progress_fn([0]))
-    peaks = np.array(jax.lax.map(one_batch, (pre_b, post_b)))
+    if progress_fn is _silent_fn:
+      # Default: the whole batch loop is ONE device dispatch.
+      peaks = np.array(jax.lax.map(one_batch, (pre_b, post_b)))
+    else:
+      # A progress callback asks for per-batch streaming (the reference
+      # yields each batch through progress_fn,
+      # /root/reference/flow_field.py:610): dispatch batch by batch so
+      # the iterator ticks reflect actual completed work. Costs one
+      # dispatch per batch instead of one total — only taken when the
+      # caller explicitly wants progress.
+      parts = [
+          np.asarray(one_batch((pre_b[i], post_b[i])))
+          for i in progress_fn(list(range(num_batches)))
+      ]
+      peaks = np.stack(parts)
     peaks = peaks.reshape(padded, ndim + 2)[:n]
 
     # --- Targeting/clamp corrections + vectorized scatter. ----------------

@@ -228,7 +228,8 @@ def _make_step_fns(config: IntegrationConfig, mesh_force, prev_fn,
   if reduce_fn is None:
     reduce_fn = lambda v: v
   if mean_fn is None:
-    mean_fn = lambda v, axes: jnp.mean(v, axis=axes, keepdims=True)
+    # NaN-aware: absent (NaN) nodes must not poison the drift mean.
+    mean_fn = lambda v, axes: jnp.nanmean(v, axis=axes, keepdims=True)
 
   def force(x, prev, cap):
     a = mesh_force(x, config.k, config.stride, config.prefer_orig_order)
@@ -277,8 +278,16 @@ def _make_step_fns(config: IntegrationConfig, mesh_force, prev_fn,
 
     if config.remove_drift:
       axes = tuple(range(1, x.ndim))
+      # Node presence comes from x: absent/auto-padded nodes carry NaN
+      # positions but finite (zero) velocities, so the velocity mean
+      # must be masked by isfinite(x) — and absent nodes pinned at
+      # v = 0 — or the padded divisor/accumulating -mean velocities
+      # diverge the sharded trajectory from the single-device one.
+      present = jnp.isfinite(x)
       x = x - mean_fn(x, axes)
-      v = v - mean_fn(v, axes)
+      v = jnp.where(present,
+                    v - mean_fn(jnp.where(present, v, jnp.nan), axes),
+                    0.0)
 
     return x, v, a, dt, alpha, n_pos, cap
 

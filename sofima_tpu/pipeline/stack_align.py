@@ -75,6 +75,11 @@ class StackAlignConfig:
   # converged chunk otherwise forces EVERY section to burn the full
   # max_iters budget (~0.5 s/section measured); flows here are already
   # clean_flow-gated, so early settling needs far less clamping.
+  # k0=0.1 (archival em_2d: 0.01) weights the flow targets 10x harder
+  # against elastic smoothness — the warm start begins ON the targets,
+  # so the stiffer k0 is what lets one num_iters budget settle; both
+  # protocol deltas are documented in docs/PARITY.md and pinned by
+  # tests/test_stack_align.py::TestFusedVsStaged.
   # Fold safety is retained (prefer_orig_order + final cap 10).
   mesh: mesh.IntegrationConfig = dataclasses.field(
       default_factory=lambda: mesh.IntegrationConfig(

@@ -135,7 +135,7 @@ def compute_flow_map3d(
     patch_size: Vector = (120, 120, 120),
     stride: Vector = (40, 40, 40),
     batch_size: int = 16,
-    flow_mode: str = 'padfield',
+    flow_mode: str = 'circular',
     mask_map: Mapping[TileXY, Any] | None = None,
 ) -> tuple[TileFlow, TileOffset]:
   """Fine flow between adjacent 3d tiles along `axis` (0: x, 1: y).
@@ -145,12 +145,15 @@ def compute_flow_map3d(
   in every dimension. Returns flows padded to the mesh grid and the XYZ
   offsets at which the neighboring tile was placed for flow computation.
 
-  `flow_mode='circular'` routes each overlap pair through the
+  `flow_mode='circular'` (default) routes each overlap pair through the
   device-resident 3d strip path (flow_field._dense_flow_strips_3d):
   patch-periodic correlation in ONE dispatch per pair instead of the
   host-batched scattered-start loop — the TPU fast path for LICONN fine
-  stitching. Integer peaks match 'padfield' for in-range shifts; stride
-  must divide patch_size in every dimension.
+  stitching (54x on the bench overlap; BENCH flow3d_s vs
+  flow3d_padfield_s, exact integer-peak agreement). Geometries the
+  strip path cannot take (unequal crop shapes, stride not dividing
+  patch) fall back to the padfield driver automatically;
+  flow_mode='padfield' forces the oracle arithmetic.
 
   `mask_map` optionally maps tile coordinates to [1, z, y, x] invalid-
   pixel masks (nonzero = invalid, the flow_field mask convention); the

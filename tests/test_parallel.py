@@ -71,6 +71,23 @@ class TestShardedRelax:
                                atol=1e-3)
 
   @requires_multi
+  def test_autopad_with_drift_removal_matches(self):
+    # Auto-padded NaN nodes carry finite zero velocities; the drift
+    # mean must be masked by node presence (isfinite(x)) or the padded
+    # divisor diverges the sharded trajectory from the single-device
+    # one (advisor round-3 finding).
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 1, 18, 12).astype(np.float32))
+    prev = x + jnp.asarray(
+        rng.randn(2, 1, 18, 12).astype(np.float32) * 0.1)
+    cfg = _config(remove_drift=True)
+    ref, _, _ = mesh.relax_mesh_fused(x, prev, cfg)
+    dmesh = mesh_sharding.make_mesh(4)
+    out, _, _ = mesh_sharding.relax_mesh_sharded(x, prev, cfg, dmesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3)
+
+  @requires_multi
   def test_matches_single_device_3d(self):
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(3, 4, 8, 6).astype(np.float32))
