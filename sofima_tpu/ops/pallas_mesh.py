@@ -241,7 +241,10 @@ def _kernel_3d_loop(e_ref, ei_ref, l0v_ref, kl0_ref, x_hbm, out_ref,
       scratch, sem)
   copy.start()
   copy.wait()
-  tables = (e_ref[:], ei_ref[:], l0v_ref[:], kl0_ref[:])
+  # Pass the SMEM refs themselves: the loop body reads one scalar at a
+  # time (SMEM rejects whole-array loads — hardware-only error, the
+  # interpreter happily vectorizes them).
+  tables = (e_ref, ei_ref, l0v_ref, kl0_ref)
   force = _roll_force_3d_loop(scratch[:], k, stride, prefer_orig_order,
                               tables=tables)
   out_ref[...] = jax.lax.slice(
@@ -588,8 +591,8 @@ def _roll_force_3d_loop(xp: jnp.ndarray, k: float, stride,
   form crashes this relay's remote Mosaic compile helper, exit 1 at
   every tile size, BENCH_r03). Inside a Pallas kernel the tables MUST
   be passed in as kernel inputs (`tables` = the `_link_tables_np`
-  quadruple read from SMEM refs); pallas_call rejects captured
-  constants.
+  quadruple as SMEM REFS — indexed per element below, because SMEM
+  only supports scalar loads); pallas_call rejects captured constants.
   """
   zn, yn, xn = xp.shape[1], xp.shape[2], xp.shape[3]
   if tables is None:
@@ -671,7 +674,8 @@ def relax_mesh_fused_pallas_3d(x: jnp.ndarray, prev: jnp.ndarray | None,
     if link_loop:
       e_ref, ei_ref, l0v_ref, kl0_ref = rest[:4]
       out_ref, ehist_ref, steps_ref = rest[4:]
-      tables = (e_ref[:], ei_ref[:], l0v_ref[:], kl0_ref[:])
+      # SMEM refs passed through; the loop body does scalar loads only.
+      tables = (e_ref, ei_ref, l0v_ref, kl0_ref)
     else:
       out_ref, ehist_ref, steps_ref = rest
       tables = None

@@ -51,8 +51,15 @@ class StackAlignConfig:
   # Fine-pass patch edge for coarse_to_fine (None = patch // 2). Smaller
   # is faster (the correlation is O(edge^3) per patch) at some
   # statistical robustness cost; capture range is set by the coarse
-  # prior, not this.
+  # prior, not this. (Measured on v5e: 64 buys nothing — the targeted
+  # kernel is window-DMA/peak-bound at these sizes — see
+  # docs/ROADMAP.md round-4 ablation.)
   fine_patch: int | None = None
+  # Coarse-pass grid step for coarse_to_fine (None = patch, i.e. a
+  # full-patch-sized step). Larger steps shrink the coarse correlation
+  # cost proportionally; the prior only needs to resolve deformation
+  # wavelengths, not pixels.
+  coarse_step: int | None = None
   bf16: bool = True
   # clean_flow gates (EM-2D defaults, processor/defaults/em_2d.py).
   min_peak_ratio: float = 1.6
@@ -99,10 +106,12 @@ def _flow_phase(sec_prev, sec_cur, cfg: StackAlignConfig, grid_n: int):
   if cfg.coarse_to_fine:
     fp = None if cfg.fine_patch is None else (cfg.fine_patch,
                                               cfg.fine_patch)
+    cs = None if cfg.coarse_step is None else (cfg.coarse_step,
+                                               cfg.coarse_step)
     f4, overflow = flow_field.coarse_to_fine_flow(
-        pre, post, (p, p), (s, s), fine_patch=fp, bf16=cfg.bf16,
-        max_displacement=cfg.max_displacement, residual=cfg.residual,
-        return_overflow=True)
+        pre, post, (p, p), (s, s), coarse_step=cs, fine_patch=fp,
+        bf16=cfg.bf16, max_displacement=cfg.max_displacement,
+        residual=cfg.residual, return_overflow=True)
   else:
     f4 = flow_field.dense_flow_field(
         pre, post, (p, p), (s, s), batch_size=256, circular=True,
