@@ -225,6 +225,30 @@ def _kernel_3d(x_hbm, out_ref, scratch, sem, *, k, stride,
                                 prefer_orig_order)
 
 
+def _kernel_3d_rolls(x_hbm, out_ref, scratch, sem, *, k, stride,
+                     prefer_orig_order, tile_y, tile_x, nz):
+  """Roll-based twin of _kernel_3d: the 26-link force is computed over
+  the whole (8, 128)-ALIGNED halo window with static circular rolls,
+  then sliced to the interior at aligned offsets. _force_tile_3d's
+  margin-offset slicing produced unaligned layouts under the force
+  math, which crashes this relay's remote Mosaic compile
+  (hardware-bisected: the same math compiles on aligned layouts).
+  Distance-1 neighbors of interior nodes never wrap, so the rolls are
+  exact there; the discarded window ring absorbs the wraparound."""
+  iy = pl.program_id(0)
+  ix = pl.program_id(1)
+  copy = pltpu.make_async_copy(
+      x_hbm.at[:, :, pl.ds(iy * tile_y, tile_y + 2 * _MARGIN_Y),
+               pl.ds(ix * tile_x, tile_x + 2 * _MARGIN_X)],
+      scratch, sem)
+  copy.start()
+  copy.wait()
+  force = _roll_force_3d(scratch[:], k, stride, prefer_orig_order)
+  out_ref[...] = jax.lax.slice(
+      force, (0, 1, _MARGIN_Y, _MARGIN_X),
+      (3, 1 + nz, _MARGIN_Y + tile_y, _MARGIN_X + tile_x))
+
+
 def _kernel_3d_loop(e_ref, ei_ref, l0v_ref, kl0_ref, x_hbm, out_ref,
                     scratch, sem, *, k, stride, prefer_orig_order,
                     tile_y, tile_x, nz):
@@ -260,15 +284,17 @@ def elastic_mesh_3d_pallas(x: jnp.ndarray, k: float, stride,
                            prefer_orig_order: bool = False,
                            tile: int = 128,
                            interpret: bool = False,
-                           link_loop: bool = True) -> jnp.ndarray:
+                           link_loop: bool = False) -> jnp.ndarray:
   """Pallas 3d mesh force (26-neighborhood); contract of elastic_mesh_3d.
 
   The z extent stays VMEM-resident per tile (volumetric tile stacks are
-  shallow); y/x are tiled with aligned halo windows. `link_loop=True`
-  (default) computes the force with ONE fori_loop body over the 26 link
-  directions (constants from SMEM tables) instead of 26 unrolled bodies
-  — the unrolled form's generated code crashed the relay's remote
-  Mosaic compile at every tile size (BENCH_r03).
+  shallow); y/x are tiled with (8, 128)-aligned halo windows, and the
+  force is computed roll-based over the whole aligned window with an
+  aligned interior slice — the per-link math on UNALIGNED layouts
+  (what _force_tile_3d's margin-offset slicing produced) is what
+  crashed the relay's remote Mosaic compile at every tile size in
+  BENCH_r03 (hardware-bisected). `link_loop=True` swaps in the
+  fori_loop force body with SMEM link tables (experiment knob).
   """
   if not hasattr(stride, '__len__'):
     stride = (float(stride),) * 3
@@ -316,7 +342,7 @@ def elastic_mesh_3d_pallas(x: jnp.ndarray, k: float, stride,
     )(*tables, xp)
   else:
     kernel = functools.partial(
-        _kernel_3d, k=float(k), stride=stride_t,
+        _kernel_3d_rolls, k=float(k), stride=stride_t,
         prefer_orig_order=prefer_orig_order, tile_y=tile_y,
         tile_x=tile_x, nz=nz)
     out = pl.pallas_call(
@@ -332,7 +358,7 @@ def elastic_mesh_3d_pallas(x: jnp.ndarray, k: float, stride,
 
 
 def make_elastic_mesh_3d(tile: int = 128, interpret: bool = False,
-                         link_loop: bool = True):
+                         link_loop: bool = False):
   """Returns a 3d mesh_force callable backed by the Pallas kernel.
 
   Note: supports [3, z, y, x] inputs (no extra batch dims) and the full
@@ -632,16 +658,18 @@ def _roll_force_3d_loop(xp: jnp.ndarray, k: float, stride,
                                              'link_loop'])
 def relax_mesh_fused_pallas_3d(x: jnp.ndarray, prev: jnp.ndarray | None,
                                config, interpret: bool = False,
-                               link_loop: bool = True):
+                               link_loop: bool = False):
   """VMEM-resident fused FIRE solver for 3d grids ([3, z, y, x]).
 
   The 3d multi-step-per-launch solver: every FIRE step's 26-neighbor
   force, integration, and the chunked convergence loop run inside one
   kernel, so shallow volumetric tile meshes (LICONN stitching solves)
   never stage x/v/a through HBM between steps. Same contract as
-  mesh.relax_mesh_fused. `link_loop=True` (default) uses the compact
-  fori_loop force body (_roll_force_3d_loop) — the 26-way unrolled
-  force crashed the relay's remote Mosaic compile (BENCH_r03).
+  mesh.relax_mesh_fused. The state is NaN-padded to (8, 128)-aligned
+  dims — the force math on unaligned layouts is what crashed the
+  relay's remote Mosaic compile in BENCH_r03 (hardware-bisected);
+  `link_loop=True` swaps in the fori_loop force body with SMEM link
+  tables (kept as an experiment knob).
   """
   if not config.fire:
     raise NotImplementedError('requires FIRE')
@@ -653,7 +681,15 @@ def relax_mesh_fused_pallas_3d(x: jnp.ndarray, prev: jnp.ndarray | None,
     raise ValueError('grid too large for the VMEM-resident solver')
 
   max_chunks = min(int(np.ceil(config.max_iters / config.num_iters)), 128)
-  pad_cfg = ((0, 0), (1, 1), (1, 1), (1, 1))
+  # Pad the guard ring out to (8, 128)-aligned last-two dims: the
+  # 26-link force body compiles fine on aligned arrays but the
+  # unaligned [gy+2, gx+2] layout crashes this relay's remote Mosaic
+  # compile helper (bisected on hardware — trivial math on unaligned
+  # shapes is fine, the force math on unaligned shapes is not). Extra
+  # NaN nodes are inert to the stencil, so over-padding is free.
+  pad_y1 = (-(gy + 1)) % 8 or 8
+  pad_x1 = (-(gx + 1)) % 128 or 128
+  pad_cfg = ((0, 0), (1, 1), (1, pad_y1), (1, pad_x1))
   xp = jnp.pad(x.astype(jnp.float32), pad_cfg, constant_values=np.nan)
   has_prev = prev is not None
   inputs = [xp]
