@@ -551,11 +551,11 @@ def main():
   _guard(results, 'mesh3d_xla', stage_mesh3d_xla)
 
   def stage_mesh3d():
-    # link_loop=True: the 26-direction force as ONE fori_loop body with
-    # SMEM link tables — the unrolled form crashed the relay's remote
-    # compile helper at every tile size (BENCH_r03); guarded so a
-    # compile error is recorded, not fatal.
-    pallas_force3 = pallas_mesh.make_elastic_mesh_3d(tile=128)
+    # Small aligned tiles: the compile helper handles the 26-link
+    # unrolled force only on small windows (hardware-bisected — the
+    # blowup scales with links x window area); the halo read
+    # amplification at tile 16 is the price of compiling at all.
+    pallas_force3 = pallas_mesh.make_elastic_mesh_3d(tile=16)
 
     def run_mesh3d():
       return mesh.velocity_verlet(x3, v3, prev3, cfg3, force_cap=1e6,
@@ -577,8 +577,10 @@ def main():
     prev3f = jnp.zeros_like(x3f)
 
     def run_mesh3d_fused():
-      return pallas_mesh.relax_mesh_fused_pallas_3d(x3f, prev3f,
-                                                    cfg3f)[0]
+      # link_loop: the compact per-link body is what fits the compile
+      # helper at whole-mesh window sizes.
+      return pallas_mesh.relax_mesh_fused_pallas_3d(
+          x3f, prev3f, cfg3f, link_loop=True)[0]
 
     _, t_m3f = _time(run_mesh3d_fused, repeats=2)
     results['mesh3d_fused_glups'] = round(

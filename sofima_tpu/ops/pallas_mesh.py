@@ -357,6 +357,112 @@ def elastic_mesh_3d_pallas(x: jnp.ndarray, k: float, stride,
   return out[:, :, :ny, :nx]
 
 
+def _slab_force_3d(up, mid, dn, k: float, stride,
+                   prefer_orig_order: bool) -> jnp.ndarray:
+  """26-link force on one y-slab from three y-shifted full-width blocks.
+
+  `up`/`mid`/`dn` are [3, Z+2, ty, Xp] blocks of the SAME padded mesh
+  shifted by ey = +1/0/-1 rows — y-neighbor access costs no halo
+  margins or wraparound fix-ups (the shifted copies are built once per
+  force call in XLA, ~3 HBM passes). z neighbors roll axis 1 (the NaN
+  z-guard planes absorb wraparound), x neighbors roll axis 3 (the
+  global NaN x-pad absorbs wraparound). Compute runs on exactly the
+  output block — no margin waste (the aligned-window kernel burns 3-5x
+  its tile in margin compute, capping it at ~1.45 GLUPS on v5e).
+  """
+  sx, sy, sz = (float(stride[0]), float(stride[1]), float(stride[2]))
+  zn, xn = mid.shape[1], mid.shape[3]
+  by_ey = {1: up, 0: mid, -1: dn}
+  acc = [jnp.zeros(mid.shape[1:], jnp.float32) for _ in range(3)]
+  for ey in (-1, 0, 1):
+    src = by_ey[ey]
+    for ez in (-1, 0, 1):
+      for ex in (-1, 0, 1):
+        if ex == 0 and ey == 0 and ez == 0:
+          continue
+        nbor = src
+        if ez:
+          nbor = pltpu.roll(nbor, (-ez) % zn, 1)
+        if ex:
+          nbor = pltpu.roll(nbor, (-ex) % xn, 3)
+        l0v = (np.float32(sx * ex), np.float32(sy * ey),
+               np.float32(sz * ez))
+        l0 = float(np.linalg.norm(l0v))
+        k_eff = k * sx / l0
+        d = [nbor[c] - mid[c] + l0v[c] for c in range(3)]
+        l = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+        inv_l = 1.0 / jnp.maximum(l, 1e-30)
+        e = (ex, ey, ez)
+        for c in range(3):
+          if prefer_orig_order:
+            fac = (float(e[c]) * jnp.sign(d[c]) if e[c] != 0 else 1.0)
+            f = k_eff * (1.0 - l0 * fac * inv_l) * d[c]
+          else:
+            f = k_eff * (1.0 - l0 * inv_l) * d[c]
+          acc[c] = acc[c] + jnp.nan_to_num(f, posinf=0.0, neginf=0.0)
+  return jnp.stack(acc)
+
+
+def _kernel_3d_slab(up_ref, mid_ref, dn_ref, out_ref, *, k, stride,
+                    prefer_orig_order, nz):
+  force = _slab_force_3d(up_ref[...], mid_ref[...], dn_ref[...], k,
+                         stride, prefer_orig_order)
+  out_ref[...] = jax.lax.slice_in_dim(force, 1, 1 + nz, axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=['k', 'stride', 'prefer_orig_order', 'tile_y',
+                     'interpret'])
+def elastic_mesh_3d_pallas_slab(x: jnp.ndarray, k: float, stride,
+                                prefer_orig_order: bool = False,
+                                tile_y: int = 8,
+                                interpret: bool = False) -> jnp.ndarray:
+  """Margin-free 3d mesh force: y-shifted copies + full-width y-slabs.
+
+  Contract of mesh.elastic_mesh_3d. Three y-shifted copies of the
+  padded mesh feed blocked full-width slabs, so the kernel computes on
+  exactly its output block (see _slab_force_3d). tile_y stays small so
+  the per-slab unrolled 26-link body fits the relay's compile helper
+  (the blowup scales with link count x block area — hardware-bisected).
+  """
+  if not hasattr(stride, '__len__'):
+    stride = (float(stride),) * 3
+  c, nz, ny, nx = x.shape
+  assert c == 3
+
+  pad_y = (-ny) % tile_y
+  pad_x = (-nx) % 128 or 128  # >=1 NaN column so x-rolls wrap into NaN
+  xp = jnp.pad(x.astype(jnp.float32),
+               ((0, 0), (1, 1), (0, pad_y), (0, pad_x)),
+               constant_values=np.nan)
+  yp = ny + pad_y
+  nan_row = jnp.full((3, nz + 2, 1, xp.shape[3]), jnp.nan, jnp.float32)
+  up = jnp.concatenate([xp[:, :, 1:], nan_row], axis=2)   # row y+1 at y
+  dn = jnp.concatenate([nan_row, xp[:, :, :-1]], axis=2)  # row y-1 at y
+  gy = yp // tile_y
+
+  spec = pl.BlockSpec((3, nz + 2, tile_y, xp.shape[3]),
+                      lambda iy: (0, 0, iy, 0),
+                      memory_space=pltpu.VMEM)
+  kernel = functools.partial(
+      _kernel_3d_slab, k=float(k),
+      stride=tuple(float(s) for s in stride),
+      prefer_orig_order=prefer_orig_order, nz=nz)
+  out = pl.pallas_call(
+      kernel,
+      grid=(gy,),
+      in_specs=[spec] * 3,
+      out_specs=pl.BlockSpec((3, nz, tile_y, xp.shape[3]),
+                             lambda iy: (0, 0, iy, 0),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((3, nz, yp, xp.shape[3]),
+                                     jnp.float32),
+      interpret=interpret,
+  )(up, xp, dn)
+  return out[:, :, :ny, :nx]
+
+
 def make_elastic_mesh_3d(tile: int = 128, interpret: bool = False,
                          link_loop: bool = False):
   """Returns a 3d mesh_force callable backed by the Pallas kernel.
@@ -544,22 +650,21 @@ def _roll_force_3d(xp: jnp.ndarray, k: float, stride,
 
   Roll-based twin of _force_tile_3d (same per-link constants
   k_eff = k * stride_x / l0); the NaN guard ring absorbs wraparound.
+  The rolls are FACTORED over the link lattice (z once per ez, y once
+  per (ez, ey), x per link): 26 rolls instead of 51 — pltpu.roll is a
+  real VMEM copy, and roll traffic is what bounds this kernel on v5e.
   """
   sx, sy, sz = (float(stride[0]), float(stride[1]), float(stride[2]))
   zn, yn, xn = xp.shape[1], xp.shape[2], xp.shape[3]
   acc = [jnp.zeros(xp.shape[1:], jnp.float32) for _ in range(3)]
   for ez in (-1, 0, 1):
+    xz = pltpu.roll(xp, (-ez) % zn, 1) if ez else xp
     for ey in (-1, 0, 1):
+      xy = pltpu.roll(xz, (-ey) % yn, 2) if ey else xz
       for ex in (-1, 0, 1):
         if ex == 0 and ey == 0 and ez == 0:
           continue
-        nbor = xp
-        if ez:
-          nbor = pltpu.roll(nbor, (-ez) % zn, 1)
-        if ey:
-          nbor = pltpu.roll(nbor, (-ey) % yn, 2)
-        if ex:
-          nbor = pltpu.roll(nbor, (-ex) % xn, 3)
+        nbor = pltpu.roll(xy, (-ex) % xn, 3) if ex else xy
         l0v = (np.float32(sx * ex), np.float32(sy * ey),
                np.float32(sz * ez))
         l0 = float(np.linalg.norm(l0v))

@@ -168,3 +168,35 @@ class TestElasticMesh3dLinkLoop:
           x, 0.1, (40.0, 30.0, 20.0), prefer_orig_order=poo,
           tile=16, interpret=True, link_loop=True)
       assert float(jnp.nanmax(jnp.abs(ref - got))) < 1e-4, poo
+
+  def test_slab_force_matches_xla(self):
+    # Margin-free slab formulation (y-shifted copies + full-width
+    # blocks): exact parity with the XLA 26-neighbor force.
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(3, 5, 20, 24).astype(np.float32) * 5)
+    for poo in (False, True):
+      ref = mesh.elastic_mesh_3d(x, 0.1, (40.0, 30.0, 20.0),
+                                 prefer_orig_order=poo)
+      got = pallas_mesh.elastic_mesh_3d_pallas_slab(
+          x, 0.1, (40.0, 30.0, 20.0), prefer_orig_order=poo, tile_y=4,
+          interpret=True)
+      assert float(jnp.nanmax(jnp.abs(ref - got))) < 1e-4, poo
+
+  def test_slab_force_inside_solver(self):
+    rng = np.random.RandomState(7)
+    prev = jnp.asarray(rng.randn(3, 4, 8, 10).astype(np.float32))
+    x0 = jnp.zeros_like(prev)
+    cfg = mesh.IntegrationConfig(
+        dt=0.001, gamma=0.0, k0=0.1, k=0.1, stride=(40.0, 40.0, 40.0),
+        num_iters=100, max_iters=400, stop_v_max=0.005, dt_max=100.0)
+
+    def slab_force(x, k, stride, prefer_orig_order=False, links=None):
+      del links
+      return pallas_mesh.elastic_mesh_3d_pallas_slab(
+          x, k, stride, prefer_orig_order, tile_y=4, interpret=True)
+
+    ref, _, _ = mesh.relax_mesh_fused(x0, prev, cfg,
+                                      mesh_force=mesh.elastic_mesh_3d)
+    got, _, _ = mesh.relax_mesh_fused(x0, prev, cfg,
+                                      mesh_force=slab_force)
+    assert float(jnp.nanmax(jnp.abs(ref - got))) < 1e-3
