@@ -553,9 +553,9 @@ def main():
   def stage_mesh3d():
     # Small aligned tiles: the compile helper handles the 26-link
     # unrolled force only on small windows (hardware-bisected — the
-    # blowup scales with links x window area); the halo read
-    # amplification at tile 16 is the price of compiling at all.
-    pallas_force3 = pallas_mesh.make_elastic_mesh_3d(tile=16)
+    # blowup scales with links x window area); tile 32 is the largest
+    # that compiles and the fastest measured (1.45 GLUPS; 64 crashes).
+    pallas_force3 = pallas_mesh.make_elastic_mesh_3d(tile=32)
 
     def run_mesh3d():
       return mesh.velocity_verlet(x3, v3, prev3, cfg3, force_cap=1e6,
