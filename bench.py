@@ -362,11 +362,16 @@ def main():
   # Config chosen by the round-4 hardware ablation (docs/ROADMAP.md
   # round-4 table): residual=6 shrinks the render lattice
   # ((2*residual + taps)^2 per pixel) for +6% at unchanged ground-truth
-  # error; fine_patch=64 measured NO speedup (the fine-pass window DMA
-  # + peak chain, not the O(edge^3) correlation, bounds the targeted
-  # kernel at this size) and worse error (3.11 -> 3.45), so it stays
-  # off; fine_patch=48 broke the 3.5 quality gate (4.11).
+  # error; num_iters=250 solve chunks let the on-device while_loop exit
+  # at the first converged boundary (+1%, identical error, no
+  # overflow); fine_patch=64 measured NO speedup (the fine-pass window
+  # DMA + peak chain, not the O(edge^3) correlation, bounds the
+  # targeted kernel at this size) and worse error (3.11 -> 3.45), so it
+  # stays off; fine_patch=48 broke the 3.5 quality gate (4.11).
+  import dataclasses as _dc_cfg
   pcfg = stack_align.StackAlignConfig(max_displacement=128, residual=6)
+  pcfg = _dc_cfg.replace(pcfg, mesh=_dc_cfg.replace(pcfg.mesh,
+                                                    num_iters=250))
   grid_nn = n // pcfg.stride
   stack_j = jnp.stack(stack_list)
   # Free every large device buffer except the stack itself — the
@@ -451,6 +456,47 @@ def main():
         (n_z - 1) * n * n / sorted(ts)[1] / 1e6, 1)
 
   _guard(results, 'pipeline_stepwise', stage_pipeline_stepwise)
+
+  # Envelope-relaxed variant (informational): residual=4 + 250-iter
+  # solve chunks runs ~9% faster at IDENTICAL interior error, but its
+  # tiled-render plan flags envelope overflow on a few border tiles
+  # (their extreme pixels render as zeros outside the measured
+  # interior), so it stays off the gated headline.
+  def stage_pipeline_tight():
+    import dataclasses as _dc
+    cfg_t = stack_align.StackAlignConfig(
+        max_displacement=128, residual=4,
+        mesh=_dc.replace(stack_align.StackAlignConfig().mesh,
+                         num_iters=250))
+
+    def run_tight():
+      rendered, _, ovf = stack_align.align_stack_pipelined(
+          stack_j, cfg_t, out_dtype=jnp.uint8)
+
+      def stats_one(r_u8):
+        r = r_u8.astype(jnp.float32)
+        base_i = stack_j[0][inter].astype(jnp.float32)
+        return (jnp.sum(r[::97, ::97]),
+                jnp.mean(jnp.abs(r[inter] - base_i)))
+
+      sums, errs = jax.lax.map(stats_one, rendered[1:])
+      return jnp.sum(sums), jnp.max(errs), ovf
+
+    acc_t, err_t, ovf_t = run_tight()
+    float(acc_t)
+    ts = []
+    for _ in range(3):
+      t0 = time.perf_counter()
+      acc_t, err_t, ovf_t = run_tight()
+      float(acc_t)
+      ts.append(time.perf_counter() - t0)
+    t_med = sorted(ts)[1]
+    results['pipeline_tight_mpix_s'] = round(
+        (n_z - 1) * n * n / t_med / 1e6, 1)
+    results['pipeline_tight_max_err'] = round(float(err_t), 2)
+    results['pipeline_tight_overflow'] = bool(ovf_t)
+
+  _guard(results, 'pipeline_tight', stage_pipeline_tight)
 
   # ---- ESTIMATE MISSING FLOW: host-orchestrated retry stage. -------------
   # Small scale: the stage is host-loop + relay-latency bound in this dev
