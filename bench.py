@@ -248,6 +248,30 @@ def main():
   mpix_s = (n * n) / (t_flow + t_warp) / 1e6
   results['combined_mpix_s'] = round(mpix_s, 1)
 
+  # Separable two-pass render (round 4): same plan, O(rx + ry) weight
+  # evals per pixel instead of O(ry * rx); approximate for dx varying
+  # along y (first-order-corrected attribution) — gated below on mean
+  # agreement with the exact kernel.
+  if use_tiled:
+    def run_warp_2p():
+      dense = interp.upsample_map_linear(abs_map_j, stride, (0, 0),
+                                         (n, n))
+      coords = jnp.stack([dense[1], dense[0]])[None]
+      return pallas_warp.pallas_shift_warp_tiled(
+          post[None], coords, bases_j, 'lanczos',
+          *plan['residual_bounds'], *plan['base_bounds'], *plan['tile'],
+          two_pass=True)
+
+    warped_2p, t_warp_2p = _time(run_warp_2p)
+    inter_w = np.s_[64:-64, 64:-64]
+    d2p = jnp.abs(warped_2p[0][inter_w] - warped[0][inter_w])
+    results['warp_two_pass_s'] = round(t_warp_2p, 3)
+    results['warp_two_pass_mean_diff'] = round(float(jnp.mean(d2p)), 4)
+    results['warp_two_pass_max_diff'] = round(float(jnp.max(d2p)), 3)
+    results['combined_two_pass_mpix_s'] = round(
+        (n * n) / (t_flow + t_warp_2p) / 1e6, 1)
+    del warped_2p, d2p
+
   # ---- 3D RENDER: shift-decomposed trilinear warp (StitchAndRender path).
   vol = jax.device_put(rng.rand(64, 1024, 1024).astype(np.float32))
   zz, yy, xx = np.mgrid[0:64, 0:1024, 0:1024].astype(np.float32)
@@ -359,17 +383,21 @@ def main():
     stack_list.append(
         make_section(jax.device_put(np.stack([dyz, dxz]))))
 
-  # Config chosen by the round-4 hardware ablation (docs/ROADMAP.md
-  # round-4 table): residual=6 shrinks the render lattice
+  # Config chosen by the round-4 hardware ablations (docs/ROADMAP.md
+  # round-4 tables): residual=6 shrinks the render lattice
   # ((2*residual + taps)^2 per pixel) for +6% at unchanged ground-truth
   # error; num_iters=250 solve chunks let the on-device while_loop exit
   # at the first converged boundary (+1%, identical error, no
-  # overflow); fine_patch=64 measured NO speedup (the fine-pass window
-  # DMA + peak chain, not the O(edge^3) correlation, bounds the
-  # targeted kernel at this size) and worse error (3.11 -> 3.45), so it
-  # stays off; fine_patch=48 broke the 3.5 quality gate (4.11).
+  # overflow); render_two_pass runs the separable O(rx + ry) render
+  # kernel (+18%, ground-truth error identical at 3.113 — the separable
+  # approximation is invisible next to the flow/solve error budget);
+  # fine_patch=64 measured NO speedup (the fine-pass window DMA + peak
+  # chain, not the O(edge^3) correlation, bounds the targeted kernel at
+  # this size) and worse error (3.11 -> 3.45), so it stays off;
+  # fine_patch=48 broke the 3.5 quality gate (4.11).
   import dataclasses as _dc_cfg
-  pcfg = stack_align.StackAlignConfig(max_displacement=128, residual=6)
+  pcfg = stack_align.StackAlignConfig(max_displacement=128, residual=6,
+                                      render_two_pass=True)
   pcfg = _dc_cfg.replace(pcfg, mesh=_dc_cfg.replace(pcfg.mesh,
                                                     num_iters=250))
   grid_nn = n // pcfg.stride
@@ -649,6 +677,8 @@ def main():
           results.get('warp_vs_gather_err', 9.9) <= 1.0,
       'flow_masked_valid_frac >= 0.5':
           results.get('flow_masked_valid_frac', 0.0) >= 0.5,
+      'warp_two_pass_mean_diff <= 0.05':
+          results.get('warp_two_pass_mean_diff', 0.0) <= 0.05,
   }
   failed = sorted(name for name, ok in gates.items() if not ok)
   results['gates_failed'] = failed

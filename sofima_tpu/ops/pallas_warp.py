@@ -263,6 +263,110 @@ def _warp_tiled_kernel(bases_ref, coords_ref, img_hbm, out_ref, window,
   out_ref[0, 0] = acc
 
 
+def _warp_tiled_sep_kernel(bases_ref, coords_ref, img_hbm, out_ref,
+                           window, sem, *, method, sy0, ry, sx0, rx,
+                           tile_y, tile_x, win_r, win_c, origin_y,
+                           origin_x, pad_top, pad_lft, ntx):
+  """Two-pass separable variant of _warp_tiled_kernel.
+
+  Factors the (ry x rx) shift lattice into an x-pass over the window's
+  source rows followed by a y-pass over the filtered rows:
+  O(rx + ry) weight-evals + MACs per pixel instead of O(ry * rx) —
+  at residual=6 Lanczos4 that is 40 vs 400, and each eval carries a
+  VPU divide.
+
+  The factorization is approximate for dx fields that vary along y:
+  the exact tensor product applies the OUTPUT pixel's x-weights on
+  every source row of its y-tap stencil, while the x-pass here filters
+  each source row once, with the x-weights of the output row it
+  dominantly serves (window row r serves output rows r - i with the
+  weight mass near i ~ -sy0, so row r borrows dx[clamp(r + sy0)] via
+  edge extension). The sampled x-position thus differs from the exact
+  kernel by |ddx/dy| * O(taps/2 + residual) pixels — zero when dx is
+  constant along y, and sub-0.1 px for mesh-smooth alignment maps
+  (gate: tests/test_pallas_warp.py two-pass bounds). A non-finite
+  coordinate dims its y-neighbors within the tap window instead of
+  staying pixel-local, and the caller pads coords by edge-replication
+  (not the 1e9 sentinel) so border tiles stay clean — use the exact
+  kernel when NaN locality matters.
+  """
+  z = pl.program_id(0)
+  iy = pl.program_id(1)
+  ix = pl.program_id(2)
+  bidx = (iy * ntx + ix) * 2
+  by = bases_ref[z, bidx]
+  bx = bases_ref[z, bidx + 1]
+
+  row_raw = pad_top + origin_y + iy * tile_y + by + sy0
+  col_raw = pad_lft + origin_x + ix * tile_x + bx + sx0
+  row_al = (row_raw // 8) * 8
+  col_al = (col_raw // 128) * 128
+  off_y = row_raw - row_al
+  off_x = col_raw - col_al
+  copy = pltpu.make_async_copy(
+      img_hbm.at[z, pl.ds(row_al, win_r), pl.ds(col_al, win_c)], window,
+      sem)
+  copy.start()
+
+  gy = (jax.lax.broadcasted_iota(jnp.int32, (tile_y, tile_x), 0)
+        .astype(jnp.float32) + (iy * tile_y + origin_y))
+  gx = (jax.lax.broadcasted_iota(jnp.int32, (tile_y, tile_x), 1)
+        .astype(jnp.float32) + (ix * tile_x + origin_x))
+  dy = coords_ref[0, 0] - gy - by.astype(jnp.float32)
+  dx = coords_ref[0, 1] - gx - bx.astype(jnp.float32)
+
+  # dx at source rows: window row r <- dx[clamp(r + sy0, 0, tile_y-1)],
+  # first-order-corrected for the y-tap stencil's center: the weight
+  # mass of output row t sits at source row ~ t + dy(t), so row r
+  # dominantly serves t ~ (r + sy0) - dy; borrow dx there via
+  # dx - dy * ddx/dy instead of a per-pixel row gather. This cancels
+  # the dy-proportional part of the attribution error, leaving the
+  # irreducible +-taps/2 stencil spread.
+  d_up = jnp.concatenate([dx[0:1], dx[:tile_y - 1]], 0)
+  d_dn = jnp.concatenate([dx[1:], dx[tile_y - 1:tile_y]], 0)
+  dx_corr = dx - dy * ((d_dn - d_up) * 0.5)
+  wr = tile_y + ry - 1
+  top_n = -sy0
+  bot_n = ry - 1 + sy0
+  parts = []
+  if top_n > 0:
+    parts.append(jnp.broadcast_to(dx_corr[0:1], (top_n, tile_x)))
+  parts.append(dx_corr)
+  if bot_n > 0:
+    parts.append(jnp.broadcast_to(dx_corr[tile_y - 1:tile_y],
+                                  (bot_n, tile_x)))
+  dx_ext = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+
+  planes_y = _weight_planes(dy, method)
+  planes_x = _weight_planes(dx_ext, method)
+
+  copy.wait()
+  win = window[:]
+  win = pltpu.roll(win, (win_r - off_y) % win_r, 0)
+  win = pltpu.roll(win, (win_c - off_x) % win_c, 1)
+
+  # x-pass: filter every source row once -> [wr, tile_x].
+  u = jnp.zeros((wr, tile_x), jnp.float32)
+  norm_x = jnp.zeros((wr, tile_x), jnp.float32)
+  for j in range(rx):
+    w_x = _weight_at(dx_ext, planes_x, sx0 + j, method)
+    norm_x = norm_x + w_x
+    u = u + w_x * jax.lax.slice(win, (0, j), (wr, j + tile_x))
+  if method == 'lanczos':
+    u = u / jnp.maximum(norm_x, 1e-12)
+
+  # y-pass over the filtered rows -> [tile_y, tile_x].
+  acc = jnp.zeros((tile_y, tile_x), jnp.float32)
+  norm_y = jnp.zeros((tile_y, tile_x), jnp.float32)
+  for i in range(ry):
+    w_y = _weight_at(dy, planes_y, sy0 + i, method)
+    norm_y = norm_y + w_y
+    acc = acc + w_y * jax.lax.slice(u, (i, 0), (i + tile_y, tile_x))
+  if method == 'lanczos':
+    acc = acc / jnp.maximum(norm_y, 1e-12)
+  out_ref[0, 0] = acc
+
+
 def _warp_tiled_pruned_kernel(bases_ref, tb_ref, coords_ref, img_hbm,
                               out_ref, window, acc_ref, inner_ref,
                               ny_ref, nx_ref, sem, *, method, sy0, ry,
@@ -376,7 +480,8 @@ def _warp_tiled_pruned_kernel(bases_ref, tb_ref, coords_ref, img_hbm,
     jax.jit,
     static_argnames=['method', 'ry_lo', 'ry_hi', 'rx_lo', 'rx_hi',
                      'by_lo', 'by_hi', 'bx_lo', 'bx_hi', 'tile_y',
-                     'tile_x', 'origin_y', 'origin_x', 'interpret'])
+                     'tile_x', 'origin_y', 'origin_x', 'interpret',
+                     'two_pass'])
 def pallas_shift_warp_tiled(
     images: jnp.ndarray,
     coords: jnp.ndarray,
@@ -388,6 +493,7 @@ def pallas_shift_warp_tiled(
     origin_y: int = 0, origin_x: int = 0,
     interpret: bool = False,
     tile_bounds: jnp.ndarray | None = None,
+    two_pass: bool = False,
 ) -> jnp.ndarray:
   """Warps [z, h, w] images with per-tile base displacements, in VMEM.
 
@@ -406,10 +512,17 @@ def pallas_shift_warp_tiled(
       bounds (y_lo, y_hi, x_lo, x_hi) from the plan; when given, the
       static bounds act as an envelope and each tile sweeps only its own
       (pruned) tap range — exact, since skipped taps have zero weight
+    two_pass: run the separable two-pass kernel — O(rx + ry) instead of
+      O(ry * rx) work per pixel, approximate for dx varying along y
+      (see _warp_tiled_sep_kernel; error ~ |ddx/dy| * (taps/2 +
+      residual) px sampling offset, zero for y-constant dx). Not
+      combinable with tile_bounds.
 
   Returns:
     [z, oy, ox] warped output (0 outside image/bounds/NaN coords)
   """
+  if two_pass and tile_bounds is not None:
+    raise ValueError('two_pass and tile_bounds are mutually exclusive')
   nz, oy, ox = coords.shape[0], coords.shape[2], coords.shape[3]
   assert tile_y % 8 == 0 and tile_x % 128 == 0, (tile_y, tile_x)
   left = _LEFT[method]
@@ -437,10 +550,16 @@ def pallas_shift_warp_tiled(
   padded = jnp.pad(images.astype(jnp.float32),
                    ((0, 0), (pad_top, pad_bot), (pad_lft, pad_rgt)))
 
-  coords_pad = jnp.pad(
-      jnp.nan_to_num(coords.astype(jnp.float32), nan=1e9),
-      ((0, 0), (0, 0), (0, nty * tile_y - oy), (0, ntx * tile_x - ox)),
-      constant_values=1e9)
+  pad_spec = ((0, 0), (0, 0), (0, nty * tile_y - oy),
+              (0, ntx * tile_x - ox))
+  coords_nn = jnp.nan_to_num(coords.astype(jnp.float32), nan=1e9)
+  if two_pass:
+    # Edge replication: the padded output region is cropped anyway, and
+    # the sep kernel's dx row-extension must not borrow the 1e9
+    # sentinel at the image border (it would zero real border rows).
+    coords_pad = jnp.pad(coords_nn, pad_spec, mode='edge')
+  else:
+    coords_pad = jnp.pad(coords_nn, pad_spec, constant_values=1e9)
 
   bases_flat = bases.astype(jnp.int32).reshape(nz, nty * ntx * 2)
   common = dict(method=method, sy0=sy0, ry=ry, sx0=sx0, rx=rx,
@@ -455,7 +574,9 @@ def pallas_shift_warp_tiled(
   ]
   scratch = [pltpu.VMEM((win_r, win_c), jnp.float32)]
   if tile_bounds is None:
-    kernel = functools.partial(_warp_tiled_kernel, **common)
+    kernel = functools.partial(
+        _warp_tiled_sep_kernel if two_pass else _warp_tiled_kernel,
+        **common)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + data_specs
     inputs = (bases_flat, coords_pad, padded)
   else:

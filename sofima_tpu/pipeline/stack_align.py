@@ -74,6 +74,11 @@ class StackAlignConfig:
   max_displacement: int = 96
   residual: int = 8
   method: str = 'lanczos'
+  # Separable two-pass render: O(rx + ry) instead of O(ry * rx) weight
+  # evals + MACs per pixel. Approximate for dx varying along y (sampled
+  # x-position off by ~|ddx/dy| * (taps/2 + residual) px — sub-0.1 px
+  # for mesh-smooth maps; see ops.pallas_warp._warp_tiled_sep_kernel).
+  render_two_pass: bool = False
   # Newton refinement iterations for the map inversion (folds cannot
   # occur in a freshly-relaxed smooth mesh, so a few suffice).
   invert_newton_iters: int = 4
@@ -197,7 +202,7 @@ def _render_phase(sec_cur, rel_inv, inv_abs, cfg: StackAlignConfig):
   rendered = pallas_warp.pallas_shift_warp_tiled(
       sec_cur.astype(jnp.float32)[None], coords, dplan['bases'],
       cfg.method, *env_r, *env_b, *dplan['tile'],
-      interpret=interpret)[0]
+      interpret=interpret, two_pass=cfg.render_two_pass)[0]
   return rendered, dplan['overflow']
 
 
