@@ -403,21 +403,112 @@ def _slab_force_3d(up, mid, dn, k: float, stride,
   return jnp.stack(acc)
 
 
+def _link_force_3d(base, nbor, e, k: float, stride,
+                   prefer_orig_order: bool) -> jnp.ndarray:
+  """Stacked [3, ...] spring force of ONE link family on `base` nodes.
+
+  `base`/`nbor` are [3, ...] position blocks; `e = (ex, ey, ez)` the
+  link direction in grid steps. NaN endpoints contribute zero.
+  """
+  sx, sy, sz = (float(stride[0]), float(stride[1]), float(stride[2]))
+  ex, ey, ez = e
+  l0v = (np.float32(sx * ex), np.float32(sy * ey), np.float32(sz * ez))
+  l0 = float(np.linalg.norm(l0v))
+  k_eff = k * sx / l0
+  d = [nbor[c] - base[c] + l0v[c] for c in range(3)]
+  l = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+  inv_l = 1.0 / jnp.maximum(l, 1e-30)
+  out = []
+  for c in range(3):
+    if prefer_orig_order:
+      fac = (float(e[c]) * jnp.sign(d[c]) if e[c] != 0 else 1.0)
+      f = k_eff * (1.0 - l0 * fac * inv_l) * d[c]
+    else:
+      f = k_eff * (1.0 - l0 * inv_l) * d[c]
+    out.append(jnp.nan_to_num(f, posinf=0.0, neginf=0.0))
+  return jnp.stack(out)
+
+
+# Half of the 26 link directions: all nine with ey = +1 plus four of
+# the eight in-row (ey = 0) families. Each remaining direction is the
+# negation of exactly one entry.
+_HALF_LINKS_3D = tuple(
+    [(ex, 1, ez) for ez in (-1, 0, 1) for ex in (-1, 0, 1)]
+    + [(1, 0, 0), (1, 0, 1), (1, 0, -1), (0, 0, 1)])
+
+
+def _slab_force_3d_sym(up, mid, dn, k: float, stride,
+                       prefer_orig_order: bool) -> jnp.ndarray:
+  """26-link slab force via Newton's-third-law link sharing.
+
+  Same contract as _slab_force_3d, but each +-e link PAIR shares one
+  sqrt/div chain: the +e force field f_e is computed once, accumulated
+  on its base nodes, and its reaction (-f_e at the +e-shifted nodes)
+  accumulated via rolled copies — exact, including prefer_orig_order
+  (negating e negates d, so e[c]*sign(d[c]) is invariant and the force
+  is exactly antisymmetric). 13 + 9/tile_y chains instead of 26; the
+  kernel is VPU-math-bound (all data-movement reformulations measured
+  1.40-1.45 GLUPS), so halving the link math is the lever that moves
+  it.
+
+  Reaction wraparound rides the same NaN guards as the forward rolls
+  (f_e is zero wherever an endpoint is NaN: guard z-planes, the x NaN
+  pad, and the global y NaN rows). The y+1 shift cannot stay in-block
+  for its first row, so that row's reaction is recomputed directly
+  from `dn` (a [.., 1, xn] chain — 1/tile_y of a full one).
+  """
+  zn, xn = mid.shape[1], mid.shape[3]
+  acc = jnp.zeros((3,) + mid.shape[1:], jnp.float32)
+  for e in _HALF_LINKS_3D:
+    ex, ey, ez = e
+    src = up if ey else mid
+    nbor = src
+    if ez:
+      nbor = pltpu.roll(nbor, (-ez) % zn, 1)
+    if ex:
+      nbor = pltpu.roll(nbor, (-ex) % xn, 3)
+    f = _link_force_3d(mid, nbor, e, k, stride, prefer_orig_order)
+    acc = acc + f
+    r = f
+    if ez:
+      r = pltpu.roll(r, ez % zn, 1)
+    if ex:
+      r = pltpu.roll(r, ex % xn, 3)
+    if ey:
+      # Row 0's reaction partner lives in the previous slab: recompute
+      # f_e there from the y-1 shifted copy (base x(y0-1+(-ez,-ex))
+      # arrives by rolling dn's first row by +e in z/x).
+      dn_row = jax.lax.slice_in_dim(dn, 0, 1, axis=2)
+      if ez:
+        dn_row = pltpu.roll(dn_row, ez % zn, 1)
+      if ex:
+        dn_row = pltpu.roll(dn_row, ex % xn, 3)
+      g = _link_force_3d(dn_row, jax.lax.slice_in_dim(mid, 0, 1, axis=2),
+                         e, k, stride, prefer_orig_order)
+      r = jnp.concatenate(
+          [g, jax.lax.slice_in_dim(r, 0, r.shape[2] - 1, axis=2)],
+          axis=2)
+    acc = acc - r
+  return acc
+
+
 def _kernel_3d_slab(up_ref, mid_ref, dn_ref, out_ref, *, k, stride,
-                    prefer_orig_order, nz):
-  force = _slab_force_3d(up_ref[...], mid_ref[...], dn_ref[...], k,
-                         stride, prefer_orig_order)
+                    prefer_orig_order, nz, symmetric=False):
+  force_fn = _slab_force_3d_sym if symmetric else _slab_force_3d
+  force = force_fn(up_ref[...], mid_ref[...], dn_ref[...], k,
+                   stride, prefer_orig_order)
   out_ref[...] = jax.lax.slice_in_dim(force, 1, 1 + nz, axis=1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=['k', 'stride', 'prefer_orig_order', 'tile_y',
-                     'interpret'])
+                     'interpret', 'symmetric'])
 def elastic_mesh_3d_pallas_slab(x: jnp.ndarray, k: float, stride,
                                 prefer_orig_order: bool = False,
                                 tile_y: int = 8,
-                                interpret: bool = False) -> jnp.ndarray:
+                                interpret: bool = False,
+                                symmetric: bool = False) -> jnp.ndarray:
   """Margin-free 3d mesh force: y-shifted copies + full-width y-slabs.
 
   Contract of mesh.elastic_mesh_3d. Three y-shifted copies of the
@@ -448,7 +539,7 @@ def elastic_mesh_3d_pallas_slab(x: jnp.ndarray, k: float, stride,
   kernel = functools.partial(
       _kernel_3d_slab, k=float(k),
       stride=tuple(float(s) for s in stride),
-      prefer_orig_order=prefer_orig_order, nz=nz)
+      prefer_orig_order=prefer_orig_order, nz=nz, symmetric=symmetric)
   out = pl.pallas_call(
       kernel,
       grid=(gy,),
@@ -683,29 +774,32 @@ def _roll_force_3d(xp: jnp.ndarray, k: float, stride,
   return jnp.stack(acc)
 
 
-def _link_table_3d(stride, k: float):
+def _link_table_3d(stride, k: float, half: bool = False):
   """Static per-link tables for the 26-neighbor force: [26, 3] e and
-  l0 components, plus k_eff — one row per direction."""
+  l0 components, plus k_eff — one row per direction. `half=True`
+  returns only the 13 _HALF_LINKS_3D rows (one per +-e pair, for the
+  Newton's-third-law shared-chain force)."""
   sx, sy, sz = (float(stride[0]), float(stride[1]), float(stride[2]))
+  if half:
+    dirs = list(_HALF_LINKS_3D)
+  else:
+    dirs = [(ex, ey, ez) for ez in (-1, 0, 1) for ey in (-1, 0, 1)
+            for ex in (-1, 0, 1) if (ex, ey, ez) != (0, 0, 0)]
   es, l0vs, keffs = [], [], []
-  for ez in (-1, 0, 1):
-    for ey in (-1, 0, 1):
-      for ex in (-1, 0, 1):
-        if ex == 0 and ey == 0 and ez == 0:
-          continue
-        l0v = (sx * ex, sy * ey, sz * ez)
-        l0 = float(np.linalg.norm(l0v))
-        es.append((ex, ey, ez))
-        l0vs.append(l0v)
-        keffs.append(k * sx / l0)
+  for ex, ey, ez in dirs:
+    l0v = (sx * ex, sy * ey, sz * ez)
+    l0 = float(np.linalg.norm(l0v))
+    es.append((ex, ey, ez))
+    l0vs.append(l0v)
+    keffs.append(k * sx / l0)
   return (np.asarray(es, np.float32), np.asarray(l0vs, np.float32),
           np.asarray(keffs, np.float32))
 
 
-def _link_tables_np(stride, k: float):
-  """Kernel-input link tables: (e f32 [26,3], e i32 [26,3], l0v f32
-  [26,3], [k_eff; l0] f32 [2, 26])."""
-  e_np, l0v_np, keff_np = _link_table_3d(stride, k)
+def _link_tables_np(stride, k: float, half: bool = False):
+  """Kernel-input link tables: (e f32 [n,3], e i32 [n,3], l0v f32
+  [n,3], [k_eff; l0] f32 [2, n]); n = 13 if `half` else 26."""
+  e_np, l0v_np, keff_np = _link_table_3d(stride, k, half=half)
   l0_np = np.linalg.norm(l0v_np, axis=1).astype(np.float32)
   return (e_np, e_np.astype(np.int32), l0v_np,
           np.stack([keff_np, l0_np]))
@@ -713,7 +807,8 @@ def _link_tables_np(stride, k: float):
 
 def _roll_force_3d_loop(xp: jnp.ndarray, k: float, stride,
                         prefer_orig_order: bool,
-                        tables=None) -> jnp.ndarray:
+                        tables=None,
+                        symmetric: bool = False) -> jnp.ndarray:
   """26-neighbor force as a fori_loop over link directions.
 
   Functionally identical to `_roll_force_3d`, but the 26 link bodies
@@ -724,10 +819,20 @@ def _roll_force_3d_loop(xp: jnp.ndarray, k: float, stride,
   be passed in as kernel inputs (`tables` = the `_link_tables_np`
   quadruple as SMEM REFS — indexed per element below, because SMEM
   only supports scalar loads); pallas_call rejects captured constants.
+
+  `symmetric=True` loops over the 13 _HALF_LINKS_3D directions
+  (`tables` must then be the half tables) and accumulates each link
+  pair's reaction by rolling the force field by +e — Newton's third
+  law shares one sqrt/div chain per pair, exactly (see
+  _slab_force_3d_sym). No boundary fix-ups are needed here: the array
+  carries NaN guards on every axis, a nonzero f_e never sits where its
+  reaction roll would wrap (both endpoints must be real, unwrapped
+  nodes), so wrapped reaction reads are always zero.
   """
   zn, yn, xn = xp.shape[1], xp.shape[2], xp.shape[3]
   if tables is None:
-    tables = tuple(jnp.asarray(t) for t in _link_tables_np(stride, k))
+    tables = tuple(jnp.asarray(t)
+                   for t in _link_tables_np(stride, k, half=symmetric))
   e_t, e_i, l0v_t, kl0_t = tables
 
   def body(i, acc):
@@ -752,18 +857,29 @@ def _roll_force_3d_loop(xp: jnp.ndarray, k: float, stride,
         f = k_eff * (1.0 - l0 * fac * inv_l) * d[c]
       else:
         f = k_eff * (1.0 - l0 * inv_l) * d[c]
-      outs.append(acc[c] + jnp.nan_to_num(f, posinf=0.0, neginf=0.0))
-    return jnp.stack(outs)
+      outs.append(jnp.nan_to_num(f, posinf=0.0, neginf=0.0))
+    f_st = jnp.stack(outs)
+    acc = acc + f_st
+    if symmetric:
+      rz = jax.lax.rem(jnp.int32(zn) + e_i[i, 2], jnp.int32(zn))
+      ry = jax.lax.rem(jnp.int32(yn) + e_i[i, 1], jnp.int32(yn))
+      rx = jax.lax.rem(jnp.int32(xn) + e_i[i, 0], jnp.int32(xn))
+      r = pltpu.roll(f_st, rz, 1)
+      r = pltpu.roll(r, ry, 2)
+      r = pltpu.roll(r, rx, 3)
+      acc = acc - r
+    return acc
 
   acc0 = jnp.zeros((3,) + xp.shape[1:], jnp.float32)
-  return jax.lax.fori_loop(0, 26, body, acc0)
+  return jax.lax.fori_loop(0, 13 if symmetric else 26, body, acc0)
 
 
 @functools.partial(jax.jit, static_argnames=['config', 'interpret',
-                                             'link_loop'])
+                                             'link_loop', 'symmetric'])
 def relax_mesh_fused_pallas_3d(x: jnp.ndarray, prev: jnp.ndarray | None,
                                config, interpret: bool = False,
-                               link_loop: bool = False):
+                               link_loop: bool = False,
+                               symmetric: bool = False):
   """VMEM-resident fused FIRE solver for 3d grids ([3, z, y, x]).
 
   The 3d multi-step-per-launch solver: every FIRE step's 26-neighbor
@@ -807,7 +923,8 @@ def relax_mesh_fused_pallas_3d(x: jnp.ndarray, prev: jnp.ndarray | None,
       if hasattr(config.stride, '__len__') else (float(config.stride),) * 3
   if link_loop:
     inputs.extend(
-        jnp.asarray(t) for t in _link_tables_np(stride_t, config.k))
+        jnp.asarray(t)
+        for t in _link_tables_np(stride_t, config.k, half=symmetric))
 
   def kernel(x_ref, prev_ref, *rest):
     from sofima_tpu import mesh as mesh_lib
@@ -829,7 +946,7 @@ def relax_mesh_fused_pallas_3d(x: jnp.ndarray, prev: jnp.ndarray | None,
       s = stride if hasattr(stride, '__len__') else (stride,) * 3
       if link_loop:
         return _roll_force_3d_loop(xv, k, s, prefer_orig_order,
-                                   tables=tables)
+                                   tables=tables, symmetric=symmetric)
       return _roll_force_3d(xv, k, s, prefer_orig_order)
 
     force, _, fire_step = mesh_lib._make_step_fns(config, force_fn, None)

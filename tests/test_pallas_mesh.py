@@ -154,6 +154,27 @@ class TestFusedFireSolver:
     b, _, _ = pallas_mesh.relax_mesh_fused_pallas_3d(
         x0, prev, cfg, interpret=True, link_loop=True)
     assert float(jnp.nanmax(jnp.abs(a - b))) < 1e-4
+    # Symmetric (13 half-links + reaction rolls) must match too.
+    c, _, _ = pallas_mesh.relax_mesh_fused_pallas_3d(
+        x0, prev, cfg, interpret=True, link_loop=True, symmetric=True)
+    assert float(jnp.nanmax(jnp.abs(a - c))) < 1e-4
+
+  def test_roll_force_loop_symmetric_matches(self):
+    # Direct force parity of the half-link (Newton's-third-law) loop
+    # body vs the full 26-link loop on a NaN-guard-ringed array,
+    # including missing interior nodes and prefer_orig_order.
+    rng = np.random.RandomState(5)
+    x = rng.randn(3, 6, 14, 18).astype(np.float32) * 5
+    x[:, 3, 5, 7] = np.nan
+    xp = np.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1)),
+                constant_values=np.nan)
+    xp = jnp.asarray(xp)
+    for poo in (False, True):
+      ref = pallas_mesh._roll_force_3d_loop(
+          xp, 0.1, (40.0, 30.0, 20.0), poo)
+      got = pallas_mesh._roll_force_3d_loop(
+          xp, 0.1, (40.0, 30.0, 20.0), poo, symmetric=True)
+      assert float(jnp.nanmax(jnp.abs(ref - got))) < 1e-4, poo
 
 
 class TestElasticMesh3dLinkLoop:
@@ -180,6 +201,22 @@ class TestElasticMesh3dLinkLoop:
       got = pallas_mesh.elastic_mesh_3d_pallas_slab(
           x, 0.1, (40.0, 30.0, 20.0), prefer_orig_order=poo, tile_y=4,
           interpret=True)
+      assert float(jnp.nanmax(jnp.abs(ref - got))) < 1e-4, poo
+
+  def test_slab_force_symmetric_matches_xla(self):
+    # Newton's-third-law link sharing (13 + boundary chains instead of
+    # 26): exact parity with the XLA 26-neighbor force, including NaN
+    # nodes and prefer_orig_order.
+    rng = np.random.RandomState(8)
+    x = rng.randn(3, 5, 20, 24).astype(np.float32) * 5
+    x[:, 2, 7:9, 3] = np.nan  # missing nodes exercise the guards
+    x = jnp.asarray(x)
+    for poo in (False, True):
+      ref = mesh.elastic_mesh_3d(x, 0.1, (40.0, 30.0, 20.0),
+                                 prefer_orig_order=poo)
+      got = pallas_mesh.elastic_mesh_3d_pallas_slab(
+          x, 0.1, (40.0, 30.0, 20.0), prefer_orig_order=poo, tile_y=4,
+          interpret=True, symmetric=True)
       assert float(jnp.nanmax(jnp.abs(ref - got))) < 1e-4, poo
 
   def test_slab_force_inside_solver(self):
