@@ -1068,7 +1068,7 @@ def dense_flow_field(
     static_argnames=['patch_size', 'step', 'coarse_step', 'fine_patch',
                      'batch_size', 'bf16', 'max_displacement', 'residual',
                      'min_distance', 'threshold_rel', 'peak_radius',
-                     'return_overflow'])
+                     'return_overflow', 'peak_crop'])
 def coarse_to_fine_flow(
     pre_image: jnp.ndarray,
     post_image: jnp.ndarray,
@@ -1086,6 +1086,7 @@ def coarse_to_fine_flow(
     threshold_rel: float = 0.5,
     peak_radius: int = 5,
     return_overflow: bool = False,
+    peak_crop: int | None = None,
 ) -> jnp.ndarray:
   """Coarse-to-fine dense flow: same grid as `dense_flow_field`, ~2x faster.
 
@@ -1113,7 +1114,12 @@ def coarse_to_fine_flow(
   Static envelopes: |coarse flow| is clipped to `max_displacement`, and
   the intermediate warp's per-tile residual lattice is bounded by
   `residual` (local variation of the coarse field across a warp tile —
-  raise it for very high-frequency deformations).
+  raise it for very high-frequency deformations). `peak_crop` (even,
+  unmasked targeted path only) additionally restricts the FINE peak
+  search to the centered [peak_crop, peak_crop] correlation core via
+  pre-sliced inverse-DFT matrices (see
+  pallas_flow.dense_flow_peaks_targeted) — size it well above the
+  expected fine residual (>= 4x `residual` is safe in practice).
 
   With `return_overflow=True` also returns a bool scalar flagging that
   a static envelope was exceeded somewhere: on the targeted path, a
@@ -1214,7 +1220,8 @@ def coarse_to_fine_flow(
         fine_crop(jnp.asarray(post_image, jnp.float32)), offs, fine_patch,
         step, max_offset=max_displacement, bf16=bf16,
         min_distance=min_distance, threshold_rel=threshold_rel,
-        peak_radius=peak_radius, interpret=interpret)
+        peak_radius=peak_radius, interpret=interpret,
+        peak_crop=peak_crop)
     off_xg = jnp.repeat(jnp.repeat(offs[..., 1].astype(jnp.float32),
                                    geo['rows'], axis=0),
                         geo['group'], axis=1)[:geo['gy'], :geo['gx']]

@@ -314,31 +314,65 @@ def _corr_peaks_grouped(wa, wb, wr1, wi1, wr1i, wi1i, frb, fib, br2c,
   gr = (mm(wr1i, cr) + mm(wi1i, ci)) / py
   gi = (mm(wr1i, ci) - mm(wi1i, cr)) / py
 
+  # Surface dims come from the inverse matrices: pre-cropped matrices
+  # (peak_crop) yield a centered [n1, n2] core with its zero offset at
+  # (n1//2, n2//2); full matrices give n1, n2 == py, px.
+  n1 = wr1i.shape[0]
+  n2 = br2c.shape[1]
   hp = br2c.shape[0]
   corrs = []
   for g in range(group):
-    grg = jax.lax.slice(gr, (0, g * hp), (py, (g + 1) * hp))
-    gig = jax.lax.slice(gi, (0, g * hp), (py, (g + 1) * hp))
+    grg = jax.lax.slice(gr, (0, g * hp), (n1, (g + 1) * hp))
+    gig = jax.lax.slice(gi, (0, g * hp), (n1, (g + 1) * hp))
     corrs.append((mm(grg, br2c) + mm(gig, bi2c)) / px)
   corr = jnp.stack(corrs)
 
-  iy = jax.lax.broadcasted_iota(jnp.int32, (py, px), 0)
-  ix = jax.lax.broadcasted_iota(jnp.int32, (py, px), 1)
-  lin = iy * px + ix
+  iy = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
+  ix = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1)
+  lin = iy * n2 + ix
   rid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 0)
   cid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 1)
-  masks = _edge_masks((py, px), min_distance)
+  masks = _edge_masks((n1, n2), min_distance)
   vals = jnp.zeros((group, 4), jnp.float32)
   for g in range(group):
     ox, oy, sharp, ratio = _peaks_for_patch(
         corr[g], lin, min_distance=min_distance,
         threshold_rel=threshold_rel, peak_radius=peak_radius,
-        center=(py // 2, px // 2), masks=masks)
+        center=(n1 // 2, n2 // 2), masks=masks)
     row = jnp.where(cid == 0, ox,
                     jnp.where(cid == 1, oy,
                               jnp.where(cid == 2, sharp, ratio)))
     vals = jnp.where(rid == g, row, vals)
   return vals
+
+
+def _patch_moments_grouped(wa, wb, *, group, px, sx):
+  """Per-patch first/second moments of a grouped window row.
+
+  Returns ([4, group] sums, scalar-extract fn): rows are
+  (sum wa, sum wa^2, sum wb, sum wb^2) per patch. Each window pixel is
+  touched ONCE (four [py, win_c] column reductions) and per-patch sums
+  come from one banded 0/1 selector matmul — unlike per-patch slice
+  reductions, which re-read every pixel ~(patch/stride)x through
+  lane-unaligned slices (measured: the slice moments made the
+  fully-valid closed form SLOWER than the 6-term mask chain it
+  replaces; this formulation removes that).
+  """
+  win_c = wa.shape[1]
+  red = jnp.concatenate([
+      jnp.sum(wa, axis=0, keepdims=True),
+      jnp.sum(wa * wa, axis=0, keepdims=True),
+      jnp.sum(wb, axis=0, keepdims=True),
+      jnp.sum(wb * wb, axis=0, keepdims=True)], axis=0)
+  col = jax.lax.broadcasted_iota(jnp.int32, (win_c, group), 0)
+  gid = jax.lax.broadcasted_iota(jnp.int32, (win_c, group), 1)
+  sel = ((col >= gid * sx) & (col < gid * sx + px)).astype(jnp.float32)
+  m = jnp.dot(red, sel, preferred_element_type=jnp.float32)
+
+  def at(r, g):
+    return jnp.sum(jax.lax.slice(m, (r, g), (r + 1, g + 1)))
+
+  return m, at
 
 
 def _ncc_full_valid_grouped(wa, wb, wr1, wi1, wr1i, wi1i, frb, fib,
@@ -388,18 +422,17 @@ def _ncc_full_valid_grouped(wa, wb, wr1, wi1, wr1i, wi1i, frb, fib,
 
   hp = br2c.shape[0]
   n_area = jnp.float32(py * px)
+  _, mom = _patch_moments_grouped(wa, wb, group=group, px=px, sx=sx)
   xcs, nums_c, denoms = [], [], []
   tolmax = jnp.float32(0.0)
   for g in range(group):
     grg = jax.lax.slice(gr, (0, g * hp), (py, (g + 1) * hp))
     gig = jax.lax.slice(gi, (0, g * hp), (py, (g + 1) * hp))
     xcs.append((mm(grg, br2c) + mm(gig, bi2c)) / px)
-    ag = jax.lax.slice(wa, (0, g * sx), (py, g * sx + px))
-    bg = jax.lax.slice(wb, (0, g * sx), (py, g * sx + px))
-    sp = jnp.sum(ag)
-    sc = jnp.sum(bg)
-    var_p = jnp.fmax(jnp.sum(ag * ag) - sp * sp / n_area, 0.0)
-    var_c = jnp.fmax(jnp.sum(bg * bg) - sc * sc / n_area, 0.0)
+    sp = mom(0, g)
+    sc = mom(2, g)
+    var_p = jnp.fmax(mom(1, g) - sp * sp / n_area, 0.0)
+    var_c = jnp.fmax(mom(3, g) - sc * sc / n_area, 0.0)
     denom = jnp.sqrt(var_p * var_c)
     tolmax = jnp.maximum(tolmax, denom)
     nums_c.append(sp * sc / n_area)
@@ -430,20 +463,39 @@ def _ncc_full_valid_grouped(wa, wb, wr1, wi1, wr1i, wi1i, frb, fib,
   return vals
 
 
-def _masked_corr_peaks_grouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
-                               frb, fib, br2c, bi2c, *, group, py, px,
-                               sx, mean, bf16, min_distance,
-                               threshold_rel, peak_radius):
-  """Masked circular NCC (Padfield) + peaks on grouped spectra.
+def _masked_row_subgrouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
+                           frb, fib, br2c, bi2c, pure_sub_ref, sub_base,
+                           out_ref, out_row0, *, group, sub, py, px,
+                           sx, mean, bf16, min_distance, threshold_rel,
+                           peak_radius):
+  """Masked circular NCC (Padfield) + peaks, purity-predicated per
+  SUBGROUP of `sub` patches.
 
-  The masked twin of _corr_peaks_grouped: all six Padfield terms
-  (masked images, masks, masked squares) ride the same block-matrix
-  forward DFT, their five cross-power products invert through the same
-  pre-rolled matrices, and the per-patch normalization runs on the
-  centered surfaces. `va`/`vb` are float32 valid-pixel windows (1 =
-  valid). Matches flow_field._masked_xcorr_circular within float
-  tolerance (NCC is exactly invariant to the constant-mean handling
-  difference).
+  The masked twin of _corr_peaks_grouped. The image cross-power —
+  identical between the masked chain and the fully-valid closed form —
+  is computed ONCE for the whole window row (forward DFTs of the
+  masked images + one product + one grouped inverse). Each subgroup of
+  `sub` patches then branches on its host-computed state flag
+  (`pure_sub_ref[sub_base + sg]`, SMEM; 0 impure / 1 pure / 2 dead):
+
+    * pure subgroup (every pixel of every patch valid): closed-form
+      NCC from the shared cross-power plus row-shared patch moments —
+      no mask spectra at all (cf. _ncc_full_valid_grouped);
+    * dead subgroup (either plane fully invalid): the chain's output
+      is identically no-peak, emitted directly as NaN rows;
+    * impure subgroup: the remaining four Padfield forward DFTs (masks
+      and masked squares) and five product inversions run on operands
+      SLICED to the subgroup's columns, so the 6-term chain's cost is
+      paid only where the mask actually intersects patches.
+
+  Window-level purity (in _grid_kernel_masked) still short-circuits
+  fully-valid steps and their mask DMAs; this routine is the impure-
+  window path. Matches flow_field._masked_xcorr_circular within float
+  tolerance. DEVIATION vs the pre-subgroup kernel: the denominator
+  tolerance (1e3*eps*max|denom|) is shared per SUBGROUP, not per
+  group — the reference itself gates against whatever batch shared a
+  dispatch, so the sharing granularity is an implementation detail;
+  it only moves near-flat patches between 'no peak' and 'noise peak'.
 
   Precision split under `bf16`: every matmul in the MASK-ONLY chain
   (the overlap counts smp x smc) stays float32 — overlap must survive
@@ -455,10 +507,16 @@ def _masked_corr_peaks_grouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
   extraction tolerate — gated by the bench masked peak-agreement check
   on hardware data. bf16=False keeps everything float32 (the reference
   masked path's precision).
+
+  Writes [sub, 4] peak statistics per subgroup directly into
+  out_ref[0, 0, out_row0 + sg*sub : out_row0 + (sg+1)*sub].
   """
   f32 = jnp.float32
   img_t = jnp.bfloat16 if bf16 else jnp.float32
   eps = jnp.float32(np.finfo(np.float32).eps)
+  nsub = group // sub
+  hp = br2c.shape[0]
+  n_area = jnp.float32(py * px)
 
   def mm(x, y, t=f32):
     return jnp.dot(x.astype(t), y.astype(t),
@@ -470,19 +528,14 @@ def _masked_corr_peaks_grouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
   wb = wb - (jnp.mean(wb) if mean is None else mean)
   pz = wa * va
   cz = wb * vb
+  pz2 = pz * pz
+  cz2 = cz * cz
 
   def gdft(w, t=f32):
     ar = mm(w, frb, t)
     ai = mm(w, fib, t)
     return (mm(wr1, ar, t) - mm(wi1, ai, t),
             mm(wr1, ai, t) + mm(wi1, ar, t))
-
-  sp = gdft(pz, img_t)
-  sc = gdft(cz, img_t)
-  smp = gdft(va)
-  smc = gdft(vb)
-  sp2 = gdft(pz * pz, img_t)
-  sc2 = gdft(cz * cz, img_t)
 
   def prod(a, b):  # a * conj(b), grouped layout
     return (a[0] * b[0] + a[1] * b[1], a[1] * b[0] - a[0] * b[1])
@@ -493,69 +546,147 @@ def _masked_corr_peaks_grouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
     gi = (mm(wr1i, ti, dt) - mm(wi1i, tr, dt)) / py
     return gr, gi
 
-  terms = [ginv(prod(sp, sc), img_t), ginv(prod(smp, smc)),
-           ginv(prod(sp, smc), img_t), ginv(prod(smp, sc), img_t),
-           ginv(prod(sp2, smc), img_t), ginv(prod(smp, sc2), img_t)]
-  term_t = [img_t, f32, img_t, img_t, img_t, img_t]
+  # Shared across all subgroups: masked-image spectra + cross-power
+  # (pure patches read pz = wa - mean in their columns, so the shared
+  # surfaces are exact for both branches), plus the row's patch
+  # moments (valid wherever the patch is fully valid — i.e. exactly
+  # where the pure branch reads them).
+  sp = gdft(pz, img_t)
+  sc = gdft(cz, img_t)
+  xc = ginv(prod(sp, sc), img_t)
+  _, mom = _patch_moments_grouped(pz, cz, group=group, px=px, sx=sx)
 
-  hp = br2c.shape[0]
-
-  def col_inv(t, g, dt=f32):
+  def col_inv(t, j, dt=f32):
     gr, gi = t
-    grg = jax.lax.slice(gr, (0, g * hp), (py, (g + 1) * hp))
-    gig = jax.lax.slice(gi, (0, g * hp), (py, (g + 1) * hp))
+    grg = jax.lax.slice(gr, (0, j * hp), (py, (j + 1) * hp))
+    gig = jax.lax.slice(gi, (0, j * hp), (py, (j + 1) * hp))
     return (mm(grg, br2c, dt) + mm(gig, bi2c, dt)) / px
 
   iy = jax.lax.broadcasted_iota(jnp.int32, (py, px), 0)
   ix = jax.lax.broadcasted_iota(jnp.int32, (py, px), 1)
   lin = iy * px + ix
-  rid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 0)
-  cid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 1)
+  rid = jax.lax.broadcasted_iota(jnp.int32, (sub, 4), 0)
+  cid = jax.lax.broadcasted_iota(jnp.int32, (sub, 4), 1)
   emasks = _edge_masks((py, px), min_distance)
 
-  # Pass 1: numerator/denominator/overlap surfaces per patch. The
-  # denominator tolerance is shared across the GROUP (the reference
-  # gates against the max |denom| of whatever batch shared a dispatch;
-  # a per-patch tolerance would scale down with a flat patch's own
-  # noise floor and let it emit confident garbage peaks).
-  nums, denoms, overlaps = [], [], []
-  tolmax = jnp.float32(0.0)
-  for g in range(group):
-    xcorr, ovl_raw, sum_p, sum_c, t_p2, t_c2 = (
-        col_inv(t, g, dt) for t, dt in zip(terms, term_t))
-    overlap = jnp.fmax(jnp.round(ovl_raw), eps)
-    inv_overlap = 1.0 / overlap
-    num = xcorr - sum_p * sum_c * inv_overlap
-    var_p = jnp.fmax(t_p2 - jnp.square(sum_p) * inv_overlap, 0.0)
-    var_c = jnp.fmax(t_c2 - jnp.square(sum_c) * inv_overlap, 0.0)
-    denom = jnp.sqrt(var_p * var_c)
-    tolmax = jnp.maximum(tolmax, jnp.max(jnp.abs(denom)))
-    nums.append(num)
-    denoms.append(denom)
-    overlaps.append(overlap)
+  def emit(vals_rows, sg):
+    vals = jnp.zeros((sub, 4), jnp.float32)
+    for j, (ox, oy, sharp, ratio) in enumerate(vals_rows):
+      row = jnp.where(cid == 0, ox,
+                      jnp.where(cid == 1, oy,
+                                jnp.where(cid == 2, sharp, ratio)))
+      vals = jnp.where(rid == j, row, vals)
+    out_ref[0, 0, out_row0 + sg * sub:out_row0 + (sg + 1) * sub] = vals
 
-  tol = 1e3 * eps * tolmax
-  vals = jnp.zeros((group, 4), jnp.float32)
-  for g in range(group):
-    num, denom, overlap = nums[g], denoms[g], overlaps[g]
-    corr = jnp.where(denom > tol,
-                     num / jnp.where(denom > tol, denom, 1.0), 0.0)
-    corr = jnp.clip(corr, -1.0, 1.0)
-    # The strips path thresholds against the BATCH max overlap, which
-    # equals the patch area whenever any patch pair is fully valid (and
-    # makes results depend on batching when none is); the theoretical
-    # max is deterministic and matches in the common case.
-    corr = jnp.where(overlap < 0.3 * (py * px), 0.0, corr)
+  for sg in range(nsub):
+    flag = pure_sub_ref[sub_base + sg]
+    c0 = sg * sub * sx
+    c1 = c0 + (sub - 1) * sx + px
+    b0 = sg * sub * hp
+    b1 = (sg + 1) * sub * hp
 
-    ox, oy, sharp, ratio = _peaks_for_patch(
-        corr, lin, min_distance=min_distance,
-        threshold_rel=threshold_rel, peak_radius=peak_radius,
-        center=(py // 2, px // 2), masks=emasks)
-    row = jnp.where(cid == 0, ox,
-                    jnp.where(cid == 1, oy,
-                              jnp.where(cid == 2, sharp, ratio)))
-    vals = jnp.where(rid == g, row, vals)
-  return vals
+    @pl.when(flag == 2)
+    def _dead_sub(sg=sg):
+      # Either plane fully invalid across the subgroup: every overlap
+      # count is zero, the chain's surfaces are identically zero, and
+      # the peak extractor returns all-NaN rows — emit them directly.
+      out_ref[0, 0, out_row0 + sg * sub:out_row0 + (sg + 1) * sub] = (
+          jnp.full((sub, 4), jnp.nan, jnp.float32))
+
+    @pl.when(flag == 1)
+    def _pure_sub(sg=sg):
+      # Closed-form NCC: shared cross-power + row-shared patch moments
+      # (valid for the patches of a PURE subgroup, where pz == wa-mean).
+      xcs, numcs, denoms = [], [], []
+      tolmax = jnp.float32(0.0)
+      for j in range(sub):
+        g = sg * sub + j
+        xcs.append(col_inv(xc, g, img_t))
+        sp_s = mom(0, g)
+        sc_s = mom(2, g)
+        var_p = jnp.fmax(mom(1, g) - sp_s * sp_s / n_area, 0.0)
+        var_c = jnp.fmax(mom(3, g) - sc_s * sc_s / n_area, 0.0)
+        denom = jnp.sqrt(var_p * var_c)
+        tolmax = jnp.maximum(tolmax, denom)
+        numcs.append(sp_s * sc_s / n_area)
+        denoms.append(denom)
+      tol = 1e3 * eps * tolmax
+      rows_out = []
+      for j in range(sub):
+        denom = denoms[j]
+        corr = jnp.where(denom > tol,
+                         (xcs[j] - numcs[j])
+                         / jnp.where(denom > tol, denom, 1.0), 0.0)
+        corr = jnp.clip(corr, -1.0, 1.0)
+        rows_out.append(_peaks_for_patch(
+            corr, lin, min_distance=min_distance,
+            threshold_rel=threshold_rel, peak_radius=peak_radius,
+            center=(py // 2, px // 2), masks=emasks))
+      emit(rows_out, sg)
+
+    @pl.when(flag == 0)
+    def _impure_sub(sg=sg, c0=c0, c1=c1, b0=b0, b1=b1):
+      # Subgroup-sliced forward DFTs: the block matrices' rows outside
+      # the subgroup's columns are zero, so slicing rows AND block
+      # columns is exact and cuts the contraction to the subgroup.
+      frb_s = jax.lax.slice(frb, (c0, b0), (c1, b1))
+      fib_s = jax.lax.slice(fib, (c0, b0), (c1, b1))
+
+      def gdft_s(w, t=f32):
+        ws = jax.lax.slice(w, (0, c0), (py, c1))
+        ar = mm(ws, frb_s, t)
+        ai = mm(ws, fib_s, t)
+        return (mm(wr1, ar, t) - mm(wi1, ai, t),
+                mm(wr1, ai, t) + mm(wi1, ar, t))
+
+      smp = gdft_s(va)
+      smc = gdft_s(vb)
+      sp2 = gdft_s(pz2, img_t)
+      sc2 = gdft_s(cz2, img_t)
+      sp_s = tuple(jax.lax.slice(p, (0, b0), (py, b1)) for p in sp)
+      sc_s = tuple(jax.lax.slice(p, (0, b0), (py, b1)) for p in sc)
+
+      terms = [ginv(prod(smp, smc)), ginv(prod(sp_s, smc), img_t),
+               ginv(prod(smp, sc_s), img_t),
+               ginv(prod(sp2, smc), img_t),
+               ginv(prod(smp, sc2), img_t)]
+      term_t = [f32, img_t, img_t, img_t, img_t]
+
+      nums, denoms, overlaps = [], [], []
+      tolmax = jnp.float32(0.0)
+      for j in range(sub):
+        xcorr = col_inv(xc, sg * sub + j, img_t)
+        ovl_raw, sum_p, sum_c, t_p2, t_c2 = (
+            col_inv(t, j, dt) for t, dt in zip(terms, term_t))
+        overlap = jnp.fmax(jnp.round(ovl_raw), eps)
+        inv_overlap = 1.0 / overlap
+        num = xcorr - sum_p * sum_c * inv_overlap
+        var_p = jnp.fmax(t_p2 - jnp.square(sum_p) * inv_overlap, 0.0)
+        var_c = jnp.fmax(t_c2 - jnp.square(sum_c) * inv_overlap, 0.0)
+        denom = jnp.sqrt(var_p * var_c)
+        tolmax = jnp.maximum(tolmax, jnp.max(jnp.abs(denom)))
+        nums.append(num)
+        denoms.append(denom)
+        overlaps.append(overlap)
+
+      tol = 1e3 * eps * tolmax
+      rows_out = []
+      for j in range(sub):
+        num, denom, overlap = nums[j], denoms[j], overlaps[j]
+        corr = jnp.where(denom > tol,
+                         num / jnp.where(denom > tol, denom, 1.0), 0.0)
+        corr = jnp.clip(corr, -1.0, 1.0)
+        # The strips path thresholds against the BATCH max overlap,
+        # which equals the patch area whenever any patch pair is fully
+        # valid (and makes results depend on batching when none is);
+        # the theoretical max is deterministic and matches in the
+        # common case.
+        corr = jnp.where(overlap < 0.3 * (py * px), 0.0, corr)
+        rows_out.append(_peaks_for_patch(
+            corr, lin, min_distance=min_distance,
+            threshold_rel=threshold_rel, peak_radius=peak_radius,
+            center=(py // 2, px // 2), masks=emasks))
+      emit(rows_out, sg)
 
 
 def _grid_kernel(pre_hbm, post_hbm, wr1, wi1, wr1i, wi1i, frb, fib,
@@ -702,22 +833,29 @@ def _grid_kernel_targeted(offs_ref, pre_hbm, post_hbm, wr1, wi1, wr1i,
                    else jnp.concatenate(parts, axis=0))
 
 
-def _grid_kernel_masked(pure_ref, pre_hbm, post_hbm, vpre_hbm, vpost_hbm,
+def _grid_kernel_masked(pure_ref, pure_sub_ref, pre_hbm, post_hbm,
+                        vpre_hbm, vpost_hbm,
                         wr1, wi1, wr1i, wi1i, frb, fib, br2c, bi2c,
                         out_ref, win_a, win_b, win_va, win_vb, sems, *,
-                        group, rows, py, px, sy, sx, win_r, win_c,
+                        group, sub, rows, py, px, sy, sx, win_r, win_c,
                         ngroups, nsteps, mean, bf16, min_distance,
                         threshold_rel, peak_radius):
   """Masked twin of _grid_kernel: four double-buffered window streams
   (images + valid masks) feeding the Padfield NCC pipeline.
 
-  Purity-predicated: `pure_ref[step]` (SMEM, host-XLA-computed from mask
-  integral images) marks steps whose whole window is valid. Pure steps
-  skip the mask DMAs entirely and run the closed-form NCC
-  (_ncc_full_valid_grouped — exactly the Padfield result at full
-  validity), so the 3x cost of the 6-term masked pipeline is only paid
-  where the mask actually intersects the window. Deterministic: the
-  branch depends on the data, not on batching."""
+  State-predicated at two granularities (0 impure / 1 pure / 2 dead,
+  host-XLA-computed from per-plane mask integral images into SMEM):
+  pure steps (whole window valid) skip the mask DMAs entirely and run
+  the closed-form NCC (_ncc_full_valid_grouped — exactly the Padfield
+  result at full validity); dead steps (either plane fully invalid)
+  skip ALL DMAs and math and emit the chain's identical no-peak NaN
+  rows. Impure steps run _masked_row_subgrouped, which re-branches per
+  SUBGROUP of `sub` patches on
+  `pure_sub_ref[step*rows*nsub + r2*nsub + sg]`, so the 3x cost of the
+  6-term masked pipeline is only paid by patches the mask actually
+  intersects (band/blob masks leave most patches of an impure window
+  fully valid or fully dead). Deterministic: the branches depend on
+  the data, not on batching."""
   r = pl.program_id(0)
   g = pl.program_id(1)
   step = r * ngroups + g
@@ -736,9 +874,11 @@ def _grid_kernel_masked(pure_ref, pre_hbm, post_hbm, vpre_hbm, vpost_hbm,
         for i, (src, dst) in enumerate(zip(srcs, dsts))
     ]
 
-  impure = pure_ref[step] == 0
+  state = pure_ref[step]
+  impure = state == 0
+  dead = state == 2
 
-  @pl.when(step == 0)
+  @pl.when((step == 0) & jnp.logical_not(dead))
   def _prologue():
     for cp in copies(r, g, slot, masks=False):
       cp.start()
@@ -751,24 +891,26 @@ def _grid_kernel_masked(pure_ref, pre_hbm, post_hbm, vpre_hbm, vpost_hbm,
   nxt = step + 1
   in_range = nxt < nsteps
 
-  @pl.when(in_range)
+  # Guard the SMEM read: pure_ref[nsteps] is out of bounds on the last
+  # step, so clamp the index and combine with the range check.
+  nxt_state = pure_ref[jnp.minimum(nxt, nsteps - 1)]
+
+  @pl.when(in_range & (nxt_state != 2))
   def _prefetch():
     for cp in copies(nxt // ngroups, jax.lax.rem(nxt, ngroups), 1 - slot,
                      masks=False):
       cp.start()
 
-  # Guard the SMEM read: pure_ref[nsteps] is out of bounds on the last
-  # step, so clamp the index and combine with the range check.
-  nxt_impure = pure_ref[jnp.minimum(nxt, nsteps - 1)] == 0
-
-  @pl.when(in_range & nxt_impure)
+  @pl.when(in_range & (nxt_state == 0))
   def _prefetch_masks():
     for cp in copies(nxt // ngroups, jax.lax.rem(nxt, ngroups), 1 - slot,
                      masks=True):
       cp.start()
 
-  for cp in copies(r, g, slot, masks=False):
-    cp.wait()
+  @pl.when(jnp.logical_not(dead))
+  def _wait_images():
+    for cp in copies(r, g, slot, masks=False):
+      cp.wait()
 
   mats = (wr1[:], wi1[:], wr1i[:], wi1i[:], frb[:], fib[:], br2c[:],
           bi2c[:])
@@ -778,19 +920,19 @@ def _grid_kernel_masked(pure_ref, pre_hbm, post_hbm, vpre_hbm, vpost_hbm,
     for cp in copies(r, g, slot, masks=True):
       cp.wait()
     full = [w[slot] for w in (win_a, win_b, win_va, win_vb)]
-    parts = []
+    nsub = group // sub
     for r2 in range(rows):
       wa, wb, va, vb = (
           jax.lax.slice(f, (r2 * sy, 0), (r2 * sy + py, win_c))
           for f in full)
-      parts.append(_masked_corr_peaks_grouped(
-          wa, wb, va, vb, *mats, group=group, py=py, px=px, sx=sx,
-          mean=mean, bf16=bf16, min_distance=min_distance,
-          threshold_rel=threshold_rel, peak_radius=peak_radius))
-    out_ref[0, 0] = (parts[0] if rows == 1
-                     else jnp.concatenate(parts, axis=0))
+      _masked_row_subgrouped(
+          wa, wb, va, vb, *mats, pure_sub_ref,
+          step * (rows * nsub) + r2 * nsub, out_ref, r2 * group,
+          group=group, sub=sub, py=py, px=px, sx=sx, mean=mean,
+          bf16=bf16, min_distance=min_distance,
+          threshold_rel=threshold_rel, peak_radius=peak_radius)
 
-  @pl.when(jnp.logical_not(impure))
+  @pl.when(state == 1)
   def _pure_path():
     full = [w[slot] for w in (win_a, win_b)]
     parts = []
@@ -803,6 +945,13 @@ def _grid_kernel_masked(pure_ref, pre_hbm, post_hbm, vpre_hbm, vpost_hbm,
           peak_radius=peak_radius))
     out_ref[0, 0] = (parts[0] if rows == 1
                      else jnp.concatenate(parts, axis=0))
+
+  @pl.when(dead)
+  def _dead_path():
+    # Either plane fully invalid across the whole window: zero overlap
+    # everywhere, identically-zero NCC surfaces, no peaks — emit the
+    # NaN rows without touching HBM at all (no DMAs were issued).
+    out_ref[0, 0] = jnp.full((rows * group, 4), jnp.nan, jnp.float32)
 
 
 def targeted_geometry(shape, patch_size, step, group=None, rows=None):
@@ -822,7 +971,8 @@ def targeted_geometry(shape, patch_size, step, group=None, rows=None):
 @functools.partial(
     jax.jit, static_argnames=['patch_size', 'step', 'max_offset', 'mean',
                               'bf16', 'group', 'rows', 'min_distance',
-                              'threshold_rel', 'peak_radius', 'interpret'])
+                              'threshold_rel', 'peak_radius', 'interpret',
+                              'peak_crop'])
 def dense_flow_peaks_targeted(
     pre_image: jnp.ndarray,
     post_image: jnp.ndarray,
@@ -838,6 +988,7 @@ def dense_flow_peaks_targeted(
     threshold_rel: float = 0.5,
     peak_radius: int = 5,
     interpret: bool = False,
+    peak_crop: int | None = None,
 ) -> jnp.ndarray:
   """Dense grid flow with per-window integer POST offsets (targeting).
 
@@ -847,6 +998,19 @@ def dense_flow_peaks_targeted(
   channels are peaks RELATIVE to the shifted windows; the caller must
   subtract the per-window (dx, dy) to recover absolute flow. Unmasked
   only.
+
+  `peak_crop`: restrict the peak search to the centered
+  [peak_crop, peak_crop] core of each correlation surface by slicing
+  the pre-rolled inverse-DFT matrices — the crop costs NOTHING in the
+  kernel (the inverse transforms and the whole peak chain simply run
+  at the cropped size, ~(patch/peak_crop)^2 less VPU work). Sound
+  whenever the coarse pass bounds the fine residual (|residual| <
+  peak_crop/2): the deviations are that max(corr) for the relative
+  threshold and the no-peak/second-peak statistics see only the core.
+  A true peak outside the crop yields a plausible in-crop local max
+  instead of the correct far peak, so callers MUST size the crop well
+  above the expected residual (the pipeline gates this against ground
+  truth; see StackAlignConfig.peak_crop).
   """
   py, px = patch_size
   sy, sx = step
@@ -886,6 +1050,17 @@ def dense_flow_peaks_targeted(
   wi1i_np = np.roll(wi1_np, py // 2, axis=0)
   br2c_np = np.roll(np.pad(br2, ((0, hp - h0), (0, 0))), px // 2, axis=1)
   bi2c_np = np.roll(np.pad(bi2, ((0, hp - h0), (0, 0))), px // 2, axis=1)
+  if peak_crop is not None:
+    pc = int(peak_crop)
+    if not (0 < pc <= min(py, px) and pc % 2 == 0):
+      raise ValueError('peak_crop must be even and <= patch size')
+    # Centered surface crop == row/column slices of the pre-rolled
+    # inverse matrices (the surface's zero offset sits at patch//2).
+    y0, x0 = py // 2 - pc // 2, px // 2 - pc // 2
+    wr1i_np = wr1i_np[y0:y0 + pc]
+    wi1i_np = wi1i_np[y0:y0 + pc]
+    br2c_np = br2c_np[:, x0:x0 + pc]
+    bi2c_np = bi2c_np[:, x0:x0 + pc]
   dc_np = np.ones((py, group * hp), np.float32)
   if mean is None:
     dc_np[0, np.arange(group) * hp] = 0.0
@@ -1099,33 +1274,77 @@ def _dense_flow_peaks_impl(
                  ((0, pad_h), (0, pad_w)))
     vb = jnp.pad(post_valid.astype(jnp.float32),
                  ((0, pad_h), (0, pad_w)))
-    # Per-step purity (whole DMA window valid in BOTH planes): int32
-    # block-pooled integral image — exact, unlike a float cumsum over
-    # 1e8 pixels. All window starts/extents are multiples of 8.
-    inv = ((va <= 0.0).astype(jnp.int32)
-           + (vb <= 0.0).astype(jnp.int32))
-    hh, ww = inv.shape
+    # Per-step window STATE (0 impure / 1 pure / 2 dead), int32
+    # block-pooled integral images per plane — exact, unlike a float
+    # cumsum over 1e8 pixels. All window starts/extents are multiples
+    # of 8. Pure: no invalid pixel in either plane (skips mask DMAs,
+    # closed-form NCC). Dead: EITHER plane fully invalid (all overlap
+    # counts zero -> identically no-peak output; skips all DMAs and
+    # math).
+    hh, ww = va.shape
     h8 = -(-hh // 8) * 8
     w8 = -(-ww // 8) * 8
-    # Rounding rows/cols beyond the padded array are never DMA'd; 0
-    # (= valid) padding cannot flip any window's purity.
-    inv = jnp.pad(inv, ((0, h8 - hh), (0, w8 - ww)))
-    blk = inv.reshape(h8 // 8, 8, w8 // 8, 8).sum(axis=(1, 3))
-    ii = jnp.pad(jnp.cumsum(jnp.cumsum(blk, axis=0), axis=1),
-                 ((1, 0), (1, 0)))
+
+    def block_ii(plane):
+      # Rounding rows/cols beyond the padded array are never DMA'd; 0
+      # (= valid) padding cannot flip purity and only under-reports
+      # deadness.
+      p = jnp.pad((plane <= 0.0).astype(jnp.int32),
+                  ((0, h8 - hh), (0, w8 - ww)))
+      blk = p.reshape(h8 // 8, 8, w8 // 8, 8).sum(axis=(1, 3))
+      return jnp.pad(jnp.cumsum(jnp.cumsum(blk, axis=0), axis=1),
+                     ((1, 0), (1, 0)))
+
+    ii_a = block_ii(va)
+    ii_b = block_ii(vb)
+    ii = ii_a + ii_b  # cumsum is linear: the union-count integral
+
+    def box(i2, rr0, rr1, cc0, cc1):
+      return (i2[rr1][:, cc1] - i2[rr0][:, cc1] - i2[rr1][:, cc0]
+              + i2[rr0][:, cc0])
+
     r0 = np.arange(nrsteps) * (rows * sy) // 8
     r1 = r0 + win_r // 8
     c0 = np.arange(ngroups) * (group * sx) // 8
     c1 = c0 + win_c // 8
-    s_counts = (ii[r1][:, c1] - ii[r0][:, c1] - ii[r1][:, c0]
-                + ii[r0][:, c0])
-    pure_flat = (s_counts == 0).astype(jnp.int32).reshape(-1)
-    kernel = functools.partial(_grid_kernel_masked, **common)
-    inputs = (pure_flat, pre, post, va, vb, wr1, wi1, wr1i, wi1i, frb,
-              fib, br2c, bi2c)
-    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+    area_w = win_r * win_c
+    pure_w = box(ii, r0, r1, c0, c1) == 0
+    dead_w = ((box(ii_a, r0, r1, c0, c1) == area_w)
+              | (box(ii_b, r0, r1, c0, c1) == area_w))
+    pure_flat = jnp.where(dead_w, 2, pure_w.astype(jnp.int32)).reshape(-1)
+    # Per-SUBGROUP state for the impure-window path (sub patches per
+    # flag). Purity uses OUTWARD block rounding of the column extents
+    # (an unaligned stride only under-reports purity, never lies);
+    # deadness uses INWARD rounding (only under-reports deadness). The
+    # subgroup size must keep the per-subgroup [sub, 4] output stores
+    # sublane-aligned: smallest multiple of 8 dividing group
+    # (pick_grid_geometry always returns group % 8 == 0).
+    sub = next((c for c in range(8, group + 1, 8) if group % c == 0),
+               group)
+    nsub = group // sub
+    tr0 = np.arange(nrsteps * rows) * sy // 8
+    tr1 = tr0 + -(-py // 8)
+    starts = ((np.arange(ngroups)[:, None] * group
+               + np.arange(nsub)[None, :] * sub) * sx)
+    ext = (sub - 1) * sx + px
+    cb0 = starts // 8
+    cb1 = -(-(starts + ext) // 8)
+    pure_s = box(ii, tr0, tr1, cb0, cb1) == 0
+    cb0i = -(-starts // 8)
+    cb1i = (starts + ext) // 8
+    area_si = (tr1 - tr0)[:, None, None] * 8 * (cb1i - cb0i) * 8
+    dead_s = (((box(ii_a, tr0, tr1, cb0i, cb1i) == area_si)
+               | (box(ii_b, tr0, tr1, cb0i, cb1i) == area_si))
+              & (area_si > 0))
+    pure_sub_flat = (jnp.where(dead_s, 2, pure_s.astype(jnp.int32))
+                     .reshape(nrsteps, rows, ngroups, nsub)
+                     .transpose(0, 2, 1, 3).reshape(-1))
+    kernel = functools.partial(_grid_kernel_masked, sub=sub, **common)
+    inputs = (pure_flat, pure_sub_flat, pre, post, va, vb, wr1, wi1,
+              wr1i, wi1i, frb, fib, br2c, bi2c)
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
                 + [pl.BlockSpec(memory_space=pl.ANY)] * 4
-                + [mat(m) for m in inputs[5:]])
+                + [mat(m) for m in inputs[6:]])
     scratch = [pltpu.VMEM((2, win_r, win_c), jnp.float32)
                for _ in range(4)] + [pltpu.SemaphoreType.DMA((2, 4))]
   else:

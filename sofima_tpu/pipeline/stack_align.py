@@ -60,6 +60,13 @@ class StackAlignConfig:
   # cost proportionally; the prior only needs to resolve deformation
   # wavelengths, not pixels.
   coarse_step: int | None = None
+  # Fine-pass peak-search crop (even px, None = full surface). The
+  # coarse prior bounds the fine residual to a few px, so searching the
+  # full fine_patch^2 correlation surface wastes most of the peak
+  # chain's VPU work; a centered crop comes free via pre-sliced
+  # inverse-DFT matrices (pallas_flow.dense_flow_peaks_targeted).
+  # Size >= 4x `residual`; gated by the bench ground-truth bound.
+  peak_crop: int | None = None
   bf16: bool = True
   # clean_flow gates (EM-2D defaults, processor/defaults/em_2d.py).
   min_peak_ratio: float = 1.6
@@ -116,7 +123,8 @@ def _flow_phase(sec_prev, sec_cur, cfg: StackAlignConfig, grid_n: int):
     f4, overflow = flow_field.coarse_to_fine_flow(
         pre, post, (p, p), (s, s), coarse_step=cs, fine_patch=fp,
         bf16=cfg.bf16, max_displacement=cfg.max_displacement,
-        residual=cfg.residual, return_overflow=True)
+        residual=cfg.residual, return_overflow=True,
+        peak_crop=cfg.peak_crop)
   else:
     f4 = flow_field.dense_flow_field(
         pre, post, (p, p), (s, s), batch_size=256, circular=True,

@@ -564,3 +564,30 @@ class TestCoarseToFineFlow:
         (np.abs(out[0][sl] - ref[0][sl]) <= 1.0)
         & (np.abs(out[1][sl] - ref[1][sl]) <= 1.0))
     assert agree > 0.98
+
+  def test_peak_crop_matches_full_surface(self):
+    # With the residual inside the crop, the pre-sliced-inverse-DFT
+    # peak search must return the SAME fine peaks as the full surface
+    # (identical correlation values on the shared core; only the
+    # relative threshold's max and no-peak stats could differ, and on
+    # textured data they don't).
+    from sofima_tpu import flow_field
+    rng = np.random.RandomState(1)
+    n = 800
+    noise = rng.rand(n, n).astype(np.float32)
+    f = np.fft.rfft2(noise)
+    fy = np.fft.fftfreq(n)[:, None]
+    fx = np.fft.rfftfreq(n)[None, :]
+    f *= np.exp(-((fx**2 + fy**2) / (2 * 0.08**2)))
+    pre = np.fft.irfft2(f, s=(n, n)).astype(np.float32)
+    pre = (pre - pre.min()) / np.ptp(pre) * 255.0
+    post = np.roll(pre, (23, -31), (0, 1))
+    full = np.asarray(flow_field.coarse_to_fine_flow(
+        jnp.asarray(pre), jnp.asarray(post)))
+    crop = np.asarray(flow_field.coarse_to_fine_flow(
+        jnp.asarray(pre), jnp.asarray(post), peak_crop=32))
+    assert crop.shape == full.shape
+    sl = np.s_[2:-2, 2:-2]
+    agree = np.nanmean((full[0][sl] == crop[0][sl])
+                       & (full[1][sl] == crop[1][sl]))
+    assert agree > 0.99, agree
