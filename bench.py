@@ -394,10 +394,16 @@ def main():
   # fine_patch=64 measured NO speedup (the fine-pass window DMA + peak
   # chain, not the O(edge^3) correlation, bounds the targeted kernel at
   # this size) and worse error (3.11 -> 3.45), so it stays off;
-  # fine_patch=48 broke the 3.5 quality gate (4.11).
+  # fine_patch=48 broke the 3.5 quality gate (4.11); peak_crop=32
+  # (fine peak search restricted to the centered 32^2 correlation core
+  # via pre-sliced inverse-DFT matrices) measured +0.9% with identical
+  # error (scratch/ablate_r4d.py) — the fine peak chain is a minor
+  # cost at this geometry, but the crop is free and sound while the
+  # coarse prior bounds the fine residual (residual=6 << crop/2).
   import dataclasses as _dc_cfg
   pcfg = stack_align.StackAlignConfig(max_displacement=128, residual=6,
-                                      render_two_pass=True)
+                                      render_two_pass=True,
+                                      peak_crop=32)
   pcfg = _dc_cfg.replace(pcfg, mesh=_dc_cfg.replace(pcfg.mesh,
                                                     num_iters=250))
   grid_nn = n // pcfg.stride
