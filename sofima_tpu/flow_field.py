@@ -1068,7 +1068,8 @@ def dense_flow_field(
     static_argnames=['patch_size', 'step', 'coarse_step', 'fine_patch',
                      'batch_size', 'bf16', 'max_displacement', 'residual',
                      'min_distance', 'threshold_rel', 'peak_radius',
-                     'return_overflow', 'peak_crop'])
+                     'return_overflow', 'peak_crop', 'prior_step',
+                     'prior_origin'])
 def coarse_to_fine_flow(
     pre_image: jnp.ndarray,
     post_image: jnp.ndarray,
@@ -1087,6 +1088,9 @@ def coarse_to_fine_flow(
     peak_radius: int = 5,
     return_overflow: bool = False,
     peak_crop: int | None = None,
+    prior: jnp.ndarray | None = None,
+    prior_step: tuple[int, int] | None = None,
+    prior_origin: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
   """Coarse-to-fine dense flow: same grid as `dense_flow_field`, ~2x faster.
 
@@ -1127,6 +1131,20 @@ def coarse_to_fine_flow(
   at the clipped offset); on the masked fallback, the intermediate
   warp's residual-lattice overflow (affected tiles resampled as zeros,
   so the fine peaks there measured corrupted data).
+
+  Warm start (`prior`, unmasked targeted path only): skip the coarse
+  pass entirely and target the fine windows from an externally supplied
+  flow prior — e.g. the previous section pair's flow in a serial stack
+  (temporal coherence; see pipeline.stack_align warm_start). `prior` is
+  [2+, cy_n, cx_n] with prior[0] = dx, prior[1] = dy (the
+  dense_flow_field channel convention) on a grid with spacing
+  `prior_step` whose node (0, 0) sits at pixel `prior_origin`
+  (defaults: `coarse_step` / patch-center origin, i.e. a coarse-pass-
+  shaped prior). NaNs are median-filled and the prior is median-
+  filtered and clipped exactly like a coarse-pass result; the fine
+  pass re-measures peaks exactly, so a stale prior costs capture
+  margin (peaks must stay within the fine surface / `peak_crop` core),
+  never accuracy.
   """
   from sofima_tpu.ops import interp as interp_ops
   from sofima_tpu.ops import pallas_warp
@@ -1152,12 +1170,21 @@ def coarse_to_fine_flow(
   crop_x = (px // 2 - fx // 2) % sx
   h, w = pre_image.shape
 
-  coarse = dense_flow_field(
-      pre_image, post_image, patch_size, coarse_step,
-      batch_size=batch_size, circular=True, dft_matmul=True, bf16=bf16,
-      pre_mask=pre_mask, post_mask=post_mask, min_distance=min_distance,
-      threshold_rel=threshold_rel, peak_radius=peak_radius)
-  cx, cy = coarse[0], coarse[1]
+  if prior is not None:
+    if pre_mask is not None or post_mask is not None:
+      raise NotImplementedError(
+          'warm-start prior is supported on the unmasked targeted path')
+    cx, cy = prior[0], prior[1]
+    csy, csx = prior_step if prior_step is not None else coarse_step
+    if csy != csx:
+      raise ValueError('prior_step must be isotropic')
+  else:
+    coarse = dense_flow_field(
+        pre_image, post_image, patch_size, coarse_step,
+        batch_size=batch_size, circular=True, dft_matmul=True, bf16=bf16,
+        pre_mask=pre_mask, post_mask=post_mask, min_distance=min_distance,
+        threshold_rel=threshold_rel, peak_radius=peak_radius)
+    cx, cy = coarse[0], coarse[1]
 
   # Robust prior: NaN -> global median, then a 3x3 component-wise median
   # filter to stop isolated wrong coarse peaks from shifting fine windows
@@ -1174,7 +1201,10 @@ def coarse_to_fine_flow(
 
   cx = robustify(cx)
   cy = robustify(cy)
-  cy0, cx0 = py // 2, px // 2  # first node center
+  if prior is not None and prior_origin is not None:
+    cy0, cx0 = prior_origin
+  else:
+    cy0, cx0 = py // 2, px // 2  # first node center
   interpret = jax.default_backend() not in ('tpu', 'axon')
 
   gy = (h - (py - sy)) // sy

@@ -67,6 +67,16 @@ class StackAlignConfig:
   # inverse-DFT matrices (pallas_flow.dense_flow_peaks_targeted).
   # Size >= 4x `residual`; gated by the bench ground-truth bound.
   peak_crop: int | None = None
+  # Warm-start flow priors (pipelined driver only): section pair z
+  # targets its fine flow pass from pair z-1's cleaned flow instead of
+  # running a coarse pass (temporal coherence of serial sections). The
+  # first pair always runs the full coarse-to-fine chain. The fine pass
+  # re-measures peaks exactly, so a stale prior costs capture margin —
+  # the per-pair flow must stay within the fine surface (or `peak_crop`
+  # core) of the previous pair's; size peak_crop/fine_patch for the
+  # expected section-to-section drift. Gated by the bench ground-truth
+  # bound like every other lever.
+  warm_start: bool = False
   bf16: bool = True
   # clean_flow gates (EM-2D defaults, processor/defaults/em_2d.py).
   min_peak_ratio: float = 1.6
@@ -108,8 +118,15 @@ class StackAlignConfig:
           prefer_orig_order=True))
 
 
-def _flow_phase(sec_prev, sec_cur, cfg: StackAlignConfig, grid_n: int):
-  """FLOW + CLEAN for one section pair -> ([2, 1, G, G], overflow)."""
+def _flow_phase(sec_prev, sec_cur, cfg: StackAlignConfig, grid_n: int,
+                prior=None):
+  """FLOW + CLEAN for one section pair -> ([2, 1, G, G], overflow).
+
+  `prior` ([2, G, G] on the padded full grid, NaN border included)
+  warm-starts the fine pass in place of the coarse one — the full-grid
+  index j sits at pixel j*stride whenever stride divides patch//2
+  (pad * stride == patch // 2), which the grid contract guarantees
+  for the supported patch/stride geometries."""
   p, s = cfg.patch, cfg.stride
   pre = sec_prev.astype(jnp.float32)
   post = sec_cur.astype(jnp.float32)
@@ -124,7 +141,10 @@ def _flow_phase(sec_prev, sec_cur, cfg: StackAlignConfig, grid_n: int):
         pre, post, (p, p), (s, s), coarse_step=cs, fine_patch=fp,
         bf16=cfg.bf16, max_displacement=cfg.max_displacement,
         residual=cfg.residual, return_overflow=True,
-        peak_crop=cfg.peak_crop)
+        peak_crop=cfg.peak_crop, prior=prior,
+        prior_step=None if prior is None else (s, s),
+        prior_origin=None if prior is None else
+        (p // 2 - (p // 2 // s) * s, p // 2 - (p // 2 // s) * s))
   else:
     f4 = flow_field.dense_flow_field(
         pre, post, (p, p), (s, s), batch_size=256, circular=True,
@@ -270,13 +290,29 @@ def align_stack_pipelined(stack: jnp.ndarray,
   grid_n = n // cfg.stride
   solved0 = jnp.zeros((2, 1, grid_n, grid_n), jnp.float32)
 
-  # Phase 1: flow + clean for every adjacent pair (z-independent).
-  def flow_one(z):
+  # Phase 1: flow + clean for every adjacent pair. Without warm_start
+  # the pairs are z-independent (lax.map); with it, pair z targets its
+  # fine pass from pair z-1's cleaned flow (lax.scan, no coarse pass
+  # after the first pair) — same dispatch count per pair minus the
+  # coarse grid kernel, and lax.map executes sequentially anyway.
+  def flow_one(z, prior=None):
     pre = jax.lax.dynamic_index_in_dim(stack, z, keepdims=False)
     post = jax.lax.dynamic_index_in_dim(stack, z + 1, keepdims=False)
-    return _flow_phase(pre, post, cfg, grid_n)
+    return _flow_phase(pre, post, cfg, grid_n, prior=prior)
 
-  flows, ov_flow = jax.lax.map(flow_one, jnp.arange(z_dim - 1))
+  if cfg.warm_start and cfg.coarse_to_fine and z_dim > 2:
+    flow0, ov0 = flow_one(jnp.int32(0))
+
+    def flow_scan(prev_flow, z):
+      fl, ov = flow_one(z, prior=prev_flow[:, 0])
+      return fl, (fl, ov)
+
+    _, (flows_rest, ov_rest) = jax.lax.scan(
+        flow_scan, flow0, jnp.arange(1, z_dim - 1))
+    flows = jnp.concatenate([flow0[None], flows_rest], axis=0)
+    ov_flow = jnp.concatenate([ov0[None], ov_rest], axis=0)
+  else:
+    flows, ov_flow = jax.lax.map(flow_one, jnp.arange(z_dim - 1))
 
   # Phase 2: the sequential solve chain (tiny state, fused kernel).
   def solve_one(solved_prev, flow_full):

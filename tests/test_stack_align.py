@@ -56,6 +56,52 @@ class TestStackAlign:
       # Aligned neighbors must be far closer than raw neighbors.
       assert after < before / 3, (z, before, after)
 
+  def test_warm_start_matches_cold(self):
+    # warm_start=True replaces pair z's coarse pass with pair z-1's
+    # cleaned flow as the fine-pass targeting prior. The fine pass
+    # re-measures peaks from the prior-shifted windows, so warm and
+    # cold flows may differ by +-1 px at quantization-tie nodes
+    # (integer-pixel flow contract; different window content resolves a
+    # borderline peak either way) but never more — and alignment
+    # quality must be indistinguishable.
+    from sofima_tpu.pipeline import stack_align
+    n, n_z = 800, 4
+    stack = _make_stack(n, n_z)
+    cfg = stack_align.StackAlignConfig(max_displacement=64, residual=16)
+    cfg_w = stack_align.StackAlignConfig(max_displacement=64, residual=16,
+                                         warm_start=True)
+    grid_n = n // cfg.stride
+
+    # Flow level: pair 1 warm-started from pair 0's cleaned flow.
+    s0, s1, s2 = (jnp.asarray(stack[z].astype(np.float32))
+                  for z in range(3))
+    f0, _ = stack_align._flow_phase(s0, s1, cfg, grid_n)
+    f1_cold, _ = stack_align._flow_phase(s1, s2, cfg, grid_n)
+    f1_warm, _ = stack_align._flow_phase(s1, s2, cfg, grid_n,
+                                         prior=f0[:, 0])
+    d = np.abs(np.asarray(f1_warm) - np.asarray(f1_cold))
+    assert np.nanmax(d) <= 1.5, np.nanmax(d)
+    assert np.nanmean(d) < 0.3, np.nanmean(d)
+
+    # End to end: the warm chain aligns the stack as well as the cold
+    # one (same bar as test_aligns_drifting_stack, plus parity).
+    rend_c, _, ovf_c = stack_align.align_stack(stack, cfg)
+    rend_w, _, ovf_w = stack_align.align_stack(stack, cfg_w)
+    assert not bool(ovf_c) and not bool(ovf_w)
+    interior = np.s_[160:-160, 160:-160]
+    raw = stack.astype(np.float32)
+    for z in range(1, n_z):
+      before = np.abs(raw[z][interior] - raw[z - 1][interior]).mean()
+      a_c = np.abs(np.asarray(rend_c)[z][interior].astype(np.float32)
+                   - np.asarray(rend_c)[z - 1][interior]
+                   .astype(np.float32)).mean()
+      a_w = np.abs(np.asarray(rend_w)[z][interior].astype(np.float32)
+                   - np.asarray(rend_w)[z - 1][interior]
+                   .astype(np.float32)).mean()
+      assert a_w < before / 3, (z, before, a_w)
+      # Quality parity: within 15% + epsilon of the cold chain.
+      assert a_w < a_c * 1.15 + 0.2, (z, a_c, a_w)
+
   def test_identity_stack_is_stable(self):
     # No motion: the solve should stay ~zero and the render ~identity.
     from sofima_tpu.pipeline import stack_align
