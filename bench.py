@@ -399,11 +399,16 @@ def main():
   # via pre-sliced inverse-DFT matrices) measured +0.9% with identical
   # error (scratch/ablate_r4d.py) — the fine peak chain is a minor
   # cost at this geometry, but the crop is free and sound while the
-  # coarse prior bounds the fine residual (residual=6 << crop/2).
+  # coarse prior bounds the fine residual (residual=6 << crop/2);
+  # warm_start=True targets pair z's fine pass from pair z-1's cleaned
+  # flow instead of a fresh coarse pass (serial-section temporal
+  # coherence): 598.3 vs 564.3 Mpix/s with BETTER ground-truth error
+  # (2.98 vs 3.11 -- the cleaned previous-pair prior is smoother than
+  # a fresh coarse measurement), no overflow (scratch/ablate_r4e.py).
   import dataclasses as _dc_cfg
   pcfg = stack_align.StackAlignConfig(max_displacement=128, residual=6,
                                       render_two_pass=True,
-                                      peak_crop=32)
+                                      peak_crop=32, warm_start=True)
   pcfg = _dc_cfg.replace(pcfg, mesh=_dc_cfg.replace(pcfg.mesh,
                                                     num_iters=250))
   grid_nn = n // pcfg.stride
@@ -631,11 +636,15 @@ def main():
   _guard(results, 'mesh3d_xla', stage_mesh3d_xla)
 
   def stage_mesh3d():
-    # Small aligned tiles: the compile helper handles the 26-link
-    # unrolled force only on small windows (hardware-bisected — the
-    # blowup scales with links x window area); tile 32 is the largest
-    # that compiles and the fastest measured (1.45 GLUPS; 64 crashes).
-    pallas_force3 = pallas_mesh.make_elastic_mesh_3d(tile=32)
+    # Margin-free slab kernel (y-shifted copies, zero wasted compute)
+    # with the rsqrt force chain (one VPU transcendental per link
+    # instead of sqrt + divide): 1.59 GLUPS measured vs 1.45 for the
+    # windowed tile=32 kernel with sqrt/div, parity vs the XLA stencil
+    # at f32 noise (~5e-6; scratch/probe_mesh_rsqrt.py).
+    def pallas_force3(x, k, stride, prefer_orig_order=False, links=None):
+      del links
+      return pallas_mesh.elastic_mesh_3d_pallas_slab(
+          x, k, stride, prefer_orig_order, tile_y=8)
 
     def run_mesh3d():
       return mesh.velocity_verlet(x3, v3, prev3, cfg3, force_cap=1e6,
@@ -658,9 +667,17 @@ def main():
 
     def run_mesh3d_fused():
       # link_loop: the compact per-link body is what fits the compile
-      # helper at whole-mesh window sizes.
+      # helper at whole-mesh window sizes. symmetric: one distance
+      # chain per +-link pair (Newton's third law), 13 loop trips —
+      # measured +20% on hardware (0.73 vs 0.61 GLUPS,
+      # scratch/probe_mesh3d_sym.py; the symmetric SLAB force kernel
+      # conversely crashes the remote compile helper at every tile_y —
+      # the reaction-roll accumulation pushes the unrolled body over
+      # the helper's unroll x area blowup threshold). The rsqrt force
+      # chain lifts this further: 0.87 GLUPS
+      # (scratch/probe_mesh_rsqrt.py).
       return pallas_mesh.relax_mesh_fused_pallas_3d(
-          x3f, prev3f, cfg3f, link_loop=True)[0]
+          x3f, prev3f, cfg3f, link_loop=True, symmetric=True)[0]
 
     _, t_m3f = _time(run_mesh3d_fused, repeats=2)
     results['mesh3d_fused_glups'] = round(

@@ -58,8 +58,9 @@ def _force_tile(tile: jnp.ndarray, ty: int, tx: int, k: float, stride,
     dy = nbor[1] - center[1] + l0y
     l0 = float(np.hypot(l0x, l0y))
     k_e = k if (ex == 0 or ey == 0) else k_diag
-    l = jnp.sqrt(dx * dx + dy * dy)
-    inv_l = 1.0 / jnp.maximum(l, 1e-30)
+    # One rsqrt instead of sqrt + divide: the spring force only ever
+    # needs 1/l, and rsqrt is a single VPU transcendental chain.
+    inv_l = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy, 1e-60))
     if prefer_orig_order:
       fac_x = float(ex) * jnp.sign(dx) if ex != 0 else 1.0
       fac_y = float(ey) * jnp.sign(dy) if ey != 0 else 1.0
@@ -197,8 +198,8 @@ def _force_tile_3d(tile: jnp.ndarray, ty: int, tx: int, k: float, stride,
         l0 = float(_np.linalg.norm(l0v))
         k_eff = k * sx / l0
         d = [nbor[c] - center[c] + l0v[c] for c in range(3)]
-        l = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
-        inv_l = 1.0 / jnp.maximum(l, 1e-30)
+        inv_l = jax.lax.rsqrt(
+            jnp.maximum(d[0] * d[0] + d[1] * d[1] + d[2] * d[2], 1e-60))
         e = (ex, ey, ez)
         for c in range(3):
           if prefer_orig_order:
@@ -390,8 +391,8 @@ def _slab_force_3d(up, mid, dn, k: float, stride,
         l0 = float(np.linalg.norm(l0v))
         k_eff = k * sx / l0
         d = [nbor[c] - mid[c] + l0v[c] for c in range(3)]
-        l = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
-        inv_l = 1.0 / jnp.maximum(l, 1e-30)
+        inv_l = jax.lax.rsqrt(
+            jnp.maximum(d[0] * d[0] + d[1] * d[1] + d[2] * d[2], 1e-60))
         e = (ex, ey, ez)
         for c in range(3):
           if prefer_orig_order:
@@ -416,8 +417,8 @@ def _link_force_3d(base, nbor, e, k: float, stride,
   l0 = float(np.linalg.norm(l0v))
   k_eff = k * sx / l0
   d = [nbor[c] - base[c] + l0v[c] for c in range(3)]
-  l = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
-  inv_l = 1.0 / jnp.maximum(l, 1e-30)
+  inv_l = jax.lax.rsqrt(
+      jnp.maximum(d[0] * d[0] + d[1] * d[1] + d[2] * d[2], 1e-60))
   out = []
   for c in range(3):
     if prefer_orig_order:
@@ -516,6 +517,14 @@ def elastic_mesh_3d_pallas_slab(x: jnp.ndarray, k: float, stride,
   exactly its output block (see _slab_force_3d). tile_y stays small so
   the per-slab unrolled 26-link body fits the relay's compile helper
   (the blowup scales with link count x block area — hardware-bisected).
+
+  `symmetric=True` (one sqrt/div chain per +-link pair) is exact and
+  interpret-validated, but its reaction-roll accumulation pushes the
+  unrolled body over the compile helper's blowup threshold on hardware
+  at every tile_y tried (8/16 — scratch/probe_mesh3d_sym.py, HTTP 500);
+  use the fused link-loop solver (relax_mesh_fused_pallas_3d with
+  link_loop=True, symmetric=True — measured +20% there) for the
+  hardware-symmetric path.
   """
   if not hasattr(stride, '__len__'):
     stride = (float(stride),) * 3
@@ -603,8 +612,7 @@ def _roll_force_2d(xp: jnp.ndarray, k: float, stride,
       k_eff = k if (ex == 0 or ey == 0) else k / np.sqrt(2.0)
       d0 = nbor[0] - xp[0] + l0x
       d1 = nbor[1] - xp[1] + l0y
-      l = jnp.sqrt(d0 * d0 + d1 * d1)
-      inv_l = 1.0 / jnp.maximum(l, 1e-30)
+      inv_l = jax.lax.rsqrt(jnp.maximum(d0 * d0 + d1 * d1, 1e-60))
       if prefer_orig_order:
         fac0 = float(ex) * jnp.sign(d0) if ex != 0 else 1.0
         fac1 = float(ey) * jnp.sign(d1) if ey != 0 else 1.0
@@ -761,8 +769,8 @@ def _roll_force_3d(xp: jnp.ndarray, k: float, stride,
         l0 = float(np.linalg.norm(l0v))
         k_eff = k * sx / l0
         d = [nbor[c] - xp[c] + l0v[c] for c in range(3)]
-        l = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
-        inv_l = 1.0 / jnp.maximum(l, 1e-30)
+        inv_l = jax.lax.rsqrt(
+            jnp.maximum(d[0] * d[0] + d[1] * d[1] + d[2] * d[2], 1e-60))
         e = (ex, ey, ez)
         for c in range(3):
           if prefer_orig_order:
@@ -847,8 +855,8 @@ def _roll_force_3d_loop(xp: jnp.ndarray, k: float, stride,
     k_eff = kl0_t[0, i]
     l0 = kl0_t[1, i]
     d = [nbor[c] - xp[c] + l0v_t[i, c] for c in range(3)]
-    l = jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
-    inv_l = 1.0 / jnp.maximum(l, 1e-30)
+    inv_l = jax.lax.rsqrt(
+        jnp.maximum(d[0] * d[0] + d[1] * d[1] + d[2] * d[2], 1e-60))
     e = (ex, ey, ez)
     outs = []
     for c in range(3):
