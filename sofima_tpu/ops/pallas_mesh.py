@@ -439,7 +439,8 @@ _HALF_LINKS_3D = tuple(
 
 
 def _slab_force_3d_sym(up, mid, dn, k: float, stride,
-                       prefer_orig_order: bool) -> jnp.ndarray:
+                       prefer_orig_order: bool,
+                       links=_HALF_LINKS_3D) -> jnp.ndarray:
   """26-link slab force via Newton's-third-law link sharing.
 
   Same contract as _slab_force_3d, but each +-e link PAIR shares one
@@ -460,7 +461,7 @@ def _slab_force_3d_sym(up, mid, dn, k: float, stride,
   """
   zn, xn = mid.shape[1], mid.shape[3]
   acc = jnp.zeros((3,) + mid.shape[1:], jnp.float32)
-  for e in _HALF_LINKS_3D:
+  for e in links:
     ex, ey, ez = e
     src = up if ey else mid
     nbor = src
@@ -494,22 +495,27 @@ def _slab_force_3d_sym(up, mid, dn, k: float, stride,
 
 
 def _kernel_3d_slab(up_ref, mid_ref, dn_ref, out_ref, *, k, stride,
-                    prefer_orig_order, nz, symmetric=False):
-  force_fn = _slab_force_3d_sym if symmetric else _slab_force_3d
-  force = force_fn(up_ref[...], mid_ref[...], dn_ref[...], k,
-                   stride, prefer_orig_order)
+                    prefer_orig_order, nz, symmetric=False, links=None):
+  if symmetric:
+    force = _slab_force_3d_sym(up_ref[...], mid_ref[...], dn_ref[...],
+                               k, stride, prefer_orig_order,
+                               links=links or _HALF_LINKS_3D)
+  else:
+    force = _slab_force_3d(up_ref[...], mid_ref[...], dn_ref[...], k,
+                           stride, prefer_orig_order)
   out_ref[...] = jax.lax.slice_in_dim(force, 1, 1 + nz, axis=1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=['k', 'stride', 'prefer_orig_order', 'tile_y',
-                     'interpret', 'symmetric'])
+                     'interpret', 'symmetric', 'sym_split'])
 def elastic_mesh_3d_pallas_slab(x: jnp.ndarray, k: float, stride,
                                 prefer_orig_order: bool = False,
                                 tile_y: int = 8,
                                 interpret: bool = False,
-                                symmetric: bool = False) -> jnp.ndarray:
+                                symmetric: bool = False,
+                                sym_split: int = 0) -> jnp.ndarray:
   """Margin-free 3d mesh force: y-shifted copies + full-width y-slabs.
 
   Contract of mesh.elastic_mesh_3d. Three y-shifted copies of the
@@ -518,13 +524,17 @@ def elastic_mesh_3d_pallas_slab(x: jnp.ndarray, k: float, stride,
   the per-slab unrolled 26-link body fits the relay's compile helper
   (the blowup scales with link count x block area — hardware-bisected).
 
-  `symmetric=True` (one sqrt/div chain per +-link pair) is exact and
-  interpret-validated, but its reaction-roll accumulation pushes the
-  unrolled body over the compile helper's blowup threshold on hardware
-  at every tile_y tried (8/16 — scratch/probe_mesh3d_sym.py, HTTP 500);
-  use the fused link-loop solver (relax_mesh_fused_pallas_3d with
-  link_loop=True, symmetric=True — measured +20% there) for the
-  hardware-symmetric path.
+  `symmetric=True` (one sqrt/div chain per +-link pair) is exact, but
+  its SINGLE-kernel reaction-roll accumulation pushes the unrolled body
+  over the compile helper's blowup threshold on hardware at every
+  tile_y tried (8/16 — scratch/probe_mesh3d_sym.py, HTTP 500). The
+  blowup scales with unrolled-link-count x block area (hardware-
+  bisected, docs/ROADMAP.md), so `sym_split=N` partitions the 13
+  half-link families across N pallas_calls — each body stays under the
+  threshold — and sums the partial forces in XLA. The windows are
+  re-DMA'd per group (~1 MB/block/group, negligible against the
+  VPU-bound link math). sym_split=2 splits [9 ey=+1 | 4 ey=0];
+  sym_split=3 splits [5 | 4 ey=+1 | 4 ey=0].
   """
   if not hasattr(stride, '__len__'):
     stride = (float(stride),) * 3
@@ -545,21 +555,37 @@ def elastic_mesh_3d_pallas_slab(x: jnp.ndarray, k: float, stride,
   spec = pl.BlockSpec((3, nz + 2, tile_y, xp.shape[3]),
                       lambda iy: (0, 0, iy, 0),
                       memory_space=pltpu.VMEM)
-  kernel = functools.partial(
-      _kernel_3d_slab, k=float(k),
-      stride=tuple(float(s) for s in stride),
-      prefer_orig_order=prefer_orig_order, nz=nz, symmetric=symmetric)
-  out = pl.pallas_call(
-      kernel,
-      grid=(gy,),
-      in_specs=[spec] * 3,
-      out_specs=pl.BlockSpec((3, nz, tile_y, xp.shape[3]),
-                             lambda iy: (0, 0, iy, 0),
-                             memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((3, nz, yp, xp.shape[3]),
-                                     jnp.float32),
-      interpret=interpret,
-  )(up, xp, dn)
+
+  def call(links=None):
+    kernel = functools.partial(
+        _kernel_3d_slab, k=float(k),
+        stride=tuple(float(s) for s in stride),
+        prefer_orig_order=prefer_orig_order, nz=nz, symmetric=symmetric,
+        links=links)
+    return pl.pallas_call(
+        kernel,
+        grid=(gy,),
+        in_specs=[spec] * 3,
+        out_specs=pl.BlockSpec((3, nz, tile_y, xp.shape[3]),
+                               lambda iy: (0, 0, iy, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, nz, yp, xp.shape[3]),
+                                       jnp.float32),
+        interpret=interpret,
+    )(up, xp, dn)
+
+  if symmetric and sym_split > 1:
+    ey1 = [e for e in _HALF_LINKS_3D if e[1]]
+    ey0 = [e for e in _HALF_LINKS_3D if not e[1]]
+    if sym_split == 2:
+      groups = [tuple(ey1), tuple(ey0)]
+    else:
+      groups = [tuple(ey1[:5]), tuple(ey1[5:]), tuple(ey0)]
+    out = call(groups[0])
+    for g in groups[1:]:
+      out = out + call(g)
+  else:
+    out = call()
   return out[:, :, :ny, :nx]
 
 

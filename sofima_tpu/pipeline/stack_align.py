@@ -77,6 +77,23 @@ class StackAlignConfig:
   # expected section-to-section drift. Gated by the bench ground-truth
   # bound like every other lever.
   warm_start: bool = False
+  # Stale-prior refresh (warm_start only). A warm pair is re-measured
+  # with a full coarse pass (lax.cond: the refresh branch costs nothing
+  # unless taken) when any of three staleness signals fire:
+  #   * the fine pass overflowed its targeting clamp;
+  #   * fewer than `warm_refresh_min_valid` of the interior nodes
+  #     survive clean_flow (a stale prior shifts the fine windows off
+  #     target and the mis-measured peaks fail the ratio/sharpness/
+  #     deviation gates);
+  #   * >5% of surviving nodes measure a fine residual (|flow - prior|)
+  #     beyond 3/4 of the fine surface's capture half-range — the
+  #     signature of residual ALIASING: the fine correlation is
+  #     circular, so a prior stale by more than the capture range can
+  #     produce smooth, confident, wrong-by-one-period peaks that the
+  #     clean gates cannot see. Healthy warm residuals are the
+  #     section-to-section flow delta (a few px), far inside the bound.
+  # None disables the refresh and keeps the flag-only behavior.
+  warm_refresh_min_valid: float | None = 0.5
   bf16: bool = True
   # clean_flow gates (EM-2D defaults, processor/defaults/em_2d.py).
   min_peak_ratio: float = 1.6
@@ -302,9 +319,38 @@ def align_stack_pipelined(stack: jnp.ndarray,
 
   if cfg.warm_start and cfg.coarse_to_fine and z_dim > 2:
     flow0, ov0 = flow_one(jnp.int32(0))
+    pad = cfg.patch // 2 // cfg.stride
+
+    fp = cfg.fine_patch if cfg.fine_patch is not None else cfg.patch // 2
+    # Capture half-range of the fine peak search: the peak_crop core
+    # when set, else a conservative quarter of the (circular) fine
+    # window — peaks near the window edge are wrap-suspect even when
+    # they are inside the nominal +-fp/2 unique range.
+    cap_half = (cfg.peak_crop // 2 if cfg.peak_crop is not None
+                else fp // 4)
 
     def flow_scan(prev_flow, z):
       fl, ov = flow_one(z, prior=prev_flow[:, 0])
+      if cfg.warm_refresh_min_valid is not None:
+        # Stale-prior refresh (see StackAlignConfig.warm_refresh_min_
+        # valid): lost peaks, targeting overflow, or near-capture
+        # residuals trigger a re-measure from a fresh coarse pass. The
+        # cond branch reuses the first pair's compiled coarse kernels
+        # and costs nothing at runtime unless taken.
+        sl = lambda a: jax.lax.slice(
+            a, (0, 0, pad, pad),
+            (a.shape[0], 1, a.shape[2] - pad, a.shape[3] - pad))
+        interior = sl(fl)
+        finite = jnp.isfinite(interior[0, 0])
+        valid = jnp.mean(finite)
+        resid = jnp.abs(interior - sl(prev_flow))
+        resid = jnp.nan_to_num(jnp.max(resid, axis=(0, 1)))
+        saturated = jnp.sum(finite & (resid > 0.75 * cap_half))
+        frac_sat = saturated / jnp.maximum(jnp.sum(finite), 1)
+        stale = (ov | (valid < cfg.warm_refresh_min_valid)
+                 | (frac_sat > 0.05))
+        fl, ov = jax.lax.cond(stale, lambda: flow_one(z),
+                              lambda: (fl, ov))
       return fl, (fl, ov)
 
     _, (flows_rest, ov_rest) = jax.lax.scan(

@@ -219,6 +219,24 @@ class TestElasticMesh3dLinkLoop:
           interpret=True, symmetric=True)
       assert float(jnp.nanmax(jnp.abs(ref - got))) < 1e-4, poo
 
+  def test_slab_force_symmetric_split_matches_xla(self):
+    # sym_split partitions the 13 half-link families across 2 or 3
+    # pallas_calls (the single symmetric body overruns the remote
+    # compile helper's unroll-x-area threshold on hardware); the summed
+    # partial forces must stay exactly the full symmetric force.
+    rng = np.random.RandomState(9)
+    x = rng.randn(3, 5, 20, 24).astype(np.float32) * 5
+    x[:, 1, 4, 11:13] = np.nan
+    x = jnp.asarray(x)
+    for split in (2, 3):
+      for poo in (False, True):
+        ref = mesh.elastic_mesh_3d(x, 0.1, (40.0, 30.0, 20.0),
+                                   prefer_orig_order=poo)
+        got = pallas_mesh.elastic_mesh_3d_pallas_slab(
+            x, 0.1, (40.0, 30.0, 20.0), prefer_orig_order=poo,
+            tile_y=4, interpret=True, symmetric=True, sym_split=split)
+        assert float(jnp.nanmax(jnp.abs(ref - got))) < 1e-4, (split, poo)
+
   def test_slab_force_inside_solver(self):
     rng = np.random.RandomState(7)
     prev = jnp.asarray(rng.randn(3, 4, 8, 10).astype(np.float32))

@@ -102,6 +102,72 @@ class TestStackAlign:
       # Quality parity: within 15% + epsilon of the cold chain.
       assert a_w < a_c * 1.15 + 0.2, (z, a_c, a_w)
 
+  def test_warm_start_stale_prior_refresh(self):
+    # A section pair whose motion jumps far beyond the previous pair's
+    # flow leaves the warm prior stale: the fine windows land off
+    # target, peaks are mis-measured (aliased by the circular fine
+    # window or killed by the clean gates). The refresh must detect
+    # this and re-measure the pair with a full coarse pass, matching
+    # the cold chain; with the refresh disabled the warm flow for that
+    # pair must be visibly broken (the condition the detector sees).
+    from sofima_tpu.pipeline import stack_align
+    n = 640
+    base = _texture(n)
+    yy, xx = np.mgrid[:n, :n].astype(np.float32)
+
+    def warped(dy, dx):
+      coords = jnp.stack([jnp.asarray(yy + dy), jnp.asarray(xx + dx)])
+      return np.asarray(interp.sample(jnp.asarray(base), coords,
+                                      method='linear', mode='nearest'))
+
+    # Pair 0: small drift. Pair 1: a 52/-48 px jump — beyond the fine
+    # window's +-fp/2 = 40 px capture, so a warm prior of ~3 px leaves
+    # the pair either alias-measured (smooth confident peaks wrong by
+    # one 80 px window period) or clean-gated to NaN; both must trigger
+    # the refresh.
+    s0 = base
+    s1 = warped(2.0, -3.0)
+    s2 = warped(2.0 + 52.0, -3.0 - 48.0)
+    stack = np.stack([s0, s1, s2]).astype(np.uint8)
+
+    kw = dict(max_displacement=96, residual=16)
+    cfg_cold = stack_align.StackAlignConfig(**kw)
+    cfg_off = stack_align.StackAlignConfig(
+        warm_start=True, warm_refresh_min_valid=None, **kw)
+    cfg_on = stack_align.StackAlignConfig(warm_start=True, **kw)
+    grid_n = n // cfg_cold.stride
+    pad = cfg_cold.patch // 2 // cfg_cold.stride
+    inner = np.s_[:, 0, pad:grid_n - pad, pad:grid_n - pad]
+
+    s1j = jnp.asarray(s1.astype(np.float32))
+    s2j = jnp.asarray(s2.astype(np.float32))
+    f0, _ = stack_align._flow_phase(
+        jnp.asarray(s0.astype(np.float32)), s1j, cfg_cold, grid_n)
+    f1_cold, _ = stack_align._flow_phase(s1j, s2j, cfg_cold, grid_n)
+    f1_stale, _ = stack_align._flow_phase(s1j, s2j, cfg_cold, grid_n,
+                                          prior=f0[:, 0])
+    cold_i = np.asarray(f1_cold)[inner]
+    stale_i = np.asarray(f1_stale)[inner]
+    # The stale warm flow must actually be broken (else the test proves
+    # nothing): mostly invalid, or wrong by aliasing where it survived.
+    stale_bad = (np.mean(np.isfinite(stale_i)) < 0.5
+                 or np.nanmax(np.abs(stale_i - cold_i)) > 10.0)
+    assert stale_bad, (np.mean(np.isfinite(stale_i)),
+                       np.nanmax(np.abs(stale_i - cold_i)))
+
+    # End to end: the refreshed warm chain matches the cold chain.
+    rend_c, _, _ = stack_align.align_stack(stack, cfg_cold)
+    rend_on, _, _ = stack_align.align_stack(stack, cfg_on)
+    rend_off, _, _ = stack_align.align_stack(stack, cfg_off)
+    interior = np.s_[160:-160, 160:-160]
+    err = lambda r: np.abs(
+        np.asarray(r)[2][interior].astype(np.float32)
+        - np.asarray(r)[1][interior].astype(np.float32)).mean()
+    e_cold, e_on, e_off = err(rend_c), err(rend_on), err(rend_off)
+    assert e_on < e_cold * 1.15 + 0.2, (e_cold, e_on)
+    # Without the refresh the jumped pair renders visibly worse.
+    assert e_off > e_on * 1.5, (e_off, e_on)
+
   def test_identity_stack_is_stable(self):
     # No motion: the solve should stay ~zero and the render ~identity.
     from sofima_tpu.pipeline import stack_align
