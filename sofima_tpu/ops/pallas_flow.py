@@ -203,6 +203,78 @@ def _peaks_for_patch(x, lin, *, min_distance, threshold_rel, peak_radius,
   return ox, oy, sharp, ratio
 
 
+def _peaks_for_group(x, *, min_distance, threshold_rel, peak_radius,
+                     center):
+  """Top-2 peak statistics for a stacked [G, n1, n2] correlation block.
+
+  Group-vectorized restatement of _peaks_for_patch: every roll,
+  compare, and reduction runs ONCE on the [G, n1, n2] block instead of
+  once per patch. At peak-crop surface sizes ([32, 32] = a handful of
+  vregs) the per-patch chain is VPU-op-LATENCY-bound — op count, not
+  element count, is what it costs — so folding the G-fold unroll into
+  the lane dimension removes ~G x ~30 serial VPU ops per grid step.
+  Identical numerics: same separable local-max filter, the same
+  min-linear-index argmax tie-breaking, the same clamped sharpness
+  window.
+
+  Returns [G, 4] rows of (ox, oy, sharpness, ratio); NaNs if no peak.
+  """
+  g, n1, n2 = x.shape
+  neg = jnp.float32(-jnp.inf)
+  pos = jnp.float32(jnp.inf)
+
+  def shifted(a, s, axis, fill):
+    n = a.shape[axis]
+    r = pltpu.roll(a, s % n, axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, a.shape, axis)
+    bad = idx < s if s > 0 else idx >= n + s
+    return jnp.where(bad, fill, r)
+
+  mx = x
+  for s in range(1, min_distance + 1):
+    mx = jnp.maximum(mx, jnp.maximum(shifted(x, s, 1, neg),
+                                     shifted(x, -s, 1, neg)))
+  mx2 = mx
+  for s in range(1, min_distance + 1):
+    mx2 = jnp.maximum(mx2, jnp.maximum(shifted(mx, s, 2, neg),
+                                       shifted(mx, -s, 2, neg)))
+
+  def gmax(a):
+    return jnp.max(jnp.max(a, axis=2), axis=1)
+
+  def gmin(a):
+    return jnp.min(jnp.min(a, axis=2), axis=1)
+
+  iy = jax.lax.broadcasted_iota(jnp.int32, (g, n1, n2), 1)
+  ix = jax.lax.broadcasted_iota(jnp.int32, (g, n1, n2), 2)
+  lin = iy * n2 + ix
+  thr = threshold_rel * gmax(x)[:, None, None]
+  cand = jnp.where((x == mx2) & (x > thr), x, neg)
+  val1 = gmax(cand)
+  v1b = val1[:, None, None]
+  big = jnp.int32(n1 * n2)
+  idx1 = gmin(jnp.where(cand == v1b, lin, big))
+  py = idx1 // n2
+  px = idx1 - py * n2
+  val2 = gmax(jnp.where(lin == idx1[:, None, None], neg, cand))
+
+  size = 2 * peak_radius + 1
+  sy = jnp.clip(py - peak_radius, 0, n1 - size)[:, None, None]
+  sx = jnp.clip(px - peak_radius, 0, n2 - size)[:, None, None]
+  inwin = ((iy >= sy) & (iy < sy + size)
+           & (ix >= sx) & (ix < sx + size))
+  minv = gmin(jnp.where(inwin, x, pos))
+
+  nan = jnp.float32(jnp.nan)
+  no_peak = jnp.isinf(val1)
+  ox = jnp.where(no_peak, nan, (px - center[1]).astype(jnp.float32))
+  oy = jnp.where(no_peak, nan, (py - center[0]).astype(jnp.float32))
+  sharp = jnp.where(no_peak, nan, val1 / minv)
+  ratio = jnp.where(no_peak, nan,
+                    jnp.where(jnp.isinf(val2), 0.0, val1 / val2))
+  return jnp.stack([ox, oy, sharp, ratio], axis=1)
+
+
 def _corr_peaks_kernel(a_ref, b_ref, wr1, wi1, fr2, fi2, br2, bi2,
                        out_ref, *, bf16, min_distance, threshold_rel,
                        peak_radius, center):
@@ -248,25 +320,9 @@ def _corr_peaks_values(a, b, wr1, wi1, fr2, fi2, br2, bi2, *, bf16,
   corr = pltpu.roll(corr, n1 // 2, 1)
   corr = pltpu.roll(corr, n2 // 2, 2)
 
-  iy = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
-  ix = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1)
-  lin = iy * n2 + ix
-  # Mosaic cannot store scalars to VMEM: accumulate the [G, 4] stats
-  # block with masked vector writes and store it once.
-  rid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 0)
-  cid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 1)
-  emasks = _edge_masks((n1, n2), min_distance)
-  vals = jnp.zeros((group, 4), jnp.float32)
-  for g in range(group):
-    ox, oy, sharp, ratio = _peaks_for_patch(
-        corr[g], lin, min_distance=min_distance,
-        threshold_rel=threshold_rel, peak_radius=peak_radius,
-        center=center, masks=emasks)
-    row = jnp.where(cid == 0, ox,
-                    jnp.where(cid == 1, oy,
-                              jnp.where(cid == 2, sharp, ratio)))
-    vals = jnp.where(rid == g, row, vals)
-  return vals
+  return _peaks_for_group(
+      corr, min_distance=min_distance, threshold_rel=threshold_rel,
+      peak_radius=peak_radius, center=center)
 
 
 def _corr_peaks_grouped(wa, wb, wr1, wi1, wr1i, wi1i, frb, fib, br2c,
@@ -327,23 +383,9 @@ def _corr_peaks_grouped(wa, wb, wr1, wi1, wr1i, wi1i, frb, fib, br2c,
     corrs.append((mm(grg, br2c) + mm(gig, bi2c)) / px)
   corr = jnp.stack(corrs)
 
-  iy = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 0)
-  ix = jax.lax.broadcasted_iota(jnp.int32, (n1, n2), 1)
-  lin = iy * n2 + ix
-  rid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 0)
-  cid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 1)
-  masks = _edge_masks((n1, n2), min_distance)
-  vals = jnp.zeros((group, 4), jnp.float32)
-  for g in range(group):
-    ox, oy, sharp, ratio = _peaks_for_patch(
-        corr[g], lin, min_distance=min_distance,
-        threshold_rel=threshold_rel, peak_radius=peak_radius,
-        center=(n1 // 2, n2 // 2), masks=masks)
-    row = jnp.where(cid == 0, ox,
-                    jnp.where(cid == 1, oy,
-                              jnp.where(cid == 2, sharp, ratio)))
-    vals = jnp.where(rid == g, row, vals)
-  return vals
+  return _peaks_for_group(
+      corr, min_distance=min_distance, threshold_rel=threshold_rel,
+      peak_radius=peak_radius, center=(n1 // 2, n2 // 2))
 
 
 def _patch_moments_grouped(wa, wb, *, group, px, sx):
@@ -439,28 +481,15 @@ def _ncc_full_valid_grouped(wa, wb, wr1, wi1, wr1i, wi1i, frb, fib,
     denoms.append(denom)
 
   tol = 1e3 * eps * tolmax
-  iy = jax.lax.broadcasted_iota(jnp.int32, (py, px), 0)
-  ix = jax.lax.broadcasted_iota(jnp.int32, (py, px), 1)
-  lin = iy * px + ix
-  rid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 0)
-  cid = jax.lax.broadcasted_iota(jnp.int32, (group, 4), 1)
-  emasks = _edge_masks((py, px), min_distance)
-  vals = jnp.zeros((group, 4), jnp.float32)
-  for g in range(group):
-    denom = denoms[g]
-    corr = jnp.where(denom > tol,
-                     (xcs[g] - nums_c[g]) / jnp.where(denom > tol, denom,
-                                                      1.0), 0.0)
-    corr = jnp.clip(corr, -1.0, 1.0)
-    ox, oy, sharp, ratio = _peaks_for_patch(
-        corr, lin, min_distance=min_distance,
-        threshold_rel=threshold_rel, peak_radius=peak_radius,
-        center=(py // 2, px // 2), masks=emasks)
-    row = jnp.where(cid == 0, ox,
-                    jnp.where(cid == 1, oy,
-                              jnp.where(cid == 2, sharp, ratio)))
-    vals = jnp.where(rid == g, row, vals)
-  return vals
+  denom = jnp.stack(denoms)[:, None, None]  # [G, 1, 1] scalars
+  nums = jnp.stack(nums_c)[:, None, None]
+  corr = jnp.where(denom > tol,
+                   (jnp.stack(xcs) - nums)
+                   / jnp.where(denom > tol, denom, 1.0), 0.0)
+  corr = jnp.clip(corr, -1.0, 1.0)
+  return _peaks_for_group(
+      corr, min_distance=min_distance, threshold_rel=threshold_rel,
+      peak_radius=peak_radius, center=(py // 2, px // 2))
 
 
 def _masked_row_subgrouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,

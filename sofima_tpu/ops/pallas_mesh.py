@@ -60,7 +60,8 @@ def _force_tile(tile: jnp.ndarray, ty: int, tx: int, k: float, stride,
     k_e = k if (ex == 0 or ey == 0) else k_diag
     # One rsqrt instead of sqrt + divide: the spring force only ever
     # needs 1/l, and rsqrt is a single VPU transcendental chain.
-    inv_l = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy, 1e-60))
+    dd = dx * dx + dy * dy
+    inv_l = jax.lax.rsqrt(jnp.maximum(dd, 1e-60))
     if prefer_orig_order:
       fac_x = float(ex) * jnp.sign(dx) if ex != 0 else 1.0
       fac_y = float(ey) * jnp.sign(dy) if ey != 0 else 1.0
@@ -70,9 +71,13 @@ def _force_tile(tile: jnp.ndarray, ty: int, tx: int, k: float, stride,
       coef = k_e * (1.0 - l0 * inv_l)
       fx = coef * dx
       fy = coef * dy
-    # NaN neighbors (or NaN center) contribute no force.
-    f_acc_x = f_acc_x + jnp.nan_to_num(fx, posinf=0.0, neginf=0.0)
-    f_acc_y = f_acc_y + jnp.nan_to_num(fy, posinf=0.0, neginf=0.0)
+    # NaN neighbors (or NaN center) contribute no force. One validity
+    # compare on dd replaces per-channel nan_to_num (3 compare+select
+    # chains each): NaN endpoints make dd NaN, and finite endpoints
+    # keep f finite (inv_l is clamped; |f| <= k_e * (1 + l0) * |d|).
+    fin = jnp.isfinite(dd)
+    f_acc_x = f_acc_x + jnp.where(fin, fx, 0.0)
+    f_acc_y = f_acc_y + jnp.where(fin, fy, 0.0)
 
   return jnp.stack([f_acc_x, f_acc_y])
 
@@ -198,8 +203,9 @@ def _force_tile_3d(tile: jnp.ndarray, ty: int, tx: int, k: float, stride,
         l0 = float(_np.linalg.norm(l0v))
         k_eff = k * sx / l0
         d = [nbor[c] - center[c] + l0v[c] for c in range(3)]
-        inv_l = jax.lax.rsqrt(
-            jnp.maximum(d[0] * d[0] + d[1] * d[1] + d[2] * d[2], 1e-60))
+        dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        inv_l = jax.lax.rsqrt(jnp.maximum(dd, 1e-60))
+        fin = jnp.isfinite(dd)  # one compare instead of 3x nan_to_num
         e = (ex, ey, ez)
         for c in range(3):
           if prefer_orig_order:
@@ -207,7 +213,7 @@ def _force_tile_3d(tile: jnp.ndarray, ty: int, tx: int, k: float, stride,
             f = k_eff * (1.0 - l0 * fac * inv_l) * d[c]
           else:
             f = k_eff * (1.0 - l0 * inv_l) * d[c]
-          acc[c] = acc[c] + jnp.nan_to_num(f, posinf=0.0, neginf=0.0)
+          acc[c] = acc[c] + jnp.where(fin, f, 0.0)
 
   return jnp.stack(acc)
 
@@ -391,8 +397,13 @@ def _slab_force_3d(up, mid, dn, k: float, stride,
         l0 = float(np.linalg.norm(l0v))
         k_eff = k * sx / l0
         d = [nbor[c] - mid[c] + l0v[c] for c in range(3)]
-        inv_l = jax.lax.rsqrt(
-            jnp.maximum(d[0] * d[0] + d[1] * d[1] + d[2] * d[2], 1e-60))
+        dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        inv_l = jax.lax.rsqrt(jnp.maximum(dd, 1e-60))
+        # One validity compare per link instead of 3x nan_to_num (each
+        # a 3-compare/3-select chain): NaN endpoints make dd NaN, and
+        # finite endpoints keep f finite (inv_l is clamped, so
+        # |f| <= k_eff * (1 + l0) * |d| — no inf to scrub).
+        fin = jnp.isfinite(dd)
         e = (ex, ey, ez)
         for c in range(3):
           if prefer_orig_order:
@@ -400,7 +411,7 @@ def _slab_force_3d(up, mid, dn, k: float, stride,
             f = k_eff * (1.0 - l0 * fac * inv_l) * d[c]
           else:
             f = k_eff * (1.0 - l0 * inv_l) * d[c]
-          acc[c] = acc[c] + jnp.nan_to_num(f, posinf=0.0, neginf=0.0)
+          acc[c] = acc[c] + jnp.where(fin, f, 0.0)
   return jnp.stack(acc)
 
 
@@ -417,8 +428,9 @@ def _link_force_3d(base, nbor, e, k: float, stride,
   l0 = float(np.linalg.norm(l0v))
   k_eff = k * sx / l0
   d = [nbor[c] - base[c] + l0v[c] for c in range(3)]
-  inv_l = jax.lax.rsqrt(
-      jnp.maximum(d[0] * d[0] + d[1] * d[1] + d[2] * d[2], 1e-60))
+  dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+  inv_l = jax.lax.rsqrt(jnp.maximum(dd, 1e-60))
+  fin = jnp.isfinite(dd)  # one compare instead of 3x nan_to_num
   out = []
   for c in range(3):
     if prefer_orig_order:
@@ -426,7 +438,7 @@ def _link_force_3d(base, nbor, e, k: float, stride,
       f = k_eff * (1.0 - l0 * fac * inv_l) * d[c]
     else:
       f = k_eff * (1.0 - l0 * inv_l) * d[c]
-    out.append(jnp.nan_to_num(f, posinf=0.0, neginf=0.0))
+    out.append(jnp.where(fin, f, 0.0))
   return jnp.stack(out)
 
 
@@ -494,6 +506,87 @@ def _slab_force_3d_sym(up, mid, dn, k: float, stride,
   return acc
 
 
+def _kernel_3d_slab_symloop(e_t, e_i, l0v_t, kl0_t, up_ref, mid_ref,
+                            dn_ref, out_ref, *, prefer_orig_order, nz,
+                            n_ey1, n_total):
+  """Symmetric slab force as TWO fori_loops over half-link families.
+
+  The unrolled symmetric slab body crashes the remote Mosaic compile
+  helper whenever a program carries more than ~5 link bodies — even
+  split across pallas_calls (hardware-bisected,
+  scratch/probe_symslab_bisect{,2}.py: every <=5-link kernel compiles
+  alone, any multi-kernel combination crashes, so the threshold is
+  TOTAL generated code per program). A loop body is ONE link's math
+  with dynamic pltpu.roll shifts and per-link constants from SMEM
+  tables (rows 0..n_ey1-1 must be the ey=+1 links, the rest ey=0):
+  two small bodies regardless of link count.
+
+  Loop A (ey=+1 links) accumulates the forward force from the y+1
+  shifted copy and its reaction via +e rolls, recomputing row 0's
+  reaction from the y-1 copy (its partner lives in the previous slab)
+  — the concatenate row-fix is restated as roll+iota-select, which
+  Mosaic compiles where the concat form also did (both probed).
+  Loop B (ey=0 links) is the same without the row fix. Contract and
+  numerics of _slab_force_3d_sym, exactly.
+  """
+  up, mid, dn = up_ref[...], mid_ref[...], dn_ref[...]
+  zn, xn = mid.shape[1], mid.shape[3]
+  mid_row0 = jax.lax.slice_in_dim(mid, 0, 1, axis=2)
+  dn_row0 = jax.lax.slice_in_dim(dn, 0, 1, axis=2)
+  row_iota = jax.lax.broadcasted_iota(
+      jnp.int32, (3,) + tuple(mid.shape[1:]), 2)
+
+  def link_force(base, nbor, i):
+    k_eff = kl0_t[0, i]
+    l0 = kl0_t[1, i]
+    d = [nbor[c] - base[c] + l0v_t[i, c] for c in range(3)]
+    dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+    inv_l = jax.lax.rsqrt(jnp.maximum(dd, 1e-60))
+    fin = jnp.isfinite(dd)
+    outs = []
+    for c in range(3):
+      if prefer_orig_order:
+        fac = jnp.where(e_t[i, c] != 0, e_t[i, c] * jnp.sign(d[c]), 1.0)
+        f = k_eff * (1.0 - l0 * fac * inv_l) * d[c]
+      else:
+        f = k_eff * (1.0 - l0 * inv_l) * d[c]
+      outs.append(jnp.where(fin, f, 0.0))
+    return jnp.stack(outs)
+
+  def fwd_shifts(i):
+    iz = jax.lax.rem(jnp.int32(zn) - e_i[i, 2], jnp.int32(zn))
+    ix = jax.lax.rem(jnp.int32(xn) - e_i[i, 0], jnp.int32(xn))
+    rz = jax.lax.rem(jnp.int32(zn) + e_i[i, 2], jnp.int32(zn))
+    rx = jax.lax.rem(jnp.int32(xn) + e_i[i, 0], jnp.int32(xn))
+    return iz, ix, rz, rx
+
+  def body_ey1(i, acc):
+    iz, ix, rz, rx = fwd_shifts(i)
+    nbor = pltpu.roll(pltpu.roll(up, iz, 1), ix, 3)
+    f = link_force(mid, nbor, i)
+    r = pltpu.roll(pltpu.roll(f, rz, 1), rx, 3)
+    # Row 0's reaction partner lives in the previous slab: recompute
+    # it from the y-1 copy (base x(y0-1+(-ez,-ex)) arrives by rolling
+    # dn's first row by +e in z/x).
+    g = link_force(pltpu.roll(pltpu.roll(dn_row0, rz, 1), rx, 3),
+                   mid_row0, i)
+    r = pltpu.roll(r, 1, 2)
+    r = jnp.where(row_iota == 0, jnp.broadcast_to(g, r.shape), r)
+    return acc + f - r
+
+  def body_ey0(i, acc):
+    iz, ix, rz, rx = fwd_shifts(i)
+    nbor = pltpu.roll(pltpu.roll(mid, iz, 1), ix, 3)
+    f = link_force(mid, nbor, i)
+    r = pltpu.roll(pltpu.roll(f, rz, 1), rx, 3)
+    return acc + f - r
+
+  acc = jnp.zeros((3,) + tuple(mid.shape[1:]), jnp.float32)
+  acc = jax.lax.fori_loop(0, n_ey1, body_ey1, acc)
+  acc = jax.lax.fori_loop(n_ey1, n_total, body_ey0, acc)
+  out_ref[...] = jax.lax.slice_in_dim(acc, 1, 1 + nz, axis=1)
+
+
 def _kernel_3d_slab(up_ref, mid_ref, dn_ref, out_ref, *, k, stride,
                     prefer_orig_order, nz, symmetric=False, links=None):
   if symmetric:
@@ -509,13 +602,14 @@ def _kernel_3d_slab(up_ref, mid_ref, dn_ref, out_ref, *, k, stride,
 @functools.partial(
     jax.jit,
     static_argnames=['k', 'stride', 'prefer_orig_order', 'tile_y',
-                     'interpret', 'symmetric', 'sym_split'])
+                     'interpret', 'symmetric', 'sym_split', 'link_loop'])
 def elastic_mesh_3d_pallas_slab(x: jnp.ndarray, k: float, stride,
                                 prefer_orig_order: bool = False,
                                 tile_y: int = 8,
                                 interpret: bool = False,
                                 symmetric: bool = False,
-                                sym_split: int = 0) -> jnp.ndarray:
+                                sym_split: int = 0,
+                                link_loop: bool = False) -> jnp.ndarray:
   """Margin-free 3d mesh force: y-shifted copies + full-width y-slabs.
 
   Contract of mesh.elastic_mesh_3d. Three y-shifted copies of the
@@ -555,6 +649,32 @@ def elastic_mesh_3d_pallas_slab(x: jnp.ndarray, k: float, stride,
   spec = pl.BlockSpec((3, nz + 2, tile_y, xp.shape[3]),
                       lambda iy: (0, 0, iy, 0),
                       memory_space=pltpu.VMEM)
+  out_spec = pl.BlockSpec((3, nz, tile_y, xp.shape[3]),
+                          lambda iy: (0, 0, iy, 0),
+                          memory_space=pltpu.VMEM)
+  out_shape = jax.ShapeDtypeStruct((3, nz, yp, xp.shape[3]), jnp.float32)
+
+  if symmetric and link_loop:
+    # Two-fori_loop symmetric body (see _kernel_3d_slab_symloop): the
+    # only symmetric slab form whose generated code fits the remote
+    # compile helper's per-PROGRAM size threshold.
+    stride_t = tuple(float(s) for s in stride)
+    tables = [jnp.asarray(t)
+              for t in _link_tables_np(stride_t, float(k), half=True)]
+    n_ey1 = sum(1 for e in _HALF_LINKS_3D if e[1])
+    kernel = functools.partial(
+        _kernel_3d_slab_symloop, prefer_orig_order=prefer_orig_order,
+        nz=nz, n_ey1=n_ey1, n_total=len(_HALF_LINKS_3D))
+    out = pl.pallas_call(
+        kernel,
+        grid=(gy,),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+                  + [spec] * 3),
+        out_specs=out_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*tables, up, xp, dn)
+    return out[:, :, :ny, :nx]
 
   def call(links=None):
     kernel = functools.partial(
@@ -638,7 +758,8 @@ def _roll_force_2d(xp: jnp.ndarray, k: float, stride,
       k_eff = k if (ex == 0 or ey == 0) else k / np.sqrt(2.0)
       d0 = nbor[0] - xp[0] + l0x
       d1 = nbor[1] - xp[1] + l0y
-      inv_l = jax.lax.rsqrt(jnp.maximum(d0 * d0 + d1 * d1, 1e-60))
+      dd = d0 * d0 + d1 * d1
+      inv_l = jax.lax.rsqrt(jnp.maximum(dd, 1e-60))
       if prefer_orig_order:
         fac0 = float(ex) * jnp.sign(d0) if ex != 0 else 1.0
         fac1 = float(ey) * jnp.sign(d1) if ey != 0 else 1.0
@@ -648,8 +769,9 @@ def _roll_force_2d(xp: jnp.ndarray, k: float, stride,
         coef = k_eff * (1.0 - l0 * inv_l)
         f0 = coef * d0
         f1 = coef * d1
-      acc0 = acc0 + jnp.nan_to_num(f0, posinf=0.0, neginf=0.0)
-      acc1 = acc1 + jnp.nan_to_num(f1, posinf=0.0, neginf=0.0)
+      fin = jnp.isfinite(dd)  # one compare instead of 2x nan_to_num
+      acc0 = acc0 + jnp.where(fin, f0, 0.0)
+      acc1 = acc1 + jnp.where(fin, f1, 0.0)
   return jnp.stack([acc0, acc1])
 
 
@@ -795,8 +917,9 @@ def _roll_force_3d(xp: jnp.ndarray, k: float, stride,
         l0 = float(np.linalg.norm(l0v))
         k_eff = k * sx / l0
         d = [nbor[c] - xp[c] + l0v[c] for c in range(3)]
-        inv_l = jax.lax.rsqrt(
-            jnp.maximum(d[0] * d[0] + d[1] * d[1] + d[2] * d[2], 1e-60))
+        dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        inv_l = jax.lax.rsqrt(jnp.maximum(dd, 1e-60))
+        fin = jnp.isfinite(dd)  # one compare instead of 3x nan_to_num
         e = (ex, ey, ez)
         for c in range(3):
           if prefer_orig_order:
@@ -804,7 +927,7 @@ def _roll_force_3d(xp: jnp.ndarray, k: float, stride,
             f = k_eff * (1.0 - l0 * fac * inv_l) * d[c]
           else:
             f = k_eff * (1.0 - l0 * inv_l) * d[c]
-          acc[c] = acc[c] + jnp.nan_to_num(f, posinf=0.0, neginf=0.0)
+          acc[c] = acc[c] + jnp.where(fin, f, 0.0)
   return jnp.stack(acc)
 
 
@@ -881,8 +1004,9 @@ def _roll_force_3d_loop(xp: jnp.ndarray, k: float, stride,
     k_eff = kl0_t[0, i]
     l0 = kl0_t[1, i]
     d = [nbor[c] - xp[c] + l0v_t[i, c] for c in range(3)]
-    inv_l = jax.lax.rsqrt(
-        jnp.maximum(d[0] * d[0] + d[1] * d[1] + d[2] * d[2], 1e-60))
+    dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+    inv_l = jax.lax.rsqrt(jnp.maximum(dd, 1e-60))
+    fin = jnp.isfinite(dd)  # one compare instead of 3x nan_to_num
     e = (ex, ey, ez)
     outs = []
     for c in range(3):
@@ -891,7 +1015,7 @@ def _roll_force_3d_loop(xp: jnp.ndarray, k: float, stride,
         f = k_eff * (1.0 - l0 * fac * inv_l) * d[c]
       else:
         f = k_eff * (1.0 - l0 * inv_l) * d[c]
-      outs.append(jnp.nan_to_num(f, posinf=0.0, neginf=0.0))
+      outs.append(jnp.where(fin, f, 0.0))
     f_st = jnp.stack(outs)
     acc = acc + f_st
     if symmetric:

@@ -263,6 +263,44 @@ def _warp_tiled_kernel(bases_ref, coords_ref, img_hbm, out_ref, window,
   out_ref[0, 0] = acc
 
 
+def _weight_planes_scaled(d: jnp.ndarray):
+  """Quarter-angle planes for the SCALED Lanczos weights (see below)."""
+  return (jnp.sin(jnp.pi * d / 4.0), jnp.cos(jnp.pi * d / 4.0))
+
+
+def _weight_at_scaled(d, planes, s: int):
+  """Lanczos4 tap weight up to a common per-pixel factor.
+
+  The true tap weight factors as
+      w_s(d) = [4 sin(pi d) / pi^2] * (-1)^s sin(pi (d - s)/4) / (d-s)^2
+  where the bracket depends on d only — IDENTICAL for every tap s of a
+  pixel. A normalized pass (u = sum w*v / sum w) is invariant under
+  per-pixel scaling, so this returns only the per-tap factor: the sign
+  folds into the angle-addition constants, the sin(pi d) plane and the
+  4/pi^2 constant disappear, and rsqrt^2 replaces the divide — ~1/3
+  fewer VPU ops per tap than _weight_at on a pass that runs
+  (2*residual + taps) of these per pixel.
+
+  At integer d the bracket vanishes (all true weights are 0 except the
+  on-pixel tap's 1); the singular tap is replaced by 3e12, which
+  dominates the normalized sum to <~1e-3 gray — below the two-pass
+  kernel's existing approximation floor. Out-of-window and NaN taps
+  are zeroed exactly as _weight_at. ONLY valid inside normalized
+  passes; never mix with unscaled weights.
+  """
+  sin4, cos4 = planes
+  sign = 1.0 if s % 2 == 0 else -1.0
+  c_s = float(np.cos(np.pi * s / 4.0)) * sign
+  s_s = float(np.sin(np.pi * s / 4.0)) * sign
+  t = d - s
+  st4 = sin4 * c_s - cos4 * s_s
+  t2 = t * t
+  inv = jax.lax.rsqrt(jnp.maximum(t2, 1e-24))
+  w = st4 * inv * inv
+  w = jnp.where(t2 < 1e-12, jnp.float32(3e12), w)
+  return jnp.where(t2 < 16.0, w, 0.0)
+
+
 def _warp_tiled_sep_kernel(bases_ref, coords_ref, img_hbm, out_ref,
                            window, sem, *, method, sy0, ry, sx0, rx,
                            tile_y, tile_x, win_r, win_c, origin_y,
@@ -337,8 +375,23 @@ def _warp_tiled_sep_kernel(bases_ref, coords_ref, img_hbm, out_ref,
                                   (bot_n, tile_x)))
   dx_ext = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
 
-  planes_y = _weight_planes(dy, method)
-  planes_x = _weight_planes(dx_ext, method)
+  # Both passes normalize by their tap-weight sum, so the SCALED
+  # weights (common per-pixel factor dropped — see _weight_at_scaled)
+  # are exact here up to the 1e-3-gray singular-tap approximation.
+  # Scaled weight sums can be negative (the dropped factor carries the
+  # sign), so the normalization guards |norm| rather than clamping.
+  lcz = method == 'lanczos'
+  planes_y = (_weight_planes_scaled(dy) if lcz
+              else _weight_planes(dy, method))
+  planes_x = (_weight_planes_scaled(dx_ext) if lcz
+              else _weight_planes(dx_ext, method))
+
+  def weight(d, planes, s):
+    return (_weight_at_scaled(d, planes, s) if lcz
+            else _weight_at(d, planes, s, method))
+
+  def norm_safe(v, n):
+    return v / jnp.where(jnp.abs(n) < 1e-12, 1e-12, n)
 
   copy.wait()
   win = window[:]
@@ -349,21 +402,21 @@ def _warp_tiled_sep_kernel(bases_ref, coords_ref, img_hbm, out_ref,
   u = jnp.zeros((wr, tile_x), jnp.float32)
   norm_x = jnp.zeros((wr, tile_x), jnp.float32)
   for j in range(rx):
-    w_x = _weight_at(dx_ext, planes_x, sx0 + j, method)
+    w_x = weight(dx_ext, planes_x, sx0 + j)
     norm_x = norm_x + w_x
     u = u + w_x * jax.lax.slice(win, (0, j), (wr, j + tile_x))
-  if method == 'lanczos':
-    u = u / jnp.maximum(norm_x, 1e-12)
+  if lcz:
+    u = norm_safe(u, norm_x)
 
   # y-pass over the filtered rows -> [tile_y, tile_x].
   acc = jnp.zeros((tile_y, tile_x), jnp.float32)
   norm_y = jnp.zeros((tile_y, tile_x), jnp.float32)
   for i in range(ry):
-    w_y = _weight_at(dy, planes_y, sy0 + i, method)
+    w_y = weight(dy, planes_y, sy0 + i)
     norm_y = norm_y + w_y
     acc = acc + w_y * jax.lax.slice(u, (i, 0), (i + tile_y, tile_x))
-  if method == 'lanczos':
-    acc = acc / jnp.maximum(norm_y, 1e-12)
+  if lcz:
+    acc = norm_safe(acc, norm_y)
   out_ref[0, 0] = acc
 
 

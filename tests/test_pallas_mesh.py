@@ -237,6 +237,24 @@ class TestElasticMesh3dLinkLoop:
             tile_y=4, interpret=True, symmetric=True, sym_split=split)
         assert float(jnp.nanmax(jnp.abs(ref - got))) < 1e-4, (split, poo)
 
+  def test_slab_force_symmetric_linkloop_matches_xla(self):
+    # The two-fori_loop symmetric slab body (the only symmetric form
+    # whose generated code fits the compile helper's per-program size
+    # threshold) must match the XLA stencil exactly, NaN guards and
+    # prefer_orig_order included.
+    rng = np.random.RandomState(11)
+    x = rng.randn(3, 5, 20, 24).astype(np.float32) * 5
+    x[:, 2, 7, 3:5] = np.nan
+    x[:, 0, 0, 0] = np.nan
+    x = jnp.asarray(x)
+    for poo in (False, True):
+      ref = mesh.elastic_mesh_3d(x, 0.1, (40.0, 30.0, 20.0),
+                                 prefer_orig_order=poo)
+      got = pallas_mesh.elastic_mesh_3d_pallas_slab(
+          x, 0.1, (40.0, 30.0, 20.0), prefer_orig_order=poo,
+          tile_y=4, interpret=True, symmetric=True, link_loop=True)
+      assert float(jnp.nanmax(jnp.abs(ref - got))) < 1e-4, poo
+
   def test_slab_force_inside_solver(self):
     rng = np.random.RandomState(7)
     prev = jnp.asarray(rng.randn(3, 4, 8, 10).astype(np.float32))
