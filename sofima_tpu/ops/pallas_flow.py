@@ -57,6 +57,21 @@ def pick_grid_geometry(patch_size, step, group=None, rows=None,
   return group, rows, win_c, hp
 
 
+def _blkdiag(m: np.ndarray, group: int) -> np.ndarray:
+  """[hp, n2] -> block-diagonal [group*hp, group*n2] (see
+  _corr_peaks_grouped's single-matmul inverse path)."""
+  hp, n2 = m.shape
+  out = np.zeros((group * hp, group * n2), m.dtype)
+  for g in range(group):
+    out[g * hp:(g + 1) * hp, g * n2:(g + 1) * n2] = m
+  return out
+
+
+# Expanded block-diagonal inverse matrices cost 2 * (G*hp) * (G*n2)
+# f32 VMEM bytes; worth it only for small (peak-cropped) surfaces.
+_BLKDIAG_VMEM_CAP = 10 * 1024 * 1024
+
+
 def _corr_kernel(a_ref, b_ref, wr1, wi1, fr2, fi2, br2, bi2, out_ref,
                  *, bf16):
   """One group of patches: fused circular NCC correlation surfaces.
@@ -110,97 +125,6 @@ def _corr_kernel(a_ref, b_ref, wr1, wi1, fr2, fi2, br2, bi2, out_ref,
   corr = pltpu.roll(corr, n1 // 2, 1)
   corr = pltpu.roll(corr, n2 // 2, 2)
   out_ref[:] = corr
-
-
-def _shifted(x, s, axis, fill, masks=None):
-  """x shifted by s along axis, vacated entries = fill (no wraparound).
-
-  `masks` optionally supplies precomputed edge masks keyed by (s, axis)
-  — they depend only on the shift, so hoisting them out of the
-  per-patch loop shares them across the whole group.
-  """
-  n = x.shape[axis]
-  r = pltpu.roll(x, s % n, axis)  # pltpu.roll wants non-negative shifts
-  if masks is not None:
-    bad = masks[(s, axis)]
-  else:
-    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
-    bad = idx < s if s > 0 else idx >= n + s
-  return jnp.where(bad, fill, r)
-
-
-def _edge_masks(shape, min_distance):
-  """Precomputed vacated-entry masks for the local-max filter shifts."""
-  masks = {}
-  for axis in (0, 1):
-    idx = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
-    n = shape[axis]
-    for s in range(1, min_distance + 1):
-      masks[(s, axis)] = idx < s
-      masks[(-s, axis)] = idx >= n - s
-  return masks
-
-
-def _peaks_for_patch(x, lin, *, min_distance, threshold_rel, peak_radius,
-                     center, masks=None):
-  """Top-2 peak statistics for one correlation surface (VPU-only).
-
-  Reproduces flow_field._batched_peaks for one [n1, n2] image without
-  gathers, argmax primitives, or dynamic indexing (none of which lower
-  reliably in Mosaic):
-    * the local-max filter is a separable chain of edge-masked rolls;
-    * argmax becomes max + "first position attaining it" (min over a
-      masked linear-index plane), matching jnp.argmax tie-breaking;
-    * the clamped sharpness window min is a single masked reduction
-      over the iota-derived window membership plane (only ONE window
-      value is ever read, so a full min *filter* would be ~15x more
-      VPU work for the same scalar).
-
-  Returns (ox, oy, sharpness, ratio) scalars; NaNs when no peak.
-  """
-  n1, n2 = x.shape
-  neg = jnp.float32(-jnp.inf)
-  pos = jnp.float32(jnp.inf)
-
-  # Separable SAME local-max filter with -inf borders.
-  mx = x
-  for s in range(1, min_distance + 1):
-    mx = jnp.maximum(mx, jnp.maximum(_shifted(x, s, 0, neg, masks),
-                                     _shifted(x, -s, 0, neg, masks)))
-  mx2 = mx
-  for s in range(1, min_distance + 1):
-    mx2 = jnp.maximum(mx2, jnp.maximum(_shifted(mx, s, 1, neg, masks),
-                                       _shifted(mx, -s, 1, neg, masks)))
-
-  thr = threshold_rel * jnp.max(x)
-  cand = jnp.where((x == mx2) & (x > thr), x, neg)
-  val1 = jnp.max(cand)
-  big = jnp.int32(n1 * n2)
-  idx1 = jnp.min(jnp.where(cand == val1, lin, big))
-  py = idx1 // n2
-  px = idx1 % n2
-  val2 = jnp.max(jnp.where(lin == idx1, neg, cand))
-
-  # Min within the CLAMPED (2r+1)^2 window around the peak — a masked
-  # reduction over window membership (matches the reference's
-  # dynamic_slice window semantics exactly).
-  size = 2 * peak_radius + 1
-  sy = jnp.clip(py - peak_radius, 0, n1 - size)
-  sx = jnp.clip(px - peak_radius, 0, n2 - size)
-  iy = lin // n2
-  ix = lin - iy * n2
-  inwin = ((iy >= sy) & (iy < sy + size)
-           & (ix >= sx) & (ix < sx + size))
-  minv = jnp.min(jnp.where(inwin, x, pos))
-
-  nan = jnp.float32(jnp.nan)
-  no_peak = jnp.isinf(val1)
-  ox = jnp.where(no_peak, nan, (px - center[1]).astype(jnp.float32))
-  oy = jnp.where(no_peak, nan, (py - center[0]).astype(jnp.float32))
-  sharp = jnp.where(no_peak, nan, val1 / minv)
-  ratio = jnp.where(no_peak, nan,
-                    jnp.where(jnp.isinf(val2), 0.0, val1 / val2))
-  return ox, oy, sharp, ratio
 
 
 def _peaks_for_group(x, *, min_distance, threshold_rel, peak_radius,
@@ -374,14 +298,27 @@ def _corr_peaks_grouped(wa, wb, wr1, wi1, wr1i, wi1i, frb, fib, br2c,
   # (peak_crop) yield a centered [n1, n2] core with its zero offset at
   # (n1//2, n2//2); full matrices give n1, n2 == py, px.
   n1 = wr1i.shape[0]
-  n2 = br2c.shape[1]
-  hp = br2c.shape[0]
-  corrs = []
-  for g in range(group):
-    grg = jax.lax.slice(gr, (0, g * hp), (n1, (g + 1) * hp))
-    gig = jax.lax.slice(gi, (0, g * hp), (n1, (g + 1) * hp))
-    corrs.append((mm(grg, br2c) + mm(gig, bi2c)) / px)
-  corr = jnp.stack(corrs)
+  if group > 1 and br2c.shape[0] == gr.shape[1]:
+    # Block-diagonal column-inverse matrices ([G*hp, G*n2], built by
+    # _blkdiag when the surface is small): the whole group's inverse
+    # transform is TWO matmuls instead of 2*G small ones — the grid
+    # step is matmul-DISPATCH-bound once the peak chain is
+    # group-vectorized, so the ~G/2-fold extra MACs of the zero blocks
+    # buy a net win. The per-patch surfaces come back as lane slices.
+    n2 = br2c.shape[1] // group
+    flat = (mm(gr, br2c) + mm(gi, bi2c)) / px  # [n1, G*n2]
+    corr = jnp.stack([
+        jax.lax.slice(flat, (0, g * n2), (n1, (g + 1) * n2))
+        for g in range(group)])
+  else:
+    n2 = br2c.shape[1]
+    hp = br2c.shape[0]
+    corrs = []
+    for g in range(group):
+      grg = jax.lax.slice(gr, (0, g * hp), (n1, (g + 1) * hp))
+      gig = jax.lax.slice(gi, (0, g * hp), (n1, (g + 1) * hp))
+      corrs.append((mm(grg, br2c) + mm(gig, bi2c)) / px)
+    corr = jnp.stack(corrs)
 
   return _peaks_for_group(
       corr, min_distance=min_distance, threshold_rel=threshold_rel,
@@ -591,20 +528,12 @@ def _masked_row_subgrouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
     gig = jax.lax.slice(gi, (0, j * hp), (py, (j + 1) * hp))
     return (mm(grg, br2c, dt) + mm(gig, bi2c, dt)) / px
 
-  iy = jax.lax.broadcasted_iota(jnp.int32, (py, px), 0)
-  ix = jax.lax.broadcasted_iota(jnp.int32, (py, px), 1)
-  lin = iy * px + ix
-  rid = jax.lax.broadcasted_iota(jnp.int32, (sub, 4), 0)
-  cid = jax.lax.broadcasted_iota(jnp.int32, (sub, 4), 1)
-  emasks = _edge_masks((py, px), min_distance)
-
-  def emit(vals_rows, sg):
-    vals = jnp.zeros((sub, 4), jnp.float32)
-    for j, (ox, oy, sharp, ratio) in enumerate(vals_rows):
-      row = jnp.where(cid == 0, ox,
-                      jnp.where(cid == 1, oy,
-                                jnp.where(cid == 2, sharp, ratio)))
-      vals = jnp.where(rid == j, row, vals)
+  def emit_group(corr, sg):
+    # Group-vectorized peak chain (see _peaks_for_group): one set of
+    # rolls/reductions for the whole [sub, py, px] stack.
+    vals = _peaks_for_group(
+        corr, min_distance=min_distance, threshold_rel=threshold_rel,
+        peak_radius=peak_radius, center=(py // 2, px // 2))
     out_ref[0, 0, out_row0 + sg * sub:out_row0 + (sg + 1) * sub] = vals
 
   for sg in range(nsub):
@@ -640,18 +569,12 @@ def _masked_row_subgrouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
         numcs.append(sp_s * sc_s / n_area)
         denoms.append(denom)
       tol = 1e3 * eps * tolmax
-      rows_out = []
-      for j in range(sub):
-        denom = denoms[j]
-        corr = jnp.where(denom > tol,
-                         (xcs[j] - numcs[j])
-                         / jnp.where(denom > tol, denom, 1.0), 0.0)
-        corr = jnp.clip(corr, -1.0, 1.0)
-        rows_out.append(_peaks_for_patch(
-            corr, lin, min_distance=min_distance,
-            threshold_rel=threshold_rel, peak_radius=peak_radius,
-            center=(py // 2, px // 2), masks=emasks))
-      emit(rows_out, sg)
+      denom = jnp.stack(denoms)[:, None, None]  # per-patch scalars
+      numc = jnp.stack(numcs)[:, None, None]
+      corr = jnp.where(denom > tol,
+                       (jnp.stack(xcs) - numc)
+                       / jnp.where(denom > tol, denom, 1.0), 0.0)
+      emit_group(jnp.clip(corr, -1.0, 1.0), sg)
 
     @pl.when(flag == 0)
     def _impure_sub(sg=sg, c0=c0, c1=c1, b0=b0, b1=b1):
@@ -699,23 +622,19 @@ def _masked_row_subgrouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
         overlaps.append(overlap)
 
       tol = 1e3 * eps * tolmax
-      rows_out = []
-      for j in range(sub):
-        num, denom, overlap = nums[j], denoms[j], overlaps[j]
-        corr = jnp.where(denom > tol,
-                         num / jnp.where(denom > tol, denom, 1.0), 0.0)
-        corr = jnp.clip(corr, -1.0, 1.0)
-        # The strips path thresholds against the BATCH max overlap,
-        # which equals the patch area whenever any patch pair is fully
-        # valid (and makes results depend on batching when none is);
-        # the theoretical max is deterministic and matches in the
-        # common case.
-        corr = jnp.where(overlap < 0.3 * (py * px), 0.0, corr)
-        rows_out.append(_peaks_for_patch(
-            corr, lin, min_distance=min_distance,
-            threshold_rel=threshold_rel, peak_radius=peak_radius,
-            center=(py // 2, px // 2), masks=emasks))
-      emit(rows_out, sg)
+      num = jnp.stack(nums)
+      denom = jnp.stack(denoms)
+      overlap = jnp.stack(overlaps)
+      corr = jnp.where(denom > tol,
+                       num / jnp.where(denom > tol, denom, 1.0), 0.0)
+      corr = jnp.clip(corr, -1.0, 1.0)
+      # The strips path thresholds against the BATCH max overlap,
+      # which equals the patch area whenever any patch pair is fully
+      # valid (and makes results depend on batching when none is);
+      # the theoretical max is deterministic and matches in the
+      # common case.
+      corr = jnp.where(overlap < 0.3 * (py * px), 0.0, corr)
+      emit_group(corr, sg)
 
 
 def _grid_kernel(pre_hbm, post_hbm, wr1, wi1, wr1i, wi1i, frb, fib,
@@ -1094,6 +1013,12 @@ def dense_flow_peaks_targeted(
   if mean is None:
     dc_np[0, np.arange(group) * hp] = 0.0
 
+  if (group > 1 and
+      2 * 4 * (group * hp) * (group * br2c_np.shape[1])
+      <= _BLKDIAG_VMEM_CAP):
+    br2c_np = _blkdiag(br2c_np, group)
+    bi2c_np = _blkdiag(bi2c_np, group)
+
   offs = jnp.clip(post_offsets.astype(jnp.int32), -md, md).reshape(-1)
   mats = tuple(jnp.asarray(m) for m in
                (wr1_np, wi1_np, wr1i_np, wi1i_np, frb_np, fib_np,
@@ -1277,6 +1202,13 @@ def _dense_flow_peaks_impl(
   dc_np = np.ones((py, group * hp), np.float32)
   if mean is None:
     dc_np[0, np.arange(group) * hp] = 0.0
+  if (pre_valid is None and group > 1 and
+      2 * 4 * (group * hp) * (group * br2c_np.shape[1])
+      <= _BLKDIAG_VMEM_CAP):
+    # Single-matmul inverse (unmasked kernels only; the masked bodies
+    # index br2c per patch/subgroup and need the plain form).
+    br2c_np = _blkdiag(br2c_np, group)
+    bi2c_np = _blkdiag(bi2c_np, group)
   wr1 = jnp.asarray(wr1_np)
   wi1 = jnp.asarray(wi1_np)
   wr1i = jnp.asarray(wr1i_np)
