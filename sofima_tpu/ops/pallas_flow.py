@@ -249,9 +249,66 @@ def _corr_peaks_values(a, b, wr1, wi1, fr2, fi2, br2, bi2, *, bf16,
       peak_radius=peak_radius, center=center)
 
 
+def _pick_xdft_seg(group, px, sx, win_c, hp):
+  """Static segment count for the block x-DFT matmuls (1 = unsegmented).
+
+  The [win_c, G*hp] block-diagonal DFT matrices are >90% structural
+  zeros at production geometry (patch 80, stride 40, group 16). Splitting
+  the window into `seg` lane segments — each matmul'd against its own
+  [seg_wp, (G/seg)*hp] block slice — cuts the MAC count by up to ~6x
+  (cost = seg * seg_wp * (G/seg) * hp, quadratic waste shrinks with
+  groups-per-segment) and is BIT-EXACT: the dropped rows are exactly the
+  zero rows of those column blocks (hardware-validated,
+  scratch/probe_segmm.py: rel diff 0.0 vs the full matmul). Segments are
+  only eligible when every slice offset stays sublane-aligned.
+  """
+  best, best_cost = 1, win_c * group * hp
+  for seg in range(2, group + 1):
+    if group % seg:
+      continue
+    gps = group // seg
+    seg_w = (gps - 1) * sx + px
+    seg_wp = -(-seg_w // 128) * 128
+    if seg_wp > win_c or (gps * sx) % 8:
+      continue
+    cost = seg * seg_wp * gps * hp
+    # Ties prefer MORE segments: equal MACs in smaller matmuls measured
+    # faster (seg16 52.9 ms vs seg8 55.3 ms on the 10k^2 fine pass).
+    if cost <= best_cost:
+      best, best_cost = seg, cost
+  return best
+
+
+def _block_xdft(w, frb, fib, mm, *, group, px, sx, seg):
+  """Forward block x-DFT of a [py, win_c] window row: (w@frb, w@fib).
+
+  seg > 1 runs the segmented form (see _pick_xdft_seg): per-segment
+  matmuls against aligned block slices of frb/fib, bit-exact vs the
+  full matmuls (only structurally-zero rows leave the contraction).
+  """
+  if seg == 1:
+    return mm(w, frb), mm(w, fib)
+  gps = group // seg
+  hp = frb.shape[1] // group
+  win_c = w.shape[1]
+  seg_w = (gps - 1) * sx + px
+  seg_wp = -(-seg_w // 128) * 128
+  ars, ais = [], []
+  for s in range(seg):
+    off = min(s * gps * sx, win_c - seg_wp)
+    ws = jax.lax.slice(w, (0, off), (w.shape[0], off + seg_wp))
+    frs = jax.lax.slice(frb, (off, s * gps * hp),
+                        (off + seg_wp, (s + 1) * gps * hp))
+    fis = jax.lax.slice(fib, (off, s * gps * hp),
+                        (off + seg_wp, (s + 1) * gps * hp))
+    ars.append(mm(ws, frs))
+    ais.append(mm(ws, fis))
+  return jnp.concatenate(ars, axis=1), jnp.concatenate(ais, axis=1)
+
+
 def _corr_peaks_grouped(wa, wb, wr1, wi1, wr1i, wi1i, frb, fib, br2c,
                         bi2c, dcmask, *, group, py, px, sx, mean, bf16,
-                        min_distance, threshold_rel, peak_radius):
+                        min_distance, threshold_rel, peak_radius, seg=1):
   """Grouped-spectrum correlation + peaks for one [py, win_c] window row.
 
   Three algebraic folds keep the whole stage in large aligned ops:
@@ -281,8 +338,8 @@ def _corr_peaks_grouped(wa, wb, wr1, wi1, wr1i, wi1i, frb, fib, br2c,
     wb = wb - mean
 
   def rdft_rows(w):
-    ar = mm(w, frb)
-    ai = mm(w, fib)
+    ar, ai = _block_xdft(w, frb, fib, mm, group=group, px=px, sx=sx,
+                         seg=seg)
     re = mm(wr1, ar) - mm(wi1, ai)
     im = mm(wr1, ai) + mm(wi1, ar)
     return re, im
@@ -356,7 +413,8 @@ def _patch_moments_grouped(wa, wb, *, group, px, sx):
 
 def _ncc_full_valid_grouped(wa, wb, wr1, wi1, wr1i, wi1i, frb, fib,
                             br2c, bi2c, *, group, py, px, sx, mean,
-                            min_distance, threshold_rel, peak_radius):
+                            min_distance, threshold_rel, peak_radius,
+                            seg=1):
   """Padfield NCC for a FULLY-VALID window row: exact closed form.
 
   With every mask pixel valid and circular correlation, all Padfield
@@ -388,8 +446,8 @@ def _ncc_full_valid_grouped(wa, wb, wr1, wi1, wr1i, wi1i, frb, fib,
   wb = wb - (jnp.mean(wb) if mean is None else mean)
 
   def rdft_rows(w):
-    ar = mm(w, frb)
-    ai = mm(w, fib)
+    ar, ai = _block_xdft(w, frb, fib, mm, group=group, px=px, sx=sx,
+                         seg=seg)
     return mm(wr1, ar) - mm(wi1, ai), mm(wr1, ai) + mm(wi1, ar)
 
   pr, pi = rdft_rows(wa)
@@ -433,7 +491,7 @@ def _masked_row_subgrouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
                            frb, fib, br2c, bi2c, pure_sub_ref, sub_base,
                            out_ref, out_row0, *, group, sub, py, px,
                            sx, mean, bf16, min_distance, threshold_rel,
-                           peak_radius):
+                           peak_radius, seg=1):
   """Masked circular NCC (Padfield) + peaks, purity-predicated per
   SUBGROUP of `sub` patches.
 
@@ -498,8 +556,8 @@ def _masked_row_subgrouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
   cz2 = cz * cz
 
   def gdft(w, t=f32):
-    ar = mm(w, frb, t)
-    ai = mm(w, fib, t)
+    ar, ai = _block_xdft(w, frb, fib, lambda x, y: mm(x, y, t),
+                         group=group, px=px, sx=sx, seg=seg)
     return (mm(wr1, ar, t) - mm(wi1, ai, t),
             mm(wr1, ai, t) + mm(wi1, ar, t))
 
@@ -641,7 +699,7 @@ def _grid_kernel(pre_hbm, post_hbm, wr1, wi1, wr1i, wi1i, frb, fib,
                  br2c, bi2c, dcmask, out_ref, win_a, win_b, sems, *,
                  group, rows, py, px, sy, sx, win_r, win_c, ngroups,
                  nsteps, mean, bf16, min_distance, threshold_rel,
-                 peak_radius):
+                 peak_radius, seg=1):
   """One (row step, patch group): window DMA + in-VMEM patch assembly.
 
   Replaces the XLA strip glue (_strip_patches), whose [b, py, px] patch
@@ -697,7 +755,7 @@ def _grid_kernel(pre_hbm, post_hbm, wr1, wi1, wr1i, wi1i, frb, fib,
         wa, wb, wr1[:], wi1[:], wr1i[:], wi1i[:], frb[:], fib[:],
         br2c[:], bi2c[:], dcmask[:], group=group, py=py, px=px, sx=sx,
         mean=mean, bf16=bf16, min_distance=min_distance,
-        threshold_rel=threshold_rel, peak_radius=peak_radius))
+        threshold_rel=threshold_rel, peak_radius=peak_radius, seg=seg))
   out_ref[0, 0] = (parts[0] if rows == 1
                    else jnp.concatenate(parts, axis=0))
 
@@ -707,7 +765,7 @@ def _grid_kernel_targeted(offs_ref, pre_hbm, post_hbm, wr1, wi1, wr1i,
                           win_a, win_b, sems, *, group, rows, py, px, sy,
                           sx, win_r, win_c, win_r2, win_c2, pad_y, pad_x,
                           ngroups, nsteps, mean, bf16, min_distance,
-                          threshold_rel, peak_radius):
+                          threshold_rel, peak_radius, seg=1):
   """Targeted twin of _grid_kernel: per-step integer POST window offsets.
 
   `offs_ref` (SMEM, [nsteps*2] int32) holds a (dy, dx) shift per
@@ -776,7 +834,7 @@ def _grid_kernel_targeted(offs_ref, pre_hbm, post_hbm, wr1, wi1, wr1i,
         wa, wb, wr1[:], wi1[:], wr1i[:], wi1i[:], frb[:], fib[:],
         br2c[:], bi2c[:], dcmask[:], group=group, py=py, px=px, sx=sx,
         mean=mean, bf16=bf16, min_distance=min_distance,
-        threshold_rel=threshold_rel, peak_radius=peak_radius))
+        threshold_rel=threshold_rel, peak_radius=peak_radius, seg=seg))
   out_ref[0, 0] = (parts[0] if rows == 1
                    else jnp.concatenate(parts, axis=0))
 
@@ -787,7 +845,7 @@ def _grid_kernel_masked(pure_ref, pure_sub_ref, pre_hbm, post_hbm,
                         out_ref, win_a, win_b, win_va, win_vb, sems, *,
                         group, sub, rows, py, px, sy, sx, win_r, win_c,
                         ngroups, nsteps, mean, bf16, min_distance,
-                        threshold_rel, peak_radius):
+                        threshold_rel, peak_radius, seg=1):
   """Masked twin of _grid_kernel: four double-buffered window streams
   (images + valid masks) feeding the Padfield NCC pipeline.
 
@@ -878,7 +936,7 @@ def _grid_kernel_masked(pure_ref, pure_sub_ref, pre_hbm, post_hbm,
           step * (rows * nsub) + r2 * nsub, out_ref, r2 * group,
           group=group, sub=sub, py=py, px=px, sx=sx, mean=mean,
           bf16=bf16, min_distance=min_distance,
-          threshold_rel=threshold_rel, peak_radius=peak_radius)
+          threshold_rel=threshold_rel, peak_radius=peak_radius, seg=seg)
 
   @pl.when(state == 1)
   def _pure_path():
@@ -890,7 +948,7 @@ def _grid_kernel_masked(pure_ref, pure_sub_ref, pre_hbm, post_hbm,
       parts.append(_ncc_full_valid_grouped(
           wa, wb, *mats, group=group, py=py, px=px, sx=sx, mean=mean,
           min_distance=min_distance, threshold_rel=threshold_rel,
-          peak_radius=peak_radius))
+          peak_radius=peak_radius, seg=seg))
     out_ref[0, 0] = (parts[0] if rows == 1
                      else jnp.concatenate(parts, axis=0))
 
@@ -920,7 +978,7 @@ def targeted_geometry(shape, patch_size, step, group=None, rows=None):
     jax.jit, static_argnames=['patch_size', 'step', 'max_offset', 'mean',
                               'bf16', 'group', 'rows', 'min_distance',
                               'threshold_rel', 'peak_radius', 'interpret',
-                              'peak_crop'])
+                              'peak_crop', 'xdft_seg'])
 def dense_flow_peaks_targeted(
     pre_image: jnp.ndarray,
     post_image: jnp.ndarray,
@@ -937,6 +995,7 @@ def dense_flow_peaks_targeted(
     peak_radius: int = 5,
     interpret: bool = False,
     peak_crop: int | None = None,
+    xdft_seg: int | None = None,
 ) -> jnp.ndarray:
   """Dense grid flow with per-window integer POST offsets (targeting).
 
@@ -1025,13 +1084,15 @@ def dense_flow_peaks_targeted(
                 br2c_np, bi2c_np, dc_np))
   mat = lambda m: pl.BlockSpec(m.shape, lambda r, g: (0,) * m.ndim,
                                memory_space=pltpu.VMEM)
+  seg = (_pick_xdft_seg(group, px, sx, win_c, hp) if xdft_seg is None
+         else int(xdft_seg))
   kernel = functools.partial(
       _grid_kernel_targeted, group=group, rows=rows, py=py, px=px, sy=sy,
       sx=sx, win_r=win_r, win_c=win_c, win_r2=win_r2, win_c2=win_c2,
       pad_y=pad_y, pad_x=pad_x, ngroups=ngroups,
       nsteps=nrsteps * ngroups, mean=mean, bf16=bf16,
       min_distance=min_distance, threshold_rel=threshold_rel,
-      peak_radius=peak_radius)
+      peak_radius=peak_radius, seg=seg)
   out = pl.pallas_call(
       kernel,
       grid=(nrsteps, ngroups),
@@ -1228,7 +1289,8 @@ def _dense_flow_peaks_impl(
                 win_r=win_r, win_c=win_c, ngroups=ngroups,
                 nsteps=nrsteps * ngroups, mean=mean, bf16=bf16,
                 min_distance=min_distance, threshold_rel=threshold_rel,
-                peak_radius=peak_radius)
+                peak_radius=peak_radius,
+                seg=_pick_xdft_seg(group, px, sx, win_c, hp))
   if masked:
     # Pad masks with 0 = invalid; padded patch slots are cropped anyway.
     va = jnp.pad(pre_valid.astype(jnp.float32),
