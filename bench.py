@@ -400,15 +400,17 @@ def main():
   # error (scratch/ablate_r4d.py) — the fine peak chain is a minor
   # cost at this geometry, but the crop is free and sound while the
   # coarse prior bounds the fine residual (residual=6 << crop/2);
-  # warm_start=True targets pair z's fine pass from pair z-1's cleaned
-  # flow instead of a fresh coarse pass (serial-section temporal
-  # coherence): 598.3 vs 564.3 Mpix/s with BETTER ground-truth error
-  # (2.98 vs 3.11 -- the cleaned previous-pair prior is smoother than
-  # a fresh coarse measurement), no overflow (scratch/ablate_r4e.py).
+  # warm_start stays OFF for the headline: once the segmented x-DFT
+  # made the coarse pass cheap, warm-start's sequential fine chain
+  # (fine(z) waits on clean(z-1)) lost to the fully z-batched cold
+  # passes — 784.5 (cold) vs 711.0 (warm) Mpix/s, scratch/ablate_r4g
+  # .json; warm keeps slightly better error (2.98 vs 3.11, both far
+  # inside the 3.5 gate) and remains the right mode for streamed
+  # arrival (align_step covers that path below).
   import dataclasses as _dc_cfg
   pcfg = stack_align.StackAlignConfig(max_displacement=128, residual=6,
                                       render_two_pass=True,
-                                      peak_crop=32, warm_start=True)
+                                      peak_crop=32, warm_start=False)
   pcfg = _dc_cfg.replace(pcfg, mesh=_dc_cfg.replace(pcfg.mesh,
                                                     num_iters=250))
   grid_nn = n // pcfg.stride
@@ -636,15 +638,16 @@ def main():
   _guard(results, 'mesh3d_xla', stage_mesh3d_xla)
 
   def stage_mesh3d():
-    # Margin-free slab kernel (y-shifted copies, zero wasted compute)
-    # with the rsqrt force chain (one VPU transcendental per link
-    # instead of sqrt + divide): 1.59 GLUPS measured vs 1.45 for the
-    # windowed tile=32 kernel with sqrt/div, parity vs the XLA stencil
-    # at f32 noise (~5e-6; scratch/probe_mesh_rsqrt.py).
+    # Window-DMA slab kernel: halo rows ride the in-kernel window copy
+    # (no up/dn shifted-array construction, which cost 0.71 of the
+    # 2.42 ms/iter) + rsqrt force chain. 2.29 GLUPS on the full FIRE
+    # Verlet loop (pure force kernel: 2.93), parity vs the XLA stencil
+    # at f32 noise (~5e-6). History: 1.45 windowed tile=32 -> 1.59
+    # rsqrt slab -> 1.74 (same, later relay) -> 2.29 window_dma.
     def pallas_force3(x, k, stride, prefer_orig_order=False, links=None):
       del links
       return pallas_mesh.elastic_mesh_3d_pallas_slab(
-          x, k, stride, prefer_orig_order, tile_y=8)
+          x, k, stride, prefer_orig_order, tile_y=8, window_dma=True)
 
     def run_mesh3d():
       return mesh.velocity_verlet(x3, v3, prev3, cfg3, force_cap=1e6,

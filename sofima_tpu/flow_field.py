@@ -1226,7 +1226,17 @@ def coarse_to_fine_flow(
     # round(-coarse) — an exact integer shift, no resampling, no
     # intermediate warp. Total flow = fine peak - window shift.
     from sofima_tpu.ops import pallas_flow
-    geo = pallas_flow.targeted_geometry((hc, wc), fine_patch, step)
+    # rows=4 when geometry allows: with the segmented x-DFT the fine
+    # kernel is per-step-overhead-sensitive again, and 4-row windows
+    # measured 0.0481 s vs 0.0543 s (g16r2) on the 10k^2 fine pass
+    # (scratch/probe_fine_geom_r4f.py) at unchanged peaks. Prior
+    # granularity coarsens to one shift per 4 grid rows (160 px at
+    # stride 40) — well inside the peak_crop capture margin for
+    # coarse-field gradients the clamp/refresh guards already police.
+    gy_f = (hc - (fine_patch[0] - sy)) // sy
+    rows_f = 4 if ((3 * sy + fine_patch[0]) % 8 == 0 and gy_f >= 4)         else None
+    geo = pallas_flow.targeted_geometry((hc, wc), fine_patch, step,
+                                        rows=rows_f)
     ctr_y = ((jnp.arange(geo['nrsteps'], dtype=jnp.float32)
               * (geo['rows'] * sy) + geo['win_r'] / 2.0 + crop_y - cy0)
              / csy)
@@ -1251,7 +1261,7 @@ def coarse_to_fine_flow(
         step, max_offset=max_displacement, bf16=bf16,
         min_distance=min_distance, threshold_rel=threshold_rel,
         peak_radius=peak_radius, interpret=interpret,
-        peak_crop=peak_crop)
+        peak_crop=peak_crop, rows=rows_f)
     off_xg = jnp.repeat(jnp.repeat(offs[..., 1].astype(jnp.float32),
                                    geo['rows'], axis=0),
                         geo['group'], axis=1)[:geo['gy'], :geo['gx']]

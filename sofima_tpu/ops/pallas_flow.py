@@ -476,12 +476,16 @@ def _ncc_full_valid_grouped(wa, wb, wr1, wi1, wr1i, wi1i, frb, fib,
     denoms.append(denom)
 
   tol = 1e3 * eps * tolmax
-  denom = jnp.stack(denoms)[:, None, None]  # [G, 1, 1] scalars
-  nums = jnp.stack(nums_c)[:, None, None]
-  corr = jnp.where(denom > tol,
-                   (jnp.stack(xcs) - nums)
-                   / jnp.where(denom > tol, denom, 1.0), 0.0)
-  corr = jnp.clip(corr, -1.0, 1.0)
+  # Normalize per patch with SCALAR operands before stacking: stacking
+  # the rank-0 scalars into a [G] vector and broadcasting [G, 1, 1]
+  # hits an 'unsupported shape cast' in Mosaic layout inference on
+  # hardware (CPU interpret accepts it) — scalar-broadcast ops on the
+  # [n1, n2] surfaces lower cleanly and are numerically identical.
+  corrs_n = [jnp.where(denoms[g] > tol,
+                       (xcs[g] - nums_c[g])
+                       / jnp.where(denoms[g] > tol, denoms[g], 1.0), 0.0)
+             for g in range(group)]
+  corr = jnp.clip(jnp.stack(corrs_n), -1.0, 1.0)
   return _peaks_for_group(
       corr, min_distance=min_distance, threshold_rel=threshold_rel,
       peak_radius=peak_radius, center=(py // 2, px // 2))
@@ -627,12 +631,15 @@ def _masked_row_subgrouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
         numcs.append(sp_s * sc_s / n_area)
         denoms.append(denom)
       tol = 1e3 * eps * tolmax
-      denom = jnp.stack(denoms)[:, None, None]  # per-patch scalars
-      numc = jnp.stack(numcs)[:, None, None]
-      corr = jnp.where(denom > tol,
-                       (jnp.stack(xcs) - numc)
-                       / jnp.where(denom > tol, denom, 1.0), 0.0)
-      emit_group(jnp.clip(corr, -1.0, 1.0), sg)
+      # Per-patch scalar normalize before the stack (see the matching
+      # note in _ncc_full_valid_grouped: stacked rank-0 scalars break
+      # Mosaic layout inference on hardware).
+      corrs_n = [jnp.where(denoms[j] > tol,
+                           (xcs[j] - numcs[j])
+                           / jnp.where(denoms[j] > tol, denoms[j], 1.0),
+                           0.0)
+                 for j in range(sub)]
+      emit_group(jnp.clip(jnp.stack(corrs_n), -1.0, 1.0), sg)
 
     @pl.when(flag == 0)
     def _impure_sub(sg=sg, c0=c0, c1=c1, b0=b0, b1=b1):

@@ -602,14 +602,16 @@ def _kernel_3d_slab(up_ref, mid_ref, dn_ref, out_ref, *, k, stride,
 @functools.partial(
     jax.jit,
     static_argnames=['k', 'stride', 'prefer_orig_order', 'tile_y',
-                     'interpret', 'symmetric', 'sym_split', 'link_loop'])
+                     'interpret', 'symmetric', 'sym_split', 'link_loop',
+                     'window_dma'])
 def elastic_mesh_3d_pallas_slab(x: jnp.ndarray, k: float, stride,
                                 prefer_orig_order: bool = False,
                                 tile_y: int = 8,
                                 interpret: bool = False,
                                 symmetric: bool = False,
                                 sym_split: int = 0,
-                                link_loop: bool = False) -> jnp.ndarray:
+                                link_loop: bool = False,
+                                window_dma: bool = False) -> jnp.ndarray:
   """Margin-free 3d mesh force: y-shifted copies + full-width y-slabs.
 
   Contract of mesh.elastic_mesh_3d. Three y-shifted copies of the
@@ -634,6 +636,40 @@ def elastic_mesh_3d_pallas_slab(x: jnp.ndarray, k: float, stride,
     stride = (float(stride),) * 3
   c, nz, ny, nx = x.shape
   assert c == 3
+
+  if window_dma:
+    # See _kernel_3d_slab_win: one NaN-guarded padded array, halo rows
+    # come from the in-kernel window DMA instead of up/dn copies.
+    ty = tile_y
+    wy = ty + 8
+    pad_y = (-ny) % ty
+    pad_x = (-nx) % 128 or 128
+    # y layout: [1 NaN guard] + ny + pad_y + [7 NaN tail] so every
+    # window base iy*ty is 8-aligned and the last window stays in
+    # bounds ((gy-1)*ty + wy == yp + 8).
+    xp = jnp.pad(x.astype(jnp.float32),
+                 ((0, 0), (1, 1), (1, pad_y + 7), (0, pad_x)),
+                 constant_values=np.nan)
+    yp = ny + pad_y
+    gy = yp // ty
+    xw = xp.shape[3]
+    kernel = functools.partial(
+        _kernel_3d_slab_win, k=float(k),
+        stride=tuple(float(s) for s in stride),
+        prefer_orig_order=prefer_orig_order, nz=nz, ty=ty, wy=wy, gy=gy,
+        xw=xw)
+    out = pl.pallas_call(
+        kernel,
+        grid=(gy,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((3, nz, ty, xw), lambda iy: (0, 0, iy, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, nz, yp, xw), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, 3, nz + 2, wy, xw), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2,))],
+        interpret=interpret,
+    )(xp)
+    return out[:, :, :ny, :nx]
 
   pad_y = (-ny) % tile_y
   pad_x = (-nx) % 128 or 128  # >=1 NaN column so x-rolls wrap into NaN
@@ -707,6 +743,44 @@ def elastic_mesh_3d_pallas_slab(x: jnp.ndarray, k: float, stride,
   else:
     out = call()
   return out[:, :, :ny, :nx]
+
+
+def _kernel_3d_slab_win(x_hbm, out_ref, win, sems, *, k, stride,
+                        prefer_orig_order, nz, ty, wy, gy, xw):
+  """Window-DMA twin of _kernel_3d_slab: no up/dn arrays at all.
+
+  The per-iteration up/dn shifted-copy construction costs 0.71 ms of
+  the 2.42 ms Verlet iteration at bench geometry (pure kernel: 2.93
+  GLUPS, with construction: 1.96 — hardware-decomposed). Here each grid
+  step DMAs ONE [3, nz+2, wy, xw] window of the padded mesh from an
+  8-aligned row base (wy = ty + 8 covers the +-1-row halo), double-
+  buffered across steps, and cuts up/mid/dn as y-offset slices (rows
+  2:/1:/0: — unaligned sublane slices compile and cost two vector
+  shifts; scratch/probe_fused_verlet.py probe A). Same force body,
+  bit-identical results.
+  """
+  iy = pl.program_id(0)
+  slot = jax.lax.rem(iy, 2)
+
+  def copy(iy2, s):
+    return pltpu.make_async_copy(
+        x_hbm.at[:, :, pl.ds(iy2 * ty, wy)], win.at[s], sems.at[s])
+
+  @pl.when(iy == 0)
+  def _prologue():
+    copy(iy, slot).start()
+
+  @pl.when(iy + 1 < gy)
+  def _prefetch():
+    copy(iy + 1, 1 - slot).start()
+
+  copy(iy, slot).wait()
+  w = win[slot]
+  dn = jax.lax.slice(w, (0, 0, 0, 0), (3, nz + 2, ty, xw))
+  mid = jax.lax.slice(w, (0, 0, 1, 0), (3, nz + 2, 1 + ty, xw))
+  up = jax.lax.slice(w, (0, 0, 2, 0), (3, nz + 2, 2 + ty, xw))
+  force = _slab_force_3d(up, mid, dn, k, stride, prefer_orig_order)
+  out_ref[...] = jax.lax.slice_in_dim(force, 1, 1 + nz, axis=1)
 
 
 def make_elastic_mesh_3d(tile: int = 128, interpret: bool = False,

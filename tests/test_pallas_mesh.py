@@ -203,6 +203,22 @@ class TestElasticMesh3dLinkLoop:
           interpret=True)
       assert float(jnp.nanmax(jnp.abs(ref - got))) < 1e-4, poo
 
+  def test_slab_force_window_dma_matches_xla(self):
+    # In-kernel window DMA (halo rows from one padded array, no up/dn
+    # shifted copies): exact parity with the XLA 26-neighbor force,
+    # including NaN nodes at tile boundaries.
+    rng = np.random.RandomState(11)
+    x = rng.randn(3, 5, 20, 24).astype(np.float32) * 5
+    x[:, 1, 3:5, 7] = np.nan
+    x = jnp.asarray(x)
+    for poo in (False, True):
+      ref = mesh.elastic_mesh_3d(x, 0.1, (40.0, 30.0, 20.0),
+                                 prefer_orig_order=poo)
+      got = pallas_mesh.elastic_mesh_3d_pallas_slab(
+          x, 0.1, (40.0, 30.0, 20.0), prefer_orig_order=poo, tile_y=4,
+          interpret=True, window_dma=True)
+      assert float(jnp.nanmax(jnp.abs(ref - got))) < 1e-4, poo
+
   def test_slab_force_symmetric_matches_xla(self):
     # Newton's-third-law link sharing (13 + boundary chains instead of
     # 26): exact parity with the XLA 26-neighbor force, including NaN
