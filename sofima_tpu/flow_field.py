@@ -1291,8 +1291,16 @@ def coarse_to_fine_flow(
   # upsample_map_linear wants non-negative phases; prepending one
   # extrapolated node shifts the grid so phase = scale - center0 >= 0.
   g_ext = prepend(prepend(g, 1), 2)
-  dense_g = interp_ops.upsample_map_linear(
-      g_ext, csy, (csy - cy0, csx - cx0), (h, w))
+  # INTEGER-shift transport (the reference's integer-pixel flow
+  # semantics, /root/reference/flow_field.py:16-19): round the dense
+  # prior to whole pixels so the warp below is an exact gather — the
+  # fine pass measures peaks on unresampled data, like the unmasked
+  # targeted path (there per-WINDOW shifts; here per-PIXEL, constant
+  # within a coarse cell except at rounding boundaries). The add-back
+  # reads the SAME rounded field at each fine node center, so
+  # quantization cancels exactly in the total.
+  dense_g = jnp.rint(interp_ops.upsample_map_linear(
+      g_ext, csy, (csy - cy0, csx - cx0), (h, w)))
   yy = jnp.arange(h, dtype=jnp.float32)[:, None]
   xx = jnp.arange(w, dtype=jnp.float32)[None, :]
   coords = jnp.stack([yy + dense_g[0], xx + dense_g[1]])[None]
@@ -1313,7 +1321,8 @@ def coarse_to_fine_flow(
         plane[None].astype(jnp.float32), coords, dplan['bases'], method,
         *env_r, *env_b, *dplan['tile'], interpret=interpret)[0]
 
-  post_w = warp_plane(post_image, 'linear')
+  # 'nearest' with integer coords is an exact pixel gather.
+  post_w = warp_plane(post_image, 'nearest')
   post_mask_w = None
   if post_mask is not None:
     # Invalid-mask transport: nearest-neighbor keeps it binary; pixels
@@ -1330,14 +1339,13 @@ def coarse_to_fine_flow(
 
   fine_c = jax.lax.slice(fine, (0, k0y, k0x), (4, k0y + gy, k0x + gx))
 
-  # Coarse flow at the target node centers (coarse-grid coords i*s/cs).
-  qy = (jnp.arange(gy, dtype=jnp.float32) * (sy / csy))[:, None]
-  qx = (jnp.arange(gx, dtype=jnp.float32) * (sx / csx))[None, :]
-  mesh = jnp.stack([jnp.broadcast_to(qy, (gy, gx)),
-                    jnp.broadcast_to(qx, (gy, gx))])
-  cg_x = interp_ops.grid_sample_linear(cx, mesh)
-  cg_y = interp_ops.grid_sample_linear(cy, mesh)
-  total = jnp.stack([fine_c[0] + cg_x, fine_c[1] + cg_y,
+  # Add back the APPLIED (rounded) shift at each fine node center
+  # (py//2 + i*sy, px//2 + i*sx): exact cancellation of the transport,
+  # matching the unmasked targeted path's peak - window-shift algebra.
+  gi_c = jax.lax.slice(dense_g, (0, py // 2, px // 2), (2, h, w),
+                       (1, sy, sx))
+  gi_c = jax.lax.slice(gi_c, (0, 0, 0), (2, gy, gx))
+  total = jnp.stack([fine_c[0] - gi_c[1], fine_c[1] - gi_c[0],
                      fine_c[2], fine_c[3]])
   return maybe_overflow(total, dplan['overflow'])
 

@@ -362,8 +362,31 @@ def _corr_peaks_grouped(wa, wb, wr1, wi1, wr1i, wi1i, frb, fib, br2c,
     # step is matmul-DISPATCH-bound once the peak chain is
     # group-vectorized, so the ~G/2-fold extra MACs of the zero blocks
     # buy a net win. The per-patch surfaces come back as lane slices.
+    # Like the forward x-DFT, the block-diagonal waste shrinks
+    # quadratically with groups-per-matmul: segment whenever the
+    # per-segment column width stays lane-aligned (exact — only zero
+    # blocks leave the contraction).
     n2 = br2c.shape[1] // group
-    flat = (mm(gr, br2c) + mm(gi, bi2c)) / px  # [n1, G*n2]
+    hpg = gr.shape[1] // group
+    seg_i = max((s for s in range(1, group + 1)
+                 if group % s == 0 and ((group // s) * n2) % 128 == 0),
+                default=1)
+    if seg_i > 1:
+      gpsi = group // seg_i
+      parts = []
+      for s in range(seg_i):
+        grs = jax.lax.slice(gr, (0, s * gpsi * hpg),
+                            (n1, (s + 1) * gpsi * hpg))
+        gis = jax.lax.slice(gi, (0, s * gpsi * hpg),
+                            (n1, (s + 1) * gpsi * hpg))
+        b_r = jax.lax.slice(br2c, (s * gpsi * hpg, s * gpsi * n2),
+                            ((s + 1) * gpsi * hpg, (s + 1) * gpsi * n2))
+        b_i = jax.lax.slice(bi2c, (s * gpsi * hpg, s * gpsi * n2),
+                            ((s + 1) * gpsi * hpg, (s + 1) * gpsi * n2))
+        parts.append(mm(grs, b_r) + mm(gis, b_i))
+      flat = jnp.concatenate(parts, axis=1) / px
+    else:
+      flat = (mm(gr, br2c) + mm(gi, bi2c)) / px  # [n1, G*n2]
     corr = jnp.stack([
         jax.lax.slice(flat, (0, g * n2), (n1, (g + 1) * n2))
         for g in range(group)])
@@ -648,11 +671,15 @@ def _masked_row_subgrouped(wa, wb, va, vb, wr1, wi1, wr1i, wi1i,
       # columns is exact and cuts the contraction to the subgroup.
       frb_s = jax.lax.slice(frb, (c0, b0), (c1, b1))
       fib_s = jax.lax.slice(fib, (c0, b0), (c1, b1))
+      # The subgroup slice is itself block-diagonal over `sub` patches:
+      # segment it like the whole-row spectra (exact, see _block_xdft).
+      seg_s = _pick_xdft_seg(sub, px, sx, c1 - c0, hp)
 
       def gdft_s(w, t=f32):
         ws = jax.lax.slice(w, (0, c0), (py, c1))
-        ar = mm(ws, frb_s, t)
-        ai = mm(ws, fib_s, t)
+        ar, ai = _block_xdft(ws, frb_s, fib_s,
+                             lambda a, b: mm(a, b, t),
+                             group=sub, px=px, sx=sx, seg=seg_s)
         return (mm(wr1, ar, t) - mm(wi1, ai, t),
                 mm(wr1, ai, t) + mm(wi1, ar, t))
 
