@@ -386,9 +386,14 @@ def main():
   # Config chosen by the round-4 hardware ablations (docs/ROADMAP.md
   # round-4 tables): residual=6 shrinks the render lattice
   # ((2*residual + taps)^2 per pixel) for +6% at unchanged ground-truth
-  # error; num_iters=250 solve chunks let the on-device while_loop exit
-  # at the first converged boundary (+1%, identical error, no
-  # overflow); render_two_pass runs the separable O(rx + ry) render
+  # error; num_iters=125 solve chunks let the on-device while_loop exit
+  # at the first converged boundary (+1% over 500 at 250, +0.3% more at
+  # 125 — scratch/ablate_r4l.json: 1002.5 Mpix/s, identical error, no
+  # overflow); the solve runs the NO-RAMP protocol (start_cap =
+  # final_cap = 10, the StackAlignConfig default; halves the solve
+  # phase at 0.03 px node delta — scratch/ablate_solve_cap.py) and the
+  # invert runs fp12/n2 (1.8x faster invert phase at 0.002 px delta —
+  # scratch/ablate_invert_iters.py); render_two_pass runs the separable O(rx + ry) render
   # kernel (+18%, ground-truth error identical at 3.113 — the separable
   # approximation is invisible next to the flow/solve error budget);
   # fine_patch=64 measured NO speedup (the fine-pass window DMA + peak
@@ -412,7 +417,7 @@ def main():
                                       render_two_pass=True,
                                       peak_crop=32, warm_start=False)
   pcfg = _dc_cfg.replace(pcfg, mesh=_dc_cfg.replace(pcfg.mesh,
-                                                    num_iters=250))
+                                                    num_iters=125))
   grid_nn = n // pcfg.stride
   stack_j = jnp.stack(stack_list)
   # Free every large device buffer except the stack itself — the

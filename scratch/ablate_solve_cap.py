@@ -68,14 +68,17 @@ def main():
         return s, s
       z0 = jnp.zeros((2, 1, grid_n, grid_n), jnp.float32)
       _, out = jax.lax.scan(one, z0, fl)
-      return out
-    out = run(flows_j)
-    jax.block_until_ready(out)
+      # Scalar fetched per run = the execution barrier (block_until_
+      # ready can return before remote execution completes on the axon
+      # relay — ROADMAP env facts).
+      return out, jnp.nansum(out)
+    out, chk = run(flows_j)
+    float(chk)
     ts = []
     for _ in range(3):
       t0 = time.perf_counter()
-      out = run(flows_j)
-      jax.block_until_ready(out)
+      out, chk = run(flows_j)
+      float(chk)
       ts.append(time.perf_counter() - t0)
     return out, sorted(ts)[1]
 
@@ -95,17 +98,18 @@ def main():
   for name, mcfg in variants.items():
     cfg = dataclasses.replace(base, mesh=mcfg)
     out, t = solve_all(cfg)
-    sols[name] = np.asarray(out)
+    sols[name] = out  # device-resident; d2h of the full stack is ~4 min
     results[name + '_s'] = round(t, 4)
     print(name, round(t, 4), flush=True)
 
   ref = sols['headline_cap1.0']
+  diff_fn = jax.jit(lambda a, b: jnp.nanmax(jnp.abs(a - b)))
   for name in variants:
     if name == 'headline_cap1.0':
       continue
-    d = np.nanmax(np.abs(sols[name] - ref))
-    results[name + '_max_node_diff_px'] = round(float(d), 4)
-    print(name, 'max node diff', round(float(d), 4), flush=True)
+    d = float(diff_fn(sols[name], ref))
+    results[name + '_max_node_diff_px'] = round(d, 4)
+    print(name, 'max node diff', round(d, 4), flush=True)
 
   with open('/tmp/ablate_solve_cap.json', 'w') as f:
     json.dump(results, f, indent=1)

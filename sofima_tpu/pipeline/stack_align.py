@@ -114,8 +114,10 @@ class StackAlignConfig:
   # for mesh-smooth maps; see ops.pallas_warp._warp_tiled_sep_kernel).
   render_two_pass: bool = False
   # Newton refinement iterations for the map inversion (folds cannot
-  # occur in a freshly-relaxed smooth mesh, so a few suffice).
-  invert_newton_iters: int = 4
+  # occur in a freshly-relaxed smooth mesh, so a couple suffice;
+  # measured 0.002 px max delta vs 4 iters on bench-like meshes —
+  # scratch/ablate_invert_iters.py).
+  invert_newton_iters: int = 2
   # Damped fixed-point iterations for the map inversion. The iteration
   # contracts the residual by ~0.4x per step on mesh-smooth maps
   # (p <- p + 0.6 (q - F(p)) with |grad d| << 1), so ~12 steps reduce a
@@ -123,24 +125,31 @@ class StackAlignConfig:
   # library default (map_utils._invert_section num_iters=32) is sized
   # for arbitrary user maps. Failures are Newton-re-seeded and NaN ->
   # harmonic-filled either way, and the bench ground-truth gate pins
-  # the quality.
-  invert_fp_iters: int = 32
-  # Solver protocol: start_cap=1.0 (not the archival 0.01) — with the
-  # fused whole-loop kernel the cap escalation 0.01 -> 10 at 1.1x per
-  # converged chunk otherwise forces EVERY section to burn the full
-  # max_iters budget (~0.5 s/section measured); flows here are already
-  # clean_flow-gated, so early settling needs far less clamping.
-  # k0=0.1 (archival em_2d: 0.01) weights the flow targets 10x harder
-  # against elastic smoothness — the warm start begins ON the targets,
-  # so the stiffer k0 is what lets one num_iters budget settle; both
-  # protocol deltas are documented in docs/PARITY.md and pinned by
-  # tests/test_stack_align.py::TestFusedVsStaged.
-  # Fold safety is retained (prefer_orig_order + final cap 10).
+  # the quality. Measured (scratch/ablate_invert_iters.py, v5e): 12+2
+  # runs the vmapped invert phase 1.8x faster than 32+4 at 0.002 px
+  # max node delta and identical true inversion residual.
+  invert_fp_iters: int = 12
+  # Solver protocol: start_cap = final_cap = 10 (no ramp; archival
+  # em_2d ramps 0.01 -> 10 at 1.1x per converged chunk). The cap
+  # escalation exists so the k0 force clamp releases gradually on
+  # dirty flows; here the targets are already clean_flow-gated and the
+  # solve warm-starts ON the targets, so |x - prev| at the solution is
+  # << cap/k0 = 100 px — the clamp never binds and every escalation
+  # chunk is a semantic no-op that still costs a full convergence
+  # check. Measured (scratch/ablate_solve_cap.py, v5e): no-ramp halves
+  # the 15-section solve scan (0.206 s vs 0.422 s) with 0.03 px max
+  # node difference (fixed-point equivalence; tolerance 0.01*stride =
+  # 0.4 px). k0=0.1 (archival: 0.01) weights the flow targets 10x
+  # harder against elastic smoothness — the warm start begins ON the
+  # targets, so the stiffer k0 is what lets one num_iters budget
+  # settle; all protocol deltas are documented in docs/PARITY.md and
+  # pinned by tests/test_stack_align.py::TestFusedVsStaged.
+  # Fold safety is retained (prefer_orig_order + cap 10).
   mesh: mesh.IntegrationConfig = dataclasses.field(
       default_factory=lambda: mesh.IntegrationConfig(
           dt=0.001, gamma=0.0, k0=0.1, k=0.1, stride=(40.0, 40.0),
           num_iters=500, max_iters=8000, stop_v_max=0.005,
-          dt_max=100.0, start_cap=1.0, final_cap=10.0, cap_scale=1.1,
+          dt_max=100.0, start_cap=10.0, final_cap=10.0, cap_scale=1.1,
           prefer_orig_order=True))
 
 

@@ -242,8 +242,8 @@ class TestFusedVsStaged:
   """The fused device chain must track the staged archival chain
   (VERDICT r3 item 6): same stack in, rendered outputs within the
   interpolation-tolerance bar. Protocol deltas are documented in
-  docs/PARITY.md (start_cap 1.0 vs 0.01, coarse-to-fine flow vs
-  padfield oracle)."""
+  docs/PARITY.md (no-ramp start_cap=10 vs the archival 0.01 -> 10
+  escalation, coarse-to-fine flow vs padfield oracle)."""
 
   def test_equivalence_on_smooth_stack(self):
     from sofima_tpu.pipeline import stack_align
@@ -256,7 +256,7 @@ class TestFusedVsStaged:
     # the archival em_2d k0=0.01 reaches a genuinely different fixed
     # point, a documented config delta, see docs/PARITY.md). What this
     # isolates is the IMPLEMENTATIONS: fused whole-loop solve kernel
-    # (start_cap 1.0) + device shift-lattice invert + tiled render vs
+    # (no-ramp cap 10) + device shift-lattice invert + tiled render vs
     # staged XLA relax (cap 0.01 -> 10) + host invert_map/fill_missing
     # + warp_subvolume.
     cfg = stack_align.StackAlignConfig(max_displacement=64, residual=16,
