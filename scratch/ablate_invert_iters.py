@@ -16,7 +16,7 @@ fp_iters in {32, 16, 12, 8} x newton_iters in {4, 2} and reports:
     (bilinear resample of the forward map at the inverted points) —
     the quantity the tolerance actually bounds.
 
-Writes /tmp/ablate_invert_iters.json.
+Writes scratch/ablate_invert_iters.json.
 """
 
 import dataclasses
@@ -115,7 +115,7 @@ def main():
     results[name + '_max_diff_px'] = round(d, 4)
     print(name, 'max diff vs fp32_n4', round(d, 4), flush=True)
 
-  with open('/tmp/ablate_invert_iters.json', 'w') as f:
+  with open('scratch/ablate_invert_iters.json', 'w') as f:
     json.dump(results, f, indent=1)
   print(json.dumps(results), flush=True)
 

@@ -2,7 +2,7 @@
 
 Measures the streamed 16x10k^2 stack pipeline (same inputs as bench.py)
 under each config variant, median of 3 runs, with the ground-truth
-quality gate. Writes /tmp/ablate_r4.json progressively.
+quality gate. Writes scratch/ablate_r4.json progressively.
 """
 
 import json
@@ -27,7 +27,7 @@ def main():
   results = {}
 
   def save():
-    with open('/tmp/ablate_r4.json', 'w') as fh:
+    with open('scratch/ablate_r4.json', 'w') as fh:
       json.dump(results, fh, indent=1)
 
   n = 10000

@@ -4,7 +4,7 @@ Driven by the phase profile (render 41%, flow 36%, solve 17%): shrink
 the render lattice and let the solve exit on finer chunk boundaries.
 (coarse_step=320 was considered and dropped: patch 160 % step 320 != 0
 falls off the strip/grid fast path onto the gather path.)
-Writes /tmp/ablate_r4b.json.
+Writes scratch/ablate_r4b.json.
 """
 
 import dataclasses
@@ -31,7 +31,7 @@ def main():
   results = {}
 
   def save():
-    with open('/tmp/ablate_r4b.json', 'w') as fh:
+    with open('scratch/ablate_r4b.json', 'w') as fh:
       json.dump(results, fh, indent=1)
 
   n = 10000

@@ -7,7 +7,7 @@ O(2(2r+8)) with a first-order-corrected x-weight attribution
   1. the standalone 10k^2 render stage, exact vs two-pass (+ agreement)
   2. the full pipeline at the r6+ni250 headline config with
      render_two_pass=True (+ ground-truth quality gate)
-Writes /tmp/ablate_r4c.json.
+Writes scratch/ablate_r4c.json.
 """
 
 import dataclasses
@@ -33,7 +33,7 @@ def main():
   results = {}
 
   def save():
-    with open('/tmp/ablate_r4c.json', 'w') as fh:
+    with open('scratch/ablate_r4c.json', 'w') as fh:
       json.dump(results, fh, indent=1)
 
   n = 10000

@@ -2,7 +2,7 @@
 
 Replicates bench.py's WARP stage exactly (same field, same plan, same
 static bounds -> shared compile cache), then measures the two-pass
-kernel on the same inputs. Writes /tmp/ablate_r4c_warp.json.
+kernel on the same inputs. Writes scratch/ablate_r4c_warp.json.
 """
 
 import json
@@ -25,7 +25,7 @@ def main():
   results = {}
 
   def save():
-    with open('/tmp/ablate_r4c_warp.json', 'w') as fh:
+    with open('scratch/ablate_r4c_warp.json', 'w') as fh:
       json.dump(results, fh, indent=1)
 
   n = 10000

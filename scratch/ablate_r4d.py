@@ -6,7 +6,7 @@ prior bounds the fine residual to a few px, so a centered crop (via
 pre-sliced inverse-DFT matrices — see
 pallas_flow.dense_flow_peaks_targeted) removes ~(80/pc)^2 of that work
 for free. Variants on the r4 headline config (residual=6, ni250,
-render_two_pass): peak_crop 48 and 32. Writes /tmp/ablate_r4d.json.
+render_two_pass): peak_crop 48 and 32. Writes scratch/ablate_r4d.json.
 """
 
 import dataclasses
@@ -32,7 +32,7 @@ def main():
   results = {}
 
   def save():
-    with open('/tmp/ablate_r4d.json', 'w') as fh:
+    with open('scratch/ablate_r4d.json', 'w') as fh:
       json.dump(results, fh, indent=1)
 
   n = 10000

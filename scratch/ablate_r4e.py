@@ -8,7 +8,7 @@ re-measures peaks exactly, so the prior costs capture margin only —
 the bench stack's section-to-section flow delta is ~5-7 px, well
 inside the peak_crop=32 core. Variants on the r4 headline config
 (residual=6, ni250, render_two_pass, peak_crop=32). Writes
-/tmp/ablate_r4e.json.
+scratch/ablate_r4e.json.
 """
 
 import dataclasses
@@ -34,7 +34,7 @@ def main():
   results = {}
 
   def save():
-    with open('/tmp/ablate_r4e.json', 'w') as fh:
+    with open('scratch/ablate_r4e.json', 'w') as fh:
       json.dump(results, fh, indent=1)
 
   n = 10000

@@ -13,7 +13,7 @@ script runs the real 16x10k^2 stack through align_stack_pipelined with
 the NEW StackAlignConfig defaults and the bench quality gates, plus
 the OLD protocol (cached program) for same-day apples-to-apples.
 
-Writes /tmp/ablate_r4k.json.
+Writes scratch/ablate_r4k.json.
 """
 
 import dataclasses
@@ -39,7 +39,7 @@ def main():
   results = {}
 
   def save():
-    with open('/tmp/ablate_r4k.json', 'w') as fh:
+    with open('scratch/ablate_r4k.json', 'w') as fh:
       json.dump(results, fh, indent=1)
 
   n = 10000

@@ -5,7 +5,7 @@ scratch/ablate_r4k.py measured the new protocol at 999.6 Mpix/s
 save a further ~13 ms over ni250 (finer convergence-check granularity
 lets the on-device while_loop exit earlier; 0.034 px node delta).
 This measures the full pipeline with ni125 — the final nudge over the
-1 Gpix/s line if it holds. Writes /tmp/ablate_r4l.json.
+1 Gpix/s line if it holds. Writes scratch/ablate_r4l.json.
 """
 
 import dataclasses
@@ -31,7 +31,7 @@ def main():
   results = {}
 
   def save():
-    with open('/tmp/ablate_r4l.json', 'w') as fh:
+    with open('scratch/ablate_r4l.json', 'w') as fh:
       json.dump(results, fh, indent=1)
 
   n = 10000

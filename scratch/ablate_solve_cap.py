@@ -16,7 +16,7 @@ and reports times, executed steps, and the MAX NODE DIFF of (b)/(c)
 vs (a) — fixed-point equivalence evidence (the spring energy has one
 minimum reachable by all three protocols when the clamp is slack).
 
-Writes /tmp/ablate_solve_cap.json.
+Writes scratch/ablate_solve_cap.json.
 """
 
 import dataclasses
@@ -111,7 +111,7 @@ def main():
     results[name + '_max_node_diff_px'] = round(d, 4)
     print(name, 'max node diff', round(d, 4), flush=True)
 
-  with open('/tmp/ablate_solve_cap.json', 'w') as f:
+  with open('scratch/ablate_solve_cap.json', 'w') as f:
     json.dump(results, f, indent=1)
   print(json.dumps(results), flush=True)
 

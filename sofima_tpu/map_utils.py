@@ -203,12 +203,14 @@ def _invert_section(abs_map_xy: jnp.ndarray, src_start_yx: jnp.ndarray,
   offset field sampled bilinearly from the map grid. Phase 1 iterates
   the damped fixed point p <- p + 0.6 (q - F(p)), which converges for
   the near-identity smooth maps produced by mesh relaxation. Phase 2
-  (2d only) re-seeds any query that failed — NaN'd out or still above
+  re-seeds any query that failed — NaN'd out or still above
   tolerance, e.g. near folds where the fixed point's contraction factor
   approaches 1 — and runs damped Newton steps with the sampled Jacobian
-  J = I + grad(d): this recovers stiff-but-invertible regions that the
+  J = I + grad(d) (2x2 Cramer solve in 2d, 3x3 adjugate solve in 3d):
+  this recovers stiff-but-invertible regions that the
   plain iteration loses (the robustness envelope of the reference's
-  scattered inversion, /root/reference/map_utils.py:392-487). Truly
+  dim-generic scattered inversion,
+  /root/reference/map_utils.py:392-487). Truly
   folded neighborhoods (|det J| ~ 0) still fail the residual gate and
   yield NaN — mirroring the convex-hull NaN semantics.
 
@@ -219,7 +221,7 @@ def _invert_section(abs_map_xy: jnp.ndarray, src_start_yx: jnp.ndarray,
     stride_yx: [dim] node spacing ([z]yx)
     num_iters: fixed-point iterations
     tol: residual tolerance in units of stride
-    newton_iters: Newton refinement iterations (2d; 0 disables)
+    newton_iters: Newton refinement iterations (0 disables)
     return_stats: also return the fraction of queries that failed the
       residual gate (divergence telemetry)
 
@@ -350,6 +352,59 @@ def _invert_section(abs_map_xy: jnp.ndarray, src_start_yx: jnp.ndarray,
     p_n = jax.lax.fori_loop(0, newton_iters, newton_body, p_n)
     ok_n = residual_ok(p_n)
     # Keep phase-1 answers where they were already good.
+    p = jnp.where(ok0[None], p, jnp.where(ok_n[None], p_n, jnp.nan))
+    ok = ok0 | ok_n
+  elif dim == 3 and newton_iters > 0:
+    # 3d Newton rescue: sampled 3x3 Jacobian J = I + M with
+    # M[c][j] = d(d_c)/d(axis_j) in pixel/pixel units (c, j in physical
+    # xyz order; array axes are zyx, hence the 2 - j flip), solved per
+    # query by the adjugate formula. Same det gate / trust region as 2d.
+    grads = [jnp.gradient(d_xy[c]) for c in range(3)]  # [d/dz,d/dy,d/dx]
+    jac_planes = jnp.stack([
+        grads[c][2 - j] / stride_yx[2 - j]
+        for c in range(3) for j in range(3)
+    ])  # [9, *grid], row-major M[c*3 + j]
+
+    ok0 = residual_ok(p)
+    bad0 = ~ok0
+    for c in range(3):
+      bad0 = bad0 | jnp.isnan(p[c])
+    p_n = jnp.where(bad0[None], query_xy, p)
+
+    def newton_body3(_, p_cur):
+      r = query_xy - (p_cur + sample_d(p_cur))
+      m = interp.sample_channels(jac_planes, to_idx(p_cur),
+                                 method='linear', mode='nearest')
+      j00, j01, j02 = 1.0 + m[0], m[1], m[2]
+      j10, j11, j12 = m[3], 1.0 + m[4], m[5]
+      j20, j21, j22 = m[6], m[7], 1.0 + m[8]
+      # Cofactors C[i][j]; inverse[i][j] = C[j][i] / det.
+      c00 = j11 * j22 - j12 * j21
+      c01 = j12 * j20 - j10 * j22
+      c02 = j10 * j21 - j11 * j20
+      c10 = j02 * j21 - j01 * j22
+      c11 = j00 * j22 - j02 * j20
+      c12 = j01 * j20 - j00 * j21
+      c20 = j01 * j12 - j02 * j11
+      c21 = j02 * j10 - j00 * j12
+      c22 = j00 * j11 - j01 * j10
+      det = j00 * c00 + j01 * c01 + j02 * c02
+      # Gate only against numerical explosion at det ~ 0 (true folds);
+      # strong compressions are legitimate and need Newton most. The 2d
+      # gate (0.005) corresponds to a ~0.07 per-axis scale; in 3d the
+      # same per-axis envelope cubes to ~3e-4.
+      safe = jnp.abs(det) > 3e-4
+      inv_det = jnp.where(safe, 1.0 / jnp.where(safe, det, 1.0), 0.0)
+      s0 = (c00 * r[0] + c10 * r[1] + c20 * r[2]) * inv_det
+      s1 = (c01 * r[0] + c11 * r[1] + c21 * r[2]) * inv_det
+      s2 = (c02 * r[0] + c12 * r[1] + c22 * r[2]) * inv_det
+      step = jnp.where(safe[None], jnp.stack([s0, s1, s2]), 0.6 * r)
+      step = jnp.clip(step, -8.0 * max_stride, 8.0 * max_stride)
+      p_new = p_cur + step
+      return jnp.where(jnp.isnan(p_new), jnp.nan, p_new)
+
+    p_n = jax.lax.fori_loop(0, newton_iters, newton_body3, p_n)
+    ok_n = residual_ok(p_n)
     p = jnp.where(ok0[None], p, jnp.where(ok_n[None], p_n, jnp.nan))
     ok = ok0 | ok_n
   else:

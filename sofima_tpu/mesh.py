@@ -410,7 +410,7 @@ def relax_mesh_fused(
             jnp.float32(config.alpha), 0, jnp.float32(config.start_cap))
 
   def chunk(carry):
-    state, chunk_idx, e_hist, _ = carry
+    state, chunk_idx, e_hist, streak = carry
     state = jax.lax.fori_loop(0, config.num_iters,
                               lambda t, s: fire_step(s, prev), state)
     x, v = state[0], state[1]
@@ -418,18 +418,24 @@ def relax_mesh_fused(
     e_hist = e_hist.at[chunk_idx].set(jnp.sum(v_mag**2))
     v_max = jnp.max(v_mag)
     cap = state[-1]
-    done = (v_max < config.stop_v_max) & (cap >= config.final_cap)
+    # Require TWO consecutive converged boundaries: FIRE zeroes
+    # velocities on an uphill step, so a single boundary landing right
+    # after a reset can show a transiently-tiny v_max without the mesh
+    # being anywhere near equilibrium (the finer the chunks, the more
+    # boundaries sample that window).
+    conv = (v_max < config.stop_v_max) & (cap >= config.final_cap)
+    streak = jnp.where(conv, streak + 1, 0)
     # Escalate the cap when velocities converged but the cap hasn't.
     new_cap = jnp.where(
         (v_max < config.stop_v_max) & (cap < config.final_cap),
         jnp.minimum(cap * config.cap_scale, config.final_cap), cap)
     state = state[:-1] + (new_cap,)
-    return state, chunk_idx + 1, e_hist, done
+    return state, chunk_idx + 1, e_hist, streak
 
   def cond(carry):
-    _, chunk_idx, _, done = carry
-    return (~done) & (chunk_idx < max_chunks)
+    _, chunk_idx, _, streak = carry
+    return (streak < 2) & (chunk_idx < max_chunks)
 
   state, chunks, e_hist, _ = jax.lax.while_loop(
-      cond, chunk, (state0, 0, e_kin0, jnp.bool_(False)))
+      cond, chunk, (state0, 0, e_kin0, jnp.int32(0)))
   return state[0], e_hist, chunks * config.num_iters

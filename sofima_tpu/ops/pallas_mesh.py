@@ -877,7 +877,7 @@ def _fused_fire_kernel(x_ref, prev_ref, out_ref, ehist_ref, steps_ref, *,
   cid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
 
   def chunk(carry):
-    state, chunk_idx, ehist, _ = carry
+    state, chunk_idx, ehist, streak = carry
     state = jax.lax.fori_loop(0, config.num_iters,
                               lambda t, s: fire_step(s, prev), state)
     x, v = state[0], state[1]
@@ -886,19 +886,23 @@ def _fused_fire_kernel(x_ref, prev_ref, out_ref, ehist_ref, steps_ref, *,
     ehist = jnp.where((rid == 0) & (cid == chunk_idx), e_kin, ehist)
     v_max = jnp.sqrt(jnp.max(v_sq))
     cap = state[-1]
-    done = (v_max < config.stop_v_max) & (cap >= config.final_cap)
+    # Two consecutive converged boundaries (see mesh.relax_mesh_fused):
+    # a boundary right after a FIRE uphill reset can sample a
+    # transiently-tiny v_max.
+    conv = (v_max < config.stop_v_max) & (cap >= config.final_cap)
+    streak = jnp.where(conv, streak + 1, 0)
     new_cap = jnp.where(
         (v_max < config.stop_v_max) & (cap < config.final_cap),
         jnp.minimum(cap * config.cap_scale, config.final_cap), cap)
     state = state[:-1] + (new_cap,)
-    return state, chunk_idx + 1, ehist, done
+    return state, chunk_idx + 1, ehist, streak
 
   def cond(carry):
-    _, chunk_idx, _, done = carry
-    return jnp.logical_not(done) & (chunk_idx < max_chunks)
+    _, chunk_idx, _, streak = carry
+    return (streak < 2) & (chunk_idx < max_chunks)
 
   state, chunks, ehist, _ = jax.lax.while_loop(
-      cond, chunk, (state0, 0, ehist0, jnp.bool_(False)))
+      cond, chunk, (state0, 0, ehist0, jnp.int32(0)))
   out_ref[...] = state[0]
   ehist_ref[...] = ehist
   steps_ref[...] = jnp.where((rid == 0) & (cid == 0),
@@ -1191,7 +1195,7 @@ def relax_mesh_fused_pallas_3d(x: jnp.ndarray, prev: jnp.ndarray | None,
     cid = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
 
     def chunk(carry):
-      state, chunk_idx, ehist, _ = carry
+      state, chunk_idx, ehist, streak = carry
       state = jax.lax.fori_loop(0, config.num_iters,
                                 lambda t, s: fire_step(s, prev_k), state)
       v = state[1]
@@ -1200,19 +1204,21 @@ def relax_mesh_fused_pallas_3d(x: jnp.ndarray, prev: jnp.ndarray | None,
                         ehist)
       v_max = jnp.sqrt(jnp.max(v_sq))
       cap = state[-1]
-      done = (v_max < config.stop_v_max) & (cap >= config.final_cap)
+      # Two consecutive converged boundaries (see mesh.relax_mesh_fused).
+      conv = (v_max < config.stop_v_max) & (cap >= config.final_cap)
+      streak = jnp.where(conv, streak + 1, 0)
       new_cap = jnp.where(
           (v_max < config.stop_v_max) & (cap < config.final_cap),
           jnp.minimum(cap * config.cap_scale, config.final_cap), cap)
       state = state[:-1] + (new_cap,)
-      return state, chunk_idx + 1, ehist, done
+      return state, chunk_idx + 1, ehist, streak
 
     def cond(carry):
-      _, chunk_idx, _, done = carry
-      return jnp.logical_not(done) & (chunk_idx < max_chunks)
+      _, chunk_idx, _, streak = carry
+      return (streak < 2) & (chunk_idx < max_chunks)
 
     state, chunks, ehist, _ = jax.lax.while_loop(
-        cond, chunk, (state0, 0, ehist0, jnp.bool_(False)))
+        cond, chunk, (state0, 0, ehist0, jnp.int32(0)))
     out_ref[...] = state[0]
     ehist_ref[...] = ehist
     steps_ref[...] = jnp.where((rid == 0) & (cid == 0),

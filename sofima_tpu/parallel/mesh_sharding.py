@@ -224,7 +224,7 @@ def relax_mesh_sharded(
     e_kin0 = jnp.full((max_chunks,), jnp.nan, jnp.float32)
 
     def chunk(carry):
-      state, chunk_idx, e_hist, _ = carry
+      state, chunk_idx, e_hist, streak = carry
       state = jax.lax.fori_loop(
           0, config.num_iters, lambda t, s: fire_step(s, prev_local), state)
       v = state[1]
@@ -232,19 +232,21 @@ def relax_mesh_sharded(
       e_hist = e_hist.at[chunk_idx].set(psum(jnp.sum(v_sq)))
       v_max = jnp.sqrt(jax.lax.pmax(jnp.max(v_sq), all_axes))
       cap = state[-1]
-      done = (v_max < config.stop_v_max) & (cap >= config.final_cap)
+      # Two consecutive converged boundaries (see mesh.relax_mesh_fused).
+      conv = (v_max < config.stop_v_max) & (cap >= config.final_cap)
+      streak = jnp.where(conv, streak + 1, 0)
       new_cap = jnp.where(
           (v_max < config.stop_v_max) & (cap < config.final_cap),
           jnp.minimum(cap * config.cap_scale, config.final_cap), cap)
       state = state[:-1] + (new_cap,)
-      return state, chunk_idx + 1, e_hist, done
+      return state, chunk_idx + 1, e_hist, streak
 
     def cond(carry):
-      _, chunk_idx, _, done = carry
-      return (~done) & (chunk_idx < max_chunks)
+      _, chunk_idx, _, streak = carry
+      return (streak < 2) & (chunk_idx < max_chunks)
 
     state, chunks, e_hist, _ = jax.lax.while_loop(
-        cond, chunk, (state0, 0, e_kin0, jnp.bool_(False)))
+        cond, chunk, (state0, 0, e_kin0, jnp.int32(0)))
     return state[0], e_hist, chunks * config.num_iters
 
   with device_mesh:

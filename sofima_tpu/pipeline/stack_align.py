@@ -128,6 +128,13 @@ class StackAlignConfig:
   # the quality. Measured (scratch/ablate_invert_iters.py, v5e): 12+2
   # runs the vmapped invert phase 1.8x faster than 32+4 at 0.002 px
   # max node delta and identical true inversion residual.
+  # ENVELOPE NOTE: 12/2 were tuned on smooth bench-like meshes. The
+  # fixed-point contraction degrades toward 1 near strong compressions
+  # (|grad d| -> 1), so dirtier-than-bench data pushes more nodes
+  # through the 2-step Newton rescue into harmonic fill; pipelines on
+  # such data should restore the library 32/8 values via config. The
+  # quality gate covering this is the bench ground-truth bound, not a
+  # unit test on extreme meshes.
   invert_fp_iters: int = 12
   # Solver protocol: start_cap = final_cap = 10 (no ramp; archival
   # em_2d ramps 0.01 -> 10 at 1.1x per converged chunk). The cap

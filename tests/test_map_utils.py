@@ -486,6 +486,80 @@ class TestInvertRobustness:
     # Mean fill error within a node spacing; document the envelope.
     assert err.mean() < stride / 2, err.mean()
 
+  def test_3d_strong_compression_recovered_by_newton(self):
+    # 3d twin of the strong-compression test: uniform 0.15x compression
+    # on every axis (det J = 0.003 — past the old 2d det gate, inside
+    # the dim-consistent 3d one). The damped fixed point contracts far
+    # too slowly; the 3d Newton phase (sampled 3x3 Jacobian, adjugate
+    # solve) must invert it — the reference's scattered inversion is
+    # dim-generic (/root/reference/map_utils.py:392-487), so must this
+    # rescue be.
+    g, stride = 16, 40
+    n1 = np.arange(g, dtype=np.float32) * stride
+    cm = np.zeros((3, g, g, g), np.float32)
+    cm[0] = np.broadcast_to(-0.85 * n1[None, None, :], (g, g, g))
+    cm[1] = np.broadcast_to(-0.85 * n1[None, :, None], (g, g, g))
+    cm[2] = np.broadcast_to(-0.85 * n1[:, None, None], (g, g, g))
+    box = BoundingBox(start=(0, 0, 0), size=(g, g, g))
+    inv = map_utils.invert_map(cm, box, box, stride)
+    # Interior queries (inside the compressed image) must satisfy the
+    # analytic inverse x = q / 0.15.
+    lim = 0.15 * (g - 1) * stride
+    sel = n1 < lim * 0.9
+    got_abs = inv[0][np.ix_(sel, sel, sel)] + n1[None, None, sel]
+    want = np.broadcast_to(n1[None, None, sel] / 0.15, got_abs.shape)
+    np.testing.assert_allclose(got_abs, want, atol=0.5)
+    # Queries beyond the image stay NaN (convex-hull semantics).
+    far = n1 > lim * 1.05
+    assert np.isnan(inv[0][np.ix_(far, far, far)]).all()
+    # Without Newton, the fixed point alone must NOT have converged
+    # (this is what makes the rescue a real capability, not a no-op).
+    absm = map_utils.to_absolute(cm, (stride,) * 3, box)
+    qz, qy, qx = np.mgrid[:g, :g, :g].astype(np.float32) * stride
+    query = jnp.asarray(np.stack([qx, qy, qz]))
+    z3 = jnp.zeros(3, jnp.float32)
+    s3 = jnp.full((3,), float(stride), jnp.float32)
+    no_newton = np.asarray(map_utils._invert_section(
+        jnp.asarray(absm), z3, query, s3, newton_iters=0))
+    assert np.isnan(no_newton[0][np.ix_(sel, sel, sel)]).mean() > 0.5
+
+  def test_3d_sinusoid_vs_scattered_oracle(self):
+    # Dim-generic parity: a stiff (but invertible) 3d sinusoidal map vs
+    # the reference's algorithm (scattered interpolation of swapped
+    # point sets, scipy griddata / 3d Qhull).
+    from scipy.interpolate import griddata
+    g, stride = 10, 40
+    n1 = np.arange(g, dtype=np.float64) * stride
+    zz, yy, xx = np.meshgrid(n1, n1, n1, indexing='ij')
+    cm = np.zeros((3, g, g, g), np.float32)
+    wob = 18.0  # |d(abs)/dx| down to ~0.3: stiff for the fixed point
+    cm[0] = wob * np.sin(2 * np.pi * xx / (4.0 * stride))
+    cm[2] = wob * np.cos(2 * np.pi * zz / (4.0 * stride))
+    box = BoundingBox(start=(0, 0, 0), size=(g, g, g))
+    inv = map_utils.invert_map(cm, box, box, stride)
+
+    tx = xx + cm[0]
+    ty = yy + cm[1]
+    tz = zz + cm[2]
+    pts = np.stack([tz.ravel(), ty.ravel(), tx.ravel()], -1)
+    q = np.stack([zz.ravel(), yy.ravel(), xx.ravel()], -1)
+    oracle = np.stack([
+        griddata(pts, xx.ravel(), q, method='linear').reshape(zz.shape)
+        - xx,
+        griddata(pts, yy.ravel(), q, method='linear').reshape(zz.shape)
+        - yy,
+        griddata(pts, zz.ravel(), q, method='linear').reshape(zz.shape)
+        - zz,
+    ])
+    both = np.isfinite(inv[0]) & np.isfinite(oracle[0])
+    assert both.mean() > 0.5  # the comparison covers real area
+    err = np.abs(inv[:, both] - oracle[:, both])
+    frac_close = (err.max(axis=0) < 2.0).mean()
+    assert frac_close > 0.9, (frac_close, float(err.max()))
+    cover_o = np.isfinite(oracle[0]).mean()
+    cover_d = np.isfinite(inv[0]).mean()
+    assert cover_d > 0.9 * cover_o, (cover_d, cover_o)
+
   def test_shift_sampler_matches_gather_invert(self):
     # The gather-free fixed-point sampler (shift_bound) must reproduce
     # the gather-based inversion bit-for-bit-ish, including NaN
