@@ -25,11 +25,21 @@ from sofima_tpu.ops.shift_warp import _LEFT, _TAPS, _kernel_weight
 
 
 def _weight_planes(d: jnp.ndarray, method: str):
-  """Per-axis transcendental planes for the factored Lanczos weights."""
+  """Per-axis transcendental planes for the factored Lanczos weights.
+
+  Range-reduced like shift_warp.make_weight_fn: f32 sin at argument
+  pi*d has absolute error ~|d|*pi*eps, which for large global
+  displacements swamps sin(pi*t) ~ pi*t near integer displacements and
+  blows up through the 1/(pi t)^2 factor (round-5 render_tiles bug).
+  """
   if method != 'lanczos':
     return None
-  return (jnp.sin(jnp.pi * d), jnp.sin(jnp.pi * d / 4.0),
-          jnp.cos(jnp.pi * d / 4.0))
+  k_int = jnp.round(d)
+  parity = 1.0 - 2.0 * jnp.mod(k_int, 2.0)
+  sin_pd = parity * jnp.sin(jnp.pi * (d - k_int))
+  d8 = d - 8.0 * jnp.round(d / 8.0)
+  return (sin_pd, jnp.sin(jnp.pi * d8 / 4.0),
+          jnp.cos(jnp.pi * d8 / 4.0))
 
 
 def _weight_at(d, planes, s: int, method: str):
@@ -264,8 +274,15 @@ def _warp_tiled_kernel(bases_ref, coords_ref, img_hbm, out_ref, window,
 
 
 def _weight_planes_scaled(d: jnp.ndarray):
-  """Quarter-angle planes for the SCALED Lanczos weights (see below)."""
-  return (jnp.sin(jnp.pi * d / 4.0), jnp.cos(jnp.pi * d / 4.0))
+  """Quarter-angle planes for the SCALED Lanczos weights (see below).
+
+  Range-reduced modulo the quarter-angle period (8) like
+  _weight_planes: callers pass small residuals today, but the f32
+  absolute error of sin(pi d / 4) grows with |d| and the reduction is
+  one mul-round-sub per pass.
+  """
+  d8 = d - 8.0 * jnp.round(d / 8.0)
+  return (jnp.sin(jnp.pi * d8 / 4.0), jnp.cos(jnp.pi * d8 / 4.0))
 
 
 def _weight_at_scaled(d, planes, s: int):

@@ -73,9 +73,24 @@ def make_weight_fn(d: jnp.ndarray, method: str):
   if method != 'lanczos':
     return lambda s: _kernel_weight(d - s, method)
 
-  sin_pd = jnp.sin(jnp.pi * d)
-  sin_pd4 = jnp.sin(jnp.pi * d / 4.0)
-  cos_pd4 = jnp.cos(jnp.pi * d / 4.0)
+  # Range-reduce d before the hoisted transcendentals. The identities
+  # are exact, but f32 sin at argument pi*d carries ABSOLUTE error
+  # ~|d|*pi*eps — for |d| ~ 100 (a large global displacement, e.g. a
+  # montage tile offset) that swamps the true sin(pi*t) ~ pi*t near
+  # integer displacements, and the 1/(pi t)^2 amplification turns the
+  # noise into weights of +-1e3..1e11 (found via render_tiles at
+  # displacement ~120, round 5). sin(pi d) = (-1)^round(d) sin(pi frac)
+  # and the quarter-period terms reduce modulo 8, keeping every argument
+  # in [-pi, pi] where f32 sin/cos are accurate. (The large-|d| regime
+  # is exactly where the untiled shift path runs; the tiled kernels only
+  # ever see small residuals.)
+  k_int = jnp.round(d)
+  frac = d - k_int
+  parity = 1.0 - 2.0 * jnp.mod(k_int, 2.0)
+  sin_pd = parity * jnp.sin(jnp.pi * frac)
+  d8 = d - 8.0 * jnp.round(d / 8.0)
+  sin_pd4 = jnp.sin(jnp.pi * d8 / 4.0)
+  cos_pd4 = jnp.cos(jnp.pi * d8 / 4.0)
 
   def weight(s) -> jnp.ndarray:
     # `s` may be a traced integer scalar (loop index): only SCALAR

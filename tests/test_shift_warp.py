@@ -92,6 +92,43 @@ class TestWarpSubvolumeShiftPath:
     np.testing.assert_array_equal(out[0, 0, 5:40, 5:40], expected)
 
 
+class TestLargeDisplacementWeights:
+
+  def test_lanczos_weights_accurate_at_large_displacement(self):
+    # Round-5 regression: the hoisted sin(pi d) plane computed at a
+    # LARGE displacement d ~ 120 carries |d|*pi*eps absolute f32 error,
+    # which swamps sin(pi t) ~ pi t near integer displacements and
+    # blows up through 1/(pi t)^2 — render_tiles produced +-1e11 pixel
+    # values for montage tiles offset by ~3 strides. The range-reduced
+    # weights must keep every output within the image's value envelope.
+    import jax.numpy as jnp
+    from sofima_tpu.ops import shift_warp
+    rng = np.random.RandomState(0)
+    img = jnp.asarray((rng.rand(256, 256) * 255).astype(np.float32))
+    oy, ox = 200, 200
+    for d_off in (-119.0000076, -120.0, 118.99999, 119.5):
+      yy = np.broadcast_to(
+          np.arange(oy, dtype=np.float32)[:, None], (oy, ox))
+      xx = np.broadcast_to(
+          np.arange(ox, dtype=np.float32)[None, :] + 160, (oy, ox))
+      coords = jnp.asarray(np.stack([yy, xx + d_off]))
+      out = np.asarray(shift_warp.shift_warp_2d(
+          img, coords, 'lanczos', -8, 8, -124, -112,
+          origin_y=0, origin_x=160))
+      # Lanczos overshoot is bounded (~1.2x value range); garbage
+      # weights produce values orders of magnitude outside it.
+      assert np.abs(out).max() < 400.0, (d_off, np.abs(out).max())
+      # And where the sample is interior, the warp is a clean resample:
+      # compare a block against the gather sampler.
+      from sofima_tpu.ops import interp
+      ref = np.asarray(interp.sample(img, coords[:, 64:128, 64:128],
+                                     method='lanczos', mode='constant',
+                                     cval=0.0))
+      # Residual f32 error of the reduced-argument identity weights vs
+      # the direct small-argument gather weights: ~0.03 gray levels.
+      np.testing.assert_allclose(out[64:128, 64:128], ref, atol=0.1)
+
+
 class TestStripOrigin:
 
   def test_strip_warp_matches_full(self):
