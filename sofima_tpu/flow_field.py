@@ -1132,7 +1132,7 @@ def coarse_to_fine_flow(
   warp's residual-lattice overflow (affected tiles resampled as zeros,
   so the fine peaks there measured corrupted data).
 
-  Warm start (`prior`, unmasked targeted path only): skip the coarse
+  Warm start (`prior`): skip the coarse
   pass entirely and target the fine windows from an externally supplied
   flow prior — e.g. the previous section pair's flow in a serial stack
   (temporal coherence; see pipeline.stack_align warm_start). `prior` is
@@ -1144,7 +1144,10 @@ def coarse_to_fine_flow(
   filtered and clipped exactly like a coarse-pass result; the fine
   pass re-measures peaks exactly, so a stale prior costs capture
   margin (peaks must stay within the fine surface / `peak_crop` core),
-  never accuracy.
+  never accuracy. On the masked path the prior drives the integer-shift
+  transport in place of the coarse field (same origin-<=-step
+  constraint as coarse-pass priors), so masked production streams skip
+  the coarse pass too.
   """
   from sofima_tpu.ops import interp as interp_ops
   from sofima_tpu.ops import pallas_warp
@@ -1171,9 +1174,6 @@ def coarse_to_fine_flow(
   h, w = pre_image.shape
 
   if prior is not None:
-    if pre_mask is not None or post_mask is not None:
-      raise NotImplementedError(
-          'warm-start prior is supported on the unmasked targeted path')
     cx, cy = prior[0], prior[1]
     csy, csx = prior_step if prior_step is not None else coarse_step
     if csy != csx:
@@ -1274,13 +1274,18 @@ def coarse_to_fine_flow(
     return maybe_overflow(total, overflow)
 
   # MASKED fallback: warp post toward pre (post_w(q) = post(q - f)) and
-  # run the plain fine pass on the resampled pair.
-  if csy < py // 2 or csx < px // 2:
+  # run the plain fine pass on the resampled pair. Warm-start priors
+  # ride the same transport: the prior field (robustified above) plays
+  # the coarse pass's role, so masked streams skip the coarse pass too.
+  if cy0 > csy or cx0 > csx:
     # The one-node extrapolation below covers a phase deficit of at most
-    # one coarse cell; smaller coarse steps would need a negative
-    # upsample phase that upsample_map_linear does not support.
-    raise ValueError('masked coarse_to_fine requires '
-                     'coarse_step >= patch_size // 2')
+    # one prior cell (origin <= step); anything earlier would need a
+    # negative upsample phase that upsample_map_linear does not support.
+    # For coarse-pass priors (origin = patch // 2) this is the round-3
+    # 'coarse_step >= patch_size // 2' constraint.
+    raise ValueError('masked coarse_to_fine requires the coarse/prior '
+                     'grid origin to be <= its step '
+                     f'(origin ({cy0}, {cx0}), step ({csy}, {csx}))')
   g = jnp.stack([-cy, -cx])  # (y, x) displacement at coarse nodes
 
   def prepend(v, axis):
@@ -1305,8 +1310,8 @@ def coarse_to_fine_flow(
   xx = jnp.arange(w, dtype=jnp.float32)[None, :]
   coords = jnp.stack([yy + dense_g[0], xx + dense_g[1]])[None]
 
-  node_y = cy0 + np.arange(coarse.shape[1], dtype=np.float64) * csy
-  node_x = cx0 + np.arange(coarse.shape[2], dtype=np.float64) * csx
+  node_y = cy0 + np.arange(cy.shape[0], dtype=np.float64) * csy
+  node_x = cx0 + np.arange(cx.shape[1], dtype=np.float64) * csx
   md = -(-max_displacement // 64) * 64
   env_r = (-residual, residual, -residual, residual)
   env_b = (-md, md, -md, md)

@@ -160,6 +160,29 @@ class StackAlignConfig:
           prefer_orig_order=True))
 
 
+def archival_em2d_config(**overrides) -> StackAlignConfig:
+  """StackAlignConfig preset matching the reference's ARCHIVAL EM-2D
+  solver protocol (/root/reference/processor/defaults/em_2d.py:137-167):
+  k0=0.01 (vs the headline's 0.1), force-cap escalation 0.01 -> 10 at
+  1.1x per converged chunk (vs no ramp), num_iters 1000 / max_iters 1e5.
+  The flow/clean/invert/render phases are the same TPU kernels as the
+  headline config — their integer peaks match the padfield oracle
+  exactly (bench peak-agreement gates), so the protocol delta is
+  confined to the solver. Use this when outputs must track the
+  reference's production fixed point; the headline config reaches a
+  deliberately stiffer fixed point ~2x faster (docs/PARITY.md
+  "Fused-vs-staged pipeline protocol"; delta quantified in
+  scratch/ablate_archival_r5.py output + PARITY.md round-5 note).
+  """
+  cfg = StackAlignConfig(
+      mesh=mesh.IntegrationConfig(
+          dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=(40.0, 40.0),
+          num_iters=1000, max_iters=100000, stop_v_max=0.005,
+          dt_max=100.0, start_cap=0.01, final_cap=10.0, cap_scale=1.1,
+          prefer_orig_order=True))
+  return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
 def _flow_phase(sec_prev, sec_cur, cfg: StackAlignConfig, grid_n: int,
                 prior=None):
   """FLOW + CLEAN for one section pair -> ([2, 1, G, G], overflow).
