@@ -1043,7 +1043,8 @@ def _link_tables_np(stride, k: float, half: bool = False):
 def _roll_force_3d_loop(xp: jnp.ndarray, k: float, stride,
                         prefer_orig_order: bool,
                         tables=None,
-                        symmetric: bool = False) -> jnp.ndarray:
+                        symmetric: bool = False,
+                        edge_guard: bool = False) -> jnp.ndarray:
   """26-neighbor force as a fori_loop over link directions.
 
   Functionally identical to `_roll_force_3d`, but the 26 link bodies
@@ -1063,19 +1064,33 @@ def _roll_force_3d_loop(xp: jnp.ndarray, k: float, stride,
   carries NaN guards on every axis, a nonzero f_e never sits where its
   reaction roll would wrap (both endpoints must be real, unwrapped
   nodes), so wrapped reaction reads are always zero.
+
+  `edge_guard=True` replaces the NaN guard ring with per-link iota
+  boundary masks: wrapped neighbor reads are zeroed where idx + e
+  leaves the array, and wrapped reaction reads where idx - e does. The
+  array then needs NO +1 ring — which matters because the ring forces
+  the x extent from a lane-aligned size to the next 128-multiple
+  (e.g. 256 -> 384 padded: ~2x wasted arithmetic for the bench mesh).
   """
   zn, yn, xn = xp.shape[1], xp.shape[2], xp.shape[3]
   if tables is None:
     tables = tuple(jnp.asarray(t)
                    for t in _link_tables_np(stride, k, half=symmetric))
   e_t, e_i, l0v_t, kl0_t = tables
+  if edge_guard:
+    sp = xp.shape[1:]
+    ioz = jax.lax.broadcasted_iota(jnp.int32, sp, 0)
+    ioy = jax.lax.broadcasted_iota(jnp.int32, sp, 1)
+    iox = jax.lax.broadcasted_iota(jnp.int32, sp, 2)
 
   def body(i, acc):
     ez, ey, ex = e_t[i, 2], e_t[i, 1], e_t[i, 0]
-    # Dynamic circular shifts; the NaN guard ring absorbs wraparound.
-    iz = jax.lax.rem(jnp.int32(zn) - e_i[i, 2], jnp.int32(zn))
-    iy = jax.lax.rem(jnp.int32(yn) - e_i[i, 1], jnp.int32(yn))
-    ix = jax.lax.rem(jnp.int32(xn) - e_i[i, 0], jnp.int32(xn))
+    ezi, eyi, exi = e_i[i, 2], e_i[i, 1], e_i[i, 0]
+    # Dynamic circular shifts; the NaN guard ring (or the edge-guard
+    # masks below) absorbs wraparound.
+    iz = jax.lax.rem(jnp.int32(zn) - ezi, jnp.int32(zn))
+    iy = jax.lax.rem(jnp.int32(yn) - eyi, jnp.int32(yn))
+    ix = jax.lax.rem(jnp.int32(xn) - exi, jnp.int32(xn))
     nbor = pltpu.roll(xp, iz, 1)
     nbor = pltpu.roll(nbor, iy, 2)
     nbor = pltpu.roll(nbor, ix, 3)
@@ -1085,6 +1100,11 @@ def _roll_force_3d_loop(xp: jnp.ndarray, k: float, stride,
     dd = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
     inv_l = jax.lax.rsqrt(jnp.maximum(dd, 1e-60))
     fin = jnp.isfinite(dd)  # one compare instead of 3x nan_to_num
+    if edge_guard:
+      inb = ((ioz + ezi >= 0) & (ioz + ezi < zn)
+             & (ioy + eyi >= 0) & (ioy + eyi < yn)
+             & (iox + exi >= 0) & (iox + exi < xn))
+      fin = fin & inb
     e = (ex, ey, ez)
     outs = []
     for c in range(3):
@@ -1097,12 +1117,17 @@ def _roll_force_3d_loop(xp: jnp.ndarray, k: float, stride,
     f_st = jnp.stack(outs)
     acc = acc + f_st
     if symmetric:
-      rz = jax.lax.rem(jnp.int32(zn) + e_i[i, 2], jnp.int32(zn))
-      ry = jax.lax.rem(jnp.int32(yn) + e_i[i, 1], jnp.int32(yn))
-      rx = jax.lax.rem(jnp.int32(xn) + e_i[i, 0], jnp.int32(xn))
+      rz = jax.lax.rem(jnp.int32(zn) + ezi, jnp.int32(zn))
+      ry = jax.lax.rem(jnp.int32(yn) + eyi, jnp.int32(yn))
+      rx = jax.lax.rem(jnp.int32(xn) + exi, jnp.int32(xn))
       r = pltpu.roll(f_st, rz, 1)
       r = pltpu.roll(r, ry, 2)
       r = pltpu.roll(r, rx, 3)
+      if edge_guard:
+        rin = ((ioz - ezi >= 0) & (ioz - ezi < zn)
+               & (ioy - eyi >= 0) & (ioy - eyi < yn)
+               & (iox - exi >= 0) & (iox - exi < xn))
+        r = jnp.where(rin[None], r, 0.0)
       acc = acc - r
     return acc
 
@@ -1111,11 +1136,13 @@ def _roll_force_3d_loop(xp: jnp.ndarray, k: float, stride,
 
 
 @functools.partial(jax.jit, static_argnames=['config', 'interpret',
-                                             'link_loop', 'symmetric'])
+                                             'link_loop', 'symmetric',
+                                             'guard'])
 def relax_mesh_fused_pallas_3d(x: jnp.ndarray, prev: jnp.ndarray | None,
                                config, interpret: bool = False,
                                link_loop: bool = False,
-                               symmetric: bool = False):
+                               symmetric: bool = False,
+                               guard: str = 'pad'):
   """VMEM-resident fused FIRE solver for 3d grids ([3, z, y, x]).
 
   The 3d multi-step-per-launch solver: every FIRE step's 26-neighbor
@@ -1127,26 +1154,49 @@ def relax_mesh_fused_pallas_3d(x: jnp.ndarray, prev: jnp.ndarray | None,
   relay's remote Mosaic compile in BENCH_r03 (hardware-bisected);
   `link_loop=True` swaps in the fori_loop force body with SMEM link
   tables (kept as an experiment knob).
+
+  `guard` selects the wraparound protection (round 5):
+    'pad'   NaN guard ring on every axis (original). The +1 ring pushes
+            a lane-aligned x extent to the NEXT 128-multiple — for the
+            LICONN bench mesh (8, 128, 256) the padded kernel computes
+            2.0x the real nodes.
+    'mask'  no ring; per-link iota boundary masks zero wrapped neighbor
+            and reaction reads inside the force loop (link_loop only).
+            Arrays are padded with NaN to (8, 128) alignment only when
+            needed.
   """
   if not config.fire:
     raise NotImplementedError('requires FIRE')
   if config.remove_drift:
     raise NotImplementedError('drift removal not supported in-kernel')
+  if guard not in ('pad', 'mask'):
+    raise ValueError(f'unknown guard {guard!r}')
+  if guard == 'mask' and not link_loop:
+    raise NotImplementedError("guard='mask' requires link_loop=True")
   assert x.ndim == 4 and x.shape[0] == 3
   nz, gy, gx = x.shape[1:]
   if nz * gy * gx * 4 * 4 * 3 > 24 * 1024 * 1024:
     raise ValueError('grid too large for the VMEM-resident solver')
 
   max_chunks = min(int(np.ceil(config.max_iters / config.num_iters)), 128)
-  # Pad the guard ring out to (8, 128)-aligned last-two dims: the
-  # 26-link force body compiles fine on aligned arrays but the
-  # unaligned [gy+2, gx+2] layout crashes this relay's remote Mosaic
-  # compile helper (bisected on hardware — trivial math on unaligned
-  # shapes is fine, the force math on unaligned shapes is not). Extra
-  # NaN nodes are inert to the stencil, so over-padding is free.
-  pad_y1 = (-(gy + 1)) % 8 or 8
-  pad_x1 = (-(gx + 1)) % 128 or 128
-  pad_cfg = ((0, 0), (1, 1), (1, pad_y1), (1, pad_x1))
+  if guard == 'mask':
+    # Alignment-only padding (may be empty): padded NaN nodes are inert
+    # to the stencil; wraparound is handled by the in-kernel masks.
+    pad_y1 = (-gy) % 8
+    pad_x1 = (-gx) % 128
+    pad_cfg = ((0, 0), (0, 0), (0, pad_y1), (0, pad_x1))
+    out_lo = (0, 0, 0)
+  else:
+    # Pad the guard ring out to (8, 128)-aligned last-two dims: the
+    # 26-link force body compiles fine on aligned arrays but the
+    # unaligned [gy+2, gx+2] layout crashes this relay's remote Mosaic
+    # compile helper (bisected on hardware — trivial math on unaligned
+    # shapes is fine, the force math on unaligned shapes is not). Extra
+    # NaN nodes are inert to the stencil, so over-padding is free.
+    pad_y1 = (-(gy + 1)) % 8 or 8
+    pad_x1 = (-(gx + 1)) % 128 or 128
+    pad_cfg = ((0, 0), (1, 1), (1, pad_y1), (1, pad_x1))
+    out_lo = (1, 1, 1)
   xp = jnp.pad(x.astype(jnp.float32), pad_cfg, constant_values=np.nan)
   has_prev = prev is not None
   inputs = [xp]
@@ -1182,7 +1232,8 @@ def relax_mesh_fused_pallas_3d(x: jnp.ndarray, prev: jnp.ndarray | None,
       s = stride if hasattr(stride, '__len__') else (stride,) * 3
       if link_loop:
         return _roll_force_3d_loop(xv, k, s, prefer_orig_order,
-                                   tables=tables, symmetric=symmetric)
+                                   tables=tables, symmetric=symmetric,
+                                   edge_guard=(guard == 'mask'))
       return _roll_force_3d(xv, k, s, prefer_orig_order)
 
     force, _, fire_step = mesh_lib._make_step_fns(config, force_fn, None)
@@ -1241,5 +1292,6 @@ def relax_mesh_fused_pallas_3d(x: jnp.ndarray, prev: jnp.ndarray | None,
           vmem_limit_bytes=100 * 1024 * 1024),
       interpret=interpret,
   )(*inputs)
-  x_out = out[:, 1:1 + nz, 1:1 + gy, 1:1 + gx]
+  x_out = out[:, out_lo[0]:out_lo[0] + nz, out_lo[1]:out_lo[1] + gy,
+              out_lo[2]:out_lo[2] + gx]
   return x_out, ehist[0, :max_chunks], steps[0, 0]

@@ -159,6 +159,32 @@ class TestFusedFireSolver:
         x0, prev, cfg, interpret=True, link_loop=True, symmetric=True)
     assert float(jnp.nanmax(jnp.abs(a - c))) < 1e-4
 
+  def test_3d_mask_guard_matches_pad_guard(self):
+    # Round-5: guard='mask' drops the NaN guard ring (which forces a
+    # lane-aligned x extent to the next 128-multiple — 2x wasted work
+    # on the bench mesh) in favor of per-link iota boundary masks. Must
+    # be numerically identical to the ring-guarded solve, including
+    # missing interior nodes and prefer_orig_order + symmetric.
+    rng = np.random.RandomState(7)
+    prev = rng.randn(3, 4, 12, 16).astype(np.float32) * 3
+    prev[:, 2, 5, 7] = np.nan
+    prev = jnp.asarray(prev)
+    x0 = jnp.where(jnp.isnan(prev), jnp.nan, jnp.zeros_like(prev))
+    for sym in (False, True):
+      for poo in (False, True):
+        cfg = mesh.IntegrationConfig(
+            dt=0.001, gamma=0.0, k0=0.1, k=0.1,
+            stride=(40.0, 30.0, 20.0), num_iters=50, max_iters=300,
+            stop_v_max=0.005, dt_max=100.0, prefer_orig_order=poo)
+        a, _, steps_a = pallas_mesh.relax_mesh_fused_pallas_3d(
+            x0, prev, cfg, interpret=True, link_loop=True, symmetric=sym)
+        b, _, steps_b = pallas_mesh.relax_mesh_fused_pallas_3d(
+            x0, prev, cfg, interpret=True, link_loop=True, symmetric=sym,
+            guard='mask')
+        assert int(steps_a) == int(steps_b), (sym, poo)
+        assert bool(jnp.all(jnp.isnan(a) == jnp.isnan(b))), (sym, poo)
+        assert float(jnp.nanmax(jnp.abs(a - b))) < 1e-4, (sym, poo)
+
   def test_roll_force_loop_symmetric_matches(self):
     # Direct force parity of the half-link (Newton's-third-law) loop
     # body vs the full 26-link loop on a NaN-guard-ringed array,
