@@ -80,17 +80,23 @@ def _sharded_force_2d(axis_name: str, base_force=None):
   return force
 
 
-def _sharded_force_2d_grid(axis_y: str, axis_x: str, base_force=None):
-  """2-D (y, x)-sharded in-plane force: sequential halo exchanges.
+def _sharded_force_2d_grid(axis_y: str, axis_x: str, base_force=None,
+                           dim: int = 2):
+  """2-D (y, x)-sharded stencil force: sequential halo exchanges.
 
   The x exchange runs on the already-y-padded block, so the corner
   nodes travel two hops (y neighbor then x neighbor) and the diagonal
   spring families see correct corner halos — the standard 2-D stencil
   decomposition. For pod-scale square meshes this halves the surface-
-  to-volume ratio of 1-D strips.
+  to-volume ratio of 1-D strips. Works for the in-plane force (dim=2)
+  and the volumetric 26-neighbor force (dim=3, z unsharded — LICONN
+  tile meshes are shallow in z): the 3d edge/corner links only ever
+  reach 1 node diagonally in (y, x), which the two-hop corner transport
+  covers for every z plane at once.
   """
   if base_force is None:
-    base_force = mesh_lib.inplane_force
+    base_force = (mesh_lib.inplane_force if dim == 2
+                  else mesh_lib.elastic_mesh_3d)
 
   def force(x_local, k, stride, prefer_orig_order=False):
     padded = _halo_pad(x_local, axis_y, -2)
@@ -157,8 +163,6 @@ def relax_mesh_sharded(
   if not config.fire:
     raise NotImplementedError('Sharded relaxation requires FIRE.')
   two_d = len(device_mesh.axis_names) == 2
-  if two_d and dim != 2:
-    raise NotImplementedError('2-D device meshes support dim=2 only')
   axis_y = device_mesh.axis_names[0] if two_d else axis_name
   axis_x = device_mesh.axis_names[1] if two_d else None
   n_dev = device_mesh.shape[axis_y]
@@ -178,7 +182,7 @@ def relax_mesh_sharded(
       prev = jnp.pad(prev, widths, constant_values=np.nan)
 
   if two_d:
-    force_fn = _sharded_force_2d_grid(axis_y, axis_x, base_force)
+    force_fn = _sharded_force_2d_grid(axis_y, axis_x, base_force, dim=dim)
     all_axes = (axis_y, axis_x)
   else:
     force_fn = (_sharded_force_2d(axis_y, base_force) if dim == 2

@@ -101,6 +101,27 @@ class TestShardedRelax:
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
 
   @requires_multi
+  def test_2d_device_mesh_matches_single_device_3d(self):
+    # Round-5: (y, x) 2-D device meshes for dim=3 LICONN-style volumes
+    # (z unsharded). The 26-neighbor edge/corner links cross tile
+    # corners diagonally in (y, x); the two-hop corner halo transport
+    # must carry them for every z plane. Indivisible extents (10x14
+    # over 2x4 devices) exercise the NaN auto-pad on both dims.
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.randn(3, 4, 10, 14).astype(np.float32))
+    prev = jnp.zeros_like(x)
+    cfg = _config(stride=(40, 40, 40))
+    ref, _, _ = mesh.relax_mesh_fused(
+        x, prev, cfg, mesh_force=mesh.elastic_mesh_3d)
+    dmesh = mesh_sharding.make_mesh_2d(2, 4)
+    out, e_hist, _ = mesh_sharding.relax_mesh_sharded(x, prev, cfg,
+                                                      dmesh, dim=3)
+    assert out.shape == x.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-3)
+    assert np.isfinite(np.asarray(e_hist)[0])
+
+  @requires_multi
   def test_halo_force_equivalence(self):
     # Sharded force field == single-device force field, exactly.
     rng = np.random.RandomState(2)
