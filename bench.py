@@ -33,12 +33,18 @@ import time
 import numpy as np
 
 
-def _time(fn, repeats=1):
-  """Warmup + best-of-N wall time for a device computation.
+def _time(fn, repeats=3):
+  """Warmup + median-of-N wall time for a device computation.
 
   Timing includes fetching a scalar checksum of the output — on the axon
   relay, block_until_ready can return before remote execution completes,
   so a scalar d2h fetch is the only reliable completion barrier.
+
+  Median-of-N (default 3) everywhere as of round 5: single-shot timings
+  on this relay showed 4-5x run-to-run swings on two stages in round 4
+  (estimate_missing_flow, flow3d_padfield — BENCH_r03 vs r04), the same
+  contention ambiguity that hit the pipeline stage in round 3. Returns
+  (out, median_seconds, spread_seconds).
   """
   import jax
   import jax.numpy as jnp
@@ -49,13 +55,14 @@ def _time(fn, repeats=1):
 
   out = fn()
   checksum(out)
-  best = float('inf')
+  times = []
   for _ in range(repeats):
     t0 = time.perf_counter()
     out = fn()
     checksum(out)
-    best = min(best, time.perf_counter() - t0)
-  return out, best
+    times.append(time.perf_counter() - t0)
+  times.sort()
+  return out, times[len(times) // 2], times[-1] - times[0]
 
 
 def _guard(results, name, fn):
@@ -102,9 +109,10 @@ def main():
     return flow_field.dense_flow_field(pre, post, (patch, patch),
                                        (stride, stride), batch_size=512)
 
-  flow, t_flow_padfield = _time(run_flow_padfield)
+  flow, t_flow_padfield, sp_flow_padfield = _time(run_flow_padfield)
   grid = flow.shape[1:]
   results['flow_s_padfield'] = round(t_flow_padfield, 3)
+  results['flow_s_padfield_spread_s'] = round(sp_flow_padfield, 3)
 
   # Production dense-grid mode: strip-sliced patches + fused Pallas
   # DFT-matmul correlation; bf16 matmul inputs gated on f32 parity.
@@ -114,8 +122,8 @@ def main():
                                        circular=True, dft_matmul=True,
                                        bf16=bf16)
 
-  flow_f32, t_flow_f32 = _time(lambda: run_flow(False))
-  flow_b16, t_flow_b16 = _time(lambda: run_flow(True))
+  flow_f32, t_flow_f32, _sp = _time(lambda: run_flow(False))
+  flow_b16, t_flow_b16, _sp = _time(lambda: run_flow(True))
   # Integer-peak parity gate (device-side reduction, scalar fetch).
   agree = float(jnp.mean(
       jnp.nan_to_num(flow_f32[0]) == jnp.nan_to_num(flow_b16[0])))
@@ -150,8 +158,8 @@ def main():
 
   # bf16 image-term split in the masked NCC kernel (mask/overlap chain
   # stays f32), gated on integer-peak agreement with the full-f32 run.
-  flow_m32, t_flow_m32 = _time(lambda: run_flow_masked(False))
-  flow_m16, t_flow_m16 = _time(lambda: run_flow_masked(True))
+  flow_m32, t_flow_m32, _sp = _time(lambda: run_flow_masked(False))
+  flow_m16, t_flow_m16, _sp = _time(lambda: run_flow_masked(True))
   agree_m = float(jnp.mean(
       jnp.nan_to_num(flow_m32[0], nan=9e9)
       == jnp.nan_to_num(flow_m16[0], nan=9e9)))
@@ -229,7 +237,7 @@ def main():
           images, coords, 'lanczos', bounds, origin=(i * h, 0)))
     return outs
 
-  warped, t_warp = _time(run_warp)
+  warped, t_warp, _sp = _time(run_warp)
   # Validation: an independent sampler (gather path) on a small block.
   vy, vx = h + 256, 1024
   dense_v = interp.upsample_map_linear(abs_map_j, stride, (vy, vx),
@@ -245,8 +253,13 @@ def main():
   results['warp_s'] = round(t_warp, 3)
   results['warp_vs_gather_err'] = round(err, 4)
 
+  # Conservative composition: dense-grid flow + exact render, timed as
+  # separate dispatches (the round-1..4 "combined" metric; kept for
+  # regression tracking). The HEADLINE combined metric is the fused
+  # production chain measured below (combined_mpix_s) — see BASELINE.md
+  # "Metric decision".
   mpix_s = (n * n) / (t_flow + t_warp) / 1e6
-  results['combined_mpix_s'] = round(mpix_s, 1)
+  results['combined_dense_mpix_s'] = round(mpix_s, 1)
 
   # Separable two-pass render (round 4): same plan, O(rx + ry) weight
   # evals per pixel instead of O(ry * rx); approximate for dx varying
@@ -262,15 +275,75 @@ def main():
           *plan['residual_bounds'], *plan['base_bounds'], *plan['tile'],
           two_pass=True)
 
-    warped_2p, t_warp_2p = _time(run_warp_2p)
+    warped_2p, t_warp_2p, _sp = _time(run_warp_2p)
     inter_w = np.s_[64:-64, 64:-64]
     d2p = jnp.abs(warped_2p[0][inter_w] - warped[0][inter_w])
     results['warp_two_pass_s'] = round(t_warp_2p, 3)
     results['warp_two_pass_mean_diff'] = round(float(jnp.mean(d2p)), 4)
     results['warp_two_pass_max_diff'] = round(float(jnp.max(d2p)), 3)
-    results['combined_two_pass_mpix_s'] = round(
+    results['combined_dense_two_pass_mpix_s'] = round(
         (n * n) / (t_flow + t_warp_2p) / 1e6, 1)
     del warped_2p, d2p
+
+  # ---- COMBINED (headline): fused single-pair flow+warp chain. -----------
+  # The production shape of "combined flow+warp on one 10k^2 pair": ONE
+  # jit program runs coarse-to-fine flow -> clean -> harmonic fill ->
+  # device tiled plan -> separable two-pass Lanczos render — i.e. the
+  # EstimateFlow -> WarpByMap chain with the flow-negation inverse-map
+  # approximation in place of a mesh solve (2nd-order exact for smooth
+  # fields; the pipeline stage below covers the exact solver+inversion
+  # path). The pair is (pre, warped): `warped` is post resampled under
+  # the smooth 12 px sinusoidal field, so the TRUE pre->warped flow is
+  # that sinusoid — the chain must measure it and render `warped` back
+  # onto `pre`, which gives a hard ground-truth quality gate.
+  def stage_combined_fused():
+    from sofima_tpu import flow_utils
+    from sofima_tpu.ops import fill as fill_ops
+    warped_img = (warped[0] if use_tiled else
+                  jnp.concatenate([w[0, 0] for w in warped], axis=0))
+    res_c = 8
+    node_np = np.arange(grid_n, dtype=np.float64) * stride
+    pad = patch // 2 // stride
+
+    @jax.jit
+    def combined(a, b):
+      f4, ov1 = flow_field.coarse_to_fine_flow(
+          a, b, (patch, patch), (stride, stride), bf16=True,
+          max_displacement=64, residual=res_c, peak_crop=32,
+          return_overflow=True)
+      clean = flow_utils.clean_flow_device(f4[:, None], 1.6, 1.6, 80.0,
+                                           20.0)
+      gfull = jnp.full((2, 1, grid_n, grid_n), jnp.nan, jnp.float32)
+      gfull = jax.lax.dynamic_update_slice(gfull, clean, (0, 0, pad, pad))
+      valid = jnp.isfinite(gfull[0, 0]) & jnp.isfinite(gfull[1, 0])
+      grel = fill_ops.fill_invalid(gfull[:, 0], valid, extrapolate=True)
+      inv_y = -grel[1]
+      inv_x = -grel[0]
+      env_r = (-res_c, res_c, -res_c, res_c)
+      env_b = (-64, 64, -64, 64)
+      dplan = shift_warp.tiled_plan_device(
+          inv_y[None], inv_x[None], node_np, node_np, (n, n), env_r,
+          env_b)
+      node = jnp.arange(grid_n, dtype=jnp.float32) * stride
+      dense = interp.upsample_map_linear(
+          jnp.stack([inv_y + node[:, None], inv_x + node[None, :]]),
+          stride, (0, 0), (n, n))
+      rendered = pallas_warp.pallas_shift_warp_tiled(
+          b[None], dense[None], dplan['bases'], 'lanczos',
+          *env_r, *env_b, *dplan['tile'], two_pass=True)[0]
+      return rendered, ov1 | dplan['overflow']
+
+    (rend_c, ovf_c), t_cf, sp_cf = _time(
+        lambda: combined(pre, warped_img))
+    inter_c = np.s_[256:-256, 256:-256]
+    err_c = float(jnp.mean(jnp.abs(rend_c[inter_c] - pre[inter_c])))
+    results['combined_s'] = round(t_cf, 3)
+    results['combined_spread_s'] = round(sp_cf, 3)
+    results['combined_mpix_s'] = round((n * n) / t_cf / 1e6, 1)
+    results['combined_err'] = round(err_c, 3)
+    results['combined_overflow'] = bool(ovf_c)
+
+  _guard(results, 'combined', stage_combined_fused)
 
   # ---- 3D RENDER: shift-decomposed trilinear warp (StitchAndRender path).
   vol = jax.device_put(rng.rand(64, 1024, 1024).astype(np.float32))
@@ -289,7 +362,7 @@ def main():
     return pallas_warp.pallas_shift_warp_3d(vol, coords3, 'linear',
                                             -4, 4, -8, 8, -8, 8)
 
-  _, t_w3 = _time(run_warp3d)
+  _, t_w3, _sp = _time(run_warp3d)
   results['warp3d_s'] = round(t_w3, 3)
   results['warp3d_mvox_s'] = round(64 * 1024 * 1024 / t_w3 / 1e6, 1)
 
@@ -308,16 +381,24 @@ def main():
       return flow_field.dense_flow_field(vol3a, vol3b, patch3, step3,
                                          circular=True)
 
-    f3, t_f3 = _time(run_flow3d)
+    f3, t_f3, _sp = _time(run_flow3d)
     results['flow3d_s'] = round(t_f3, 3)
     results['flow3d_grid'] = list(int(v) for v in f3.shape[1:])
     mfc3 = flow_field.JAXMaskedXCorrWithStatsCalculator()
-    t0 = time.perf_counter()
-    f3_ref = mfc3.flow_field(np.asarray(vol3a), np.asarray(vol3b),
-                             patch_size=patch3, step=step3,
-                             batch_size=32)
-    t_f3_ref = time.perf_counter() - t0
-    results['flow3d_padfield_s'] = round(t_f3_ref, 3)
+    # Median of 3 with spread: 3.198 s (r3) vs 15.848 s (r4) on single
+    # shots — the host-batched driver d2h-syncs per batch, the shape
+    # most exposed to relay contention (VERDICT r4 item 4).
+    vol3a_np, vol3b_np = np.asarray(vol3a), np.asarray(vol3b)
+    t3_ref_all = []
+    for _ in range(3):
+      t0 = time.perf_counter()
+      f3_ref = mfc3.flow_field(vol3a_np, vol3b_np, patch_size=patch3,
+                               step=step3, batch_size=32)
+      t3_ref_all.append(time.perf_counter() - t0)
+    t3_ref_all.sort()
+    results['flow3d_padfield_s'] = round(t3_ref_all[1], 3)
+    results['flow3d_padfield_spread_s'] = round(
+        t3_ref_all[-1] - t3_ref_all[0], 3)
     agree3 = float(np.mean(
         np.nan_to_num(np.asarray(f3)[:3], nan=9e9)
         == np.nan_to_num(f3_ref[:3], nan=9e9)))
@@ -335,7 +416,7 @@ def main():
                                          circular=True, pre_mask=mask3,
                                          post_mask=mask3)
 
-    f3m, t_f3m = _time(run_flow3d_masked)
+    f3m, t_f3m, _sp = _time(run_flow3d_masked)
     results['flow3d_masked_s'] = round(t_f3m, 3)
     results['flow3d_masked_valid_frac'] = round(
         float(jnp.mean(jnp.isfinite(f3m[0]))), 3)
@@ -569,14 +650,232 @@ def main():
   sv = Subvolume(flow_in.copy(), BoundingBox(start=(0, 0, 2),
                                              size=(g, g, 1)))
   proc.process(sv)  # warmup (compiles)
-  t0 = time.perf_counter()
-  out_missing = proc.process(Subvolume(flow_in.copy(),
-                                       BoundingBox(start=(0, 0, 2),
-                                                   size=(g, g, 1))))
-  t_missing = time.perf_counter() - t0
-  results['estimate_missing_flow_s'] = round(t_missing, 3)
+  # Median of 3 with spread: this host-orchestrated stage timed 0.342 s
+  # in r3 and 1.298 s in r4 on single shots — relay contention, exactly
+  # the ambiguity median-of-N resolves (VERDICT r4 item 4).
+  t_missing_all = []
+  for _ in range(3):
+    t0 = time.perf_counter()
+    out_missing = proc.process(Subvolume(flow_in.copy(),
+                                         BoundingBox(start=(0, 0, 2),
+                                                     size=(g, g, 1))))
+    t_missing_all.append(time.perf_counter() - t0)
+  t_missing_all.sort()
+  results['estimate_missing_flow_s'] = round(t_missing_all[1], 3)
+  results['estimate_missing_flow_spread_s'] = round(
+      t_missing_all[-1] - t_missing_all[0], 3)
   results['estimate_missing_filled'] = int(
       np.isfinite(out_missing.data[0]).sum())
+
+  # ---- MONTAGE 2D (BASELINE scenario 2): 3x3 tile grid, end-to-end. ------
+  # The flagship 2d montage workflow (SURVEY §3.4 / em_stitching):
+  # coarse whole-overlap offsets -> tile-level placement solve -> fine
+  # overlap flow -> joint elastic solve -> render_tiles. Host-
+  # orchestrated by design (like the reference's notebook chain);
+  # median-of-3 of the COMPLETE chain, gated on montage-vs-source error.
+  def stage_montage2d():
+    import functools as _ft
+    from sofima_tpu import stitch_elastic, stitch_rigid
+    grid_t, tile_t, overlap_t = 3, 3600, 400
+    step_t = tile_t - overlap_t
+    n_m = step_t * (grid_t - 1) + tile_t  # 10000
+    img_m = pre_np[:n_m, :n_m]
+    tiles = {}
+    for ty in range(grid_t):
+      for tx in range(grid_t):
+        tiles[(tx, ty)] = img_m[ty * step_t:ty * step_t + tile_t,
+                                tx * step_t:tx * step_t + tile_t]
+    stride_t = (40, 40)
+    cfg_m = mesh.IntegrationConfig(
+        dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=stride_t,
+        num_iters=1000, max_iters=20000, stop_v_max=0.005, dt_max=100.0)
+
+    def run_montage():
+      ov = (360, 440)
+      cx, cy = stitch_rigid.compute_coarse_offsets(
+          (grid_t, grid_t), tiles, overlaps_xy=(ov, ov), min_overlap=200)
+      cx = stitch_rigid.interpolate_missing_offsets(cx, axis=-1)
+      cy = stitch_rigid.interpolate_missing_offsets(cy, axis=-2)
+      coarse = stitch_rigid.optimize_coarse_mesh(cx, cy)
+      fine_x, off_x = stitch_elastic.compute_flow_map(
+          tiles, cx[:, 0], axis=0, patch_size=(160, 160),
+          stride=stride_t, batch_size=256)
+      fine_y, off_y = stitch_elastic.compute_flow_map(
+          tiles, cy[:, 0], axis=1, patch_size=(160, 160),
+          stride=stride_t, batch_size=256)
+      coords_k = list(tiles.keys())
+      fx_a, fy_a, x0, nbors, key_to_idx = stitch_elastic.aggregate_arrays(
+          (cx[:, 0], fine_x, off_x), (cy[:, 0], fine_y, off_y), coords_k,
+          coarse[:, 0], stride_t, tile_shape=(tile_t, tile_t))
+      nbors_j, fx_j, fy_j = (jnp.asarray(nbors), jnp.asarray(fx_a),
+                             jnp.asarray(fy_a))
+
+      def prev_fn(x):
+        tgt = jax.vmap(_ft.partial(
+            stitch_elastic.compute_target_mesh, x=x, fx=fx_j, fy=fy_j,
+            stride=stride_t))(nbors_j)
+        return jnp.moveaxis(tgt, 0, 1)
+
+      solved, _, _ = mesh.relax_mesh(jnp.asarray(x0), None, cfg_m,
+                                     prev_fn=prev_fn)
+      solved = np.asarray(solved)
+      maps = {k: solved[:, i:i + 1] for k, i in key_to_idx.items()}
+      canvas, mask_r = warp.render_tiles(tiles, maps, stride=stride_t,
+                                         margin=16)
+      return canvas, mask_r, solved, key_to_idx
+
+    run_montage()  # warmup: compiles every per-pair shape
+    tms = []
+    for _ in range(3):
+      t0 = time.perf_counter()
+      canvas, mask_r, solved, key_to_idx = run_montage()
+      tms.append(time.perf_counter() - t0)
+    tms.sort()
+    t_m = tms[1]
+    # Compare modulo the solver's global-translation gauge.
+    sx = int(round(solved[0, key_to_idx[(0, 0)], 0, 0]))
+    sy = int(round(solved[1, key_to_idx[(0, 0)], 0, 0]))
+    lo, hi = tile_t // 4, n_m - tile_t // 4
+    c = canvas[lo + sy:hi + sy, lo + sx:hi + sx].astype(np.float32)
+    m_ = mask_r[lo + sy:hi + sy, lo + sx:hi + sx]
+    t_truth = img_m[lo:hi, lo:hi].astype(np.float32)
+    results['montage2d_s'] = round(t_m, 3)
+    results['montage2d_spread_s'] = round(tms[-1] - tms[0], 3)
+    results['montage2d_mpix_s'] = round(n_m * n_m / t_m / 1e6, 1)
+    results['montage2d_err'] = round(float(np.abs(c - t_truth)[m_].mean()),
+                                     3)
+    results['montage2d_coverage'] = round(float(m_.mean()), 4)
+
+  _guard(results, 'montage2d', stage_montage2d)
+
+  # ---- STITCH 3D (BASELINE scenario 4): 2x2 LICONN tile grid. ------------
+  # Volumetric tile stitching end-to-end: fine 3d overlap flow (circular
+  # strip kernel) -> joint 3d elastic solve (26-neighbor stencil) ->
+  # distance-weighted blended render (StitchAndRender3dTiles). Median-of
+  # -3 of the complete chain, gated on montage-vs-source relative error.
+  def stage_stitch3d():
+    import functools as _ft
+    import os
+    import tempfile
+    from sofima_tpu import stitch_elastic
+    from sofima_tpu.processor import warp as warp_proc
+    from sofima_tpu.utils import checkpoint as ckpt
+    from sofima_tpu.utils.bounding_box import BoundingBox as BBox3
+    from sofima_tpu.utils.subvolume import Subvolume as Subvol3
+
+    zdim, tile_yx, overlap3 = 64, 576, 64
+    step3t = tile_yx - overlap3  # 512
+    n3 = step3t + tile_yx  # 1088
+    # Band-limited 3d texture (separable-ish filtering via FFT).
+    rng3 = np.random.RandomState(9)
+    noise3 = rng3.rand(zdim, n3, n3).astype(np.float32)
+    f3d = np.fft.rfftn(noise3)
+    fz = np.fft.fftfreq(zdim)[:, None, None]
+    fy3 = np.fft.fftfreq(n3)[None, :, None]
+    fx3 = np.fft.rfftfreq(n3)[None, None, :]
+    f3d *= np.exp(-((fx3**2 + fy3**2 + fz**2) / (2 * 0.12**2)))
+    vol3 = np.fft.irfftn(f3d, s=(zdim, n3, n3)).astype(np.float32)
+    vol3 = (vol3 - vol3.min()) / np.ptp(vol3) * 255.0
+    del noise3, f3d
+
+    class _Tile:
+      def __init__(self, data_zyx):
+        self.data = np.ascontiguousarray(data_zyx)[np.newaxis]
+        self.shape = data_zyx.shape
+
+      def __getitem__(self, sel):
+        return self.data[sel]
+
+    tile_map = {}
+    for ty in range(2):
+      for tx in range(2):
+        tile_map[(tx, ty)] = _Tile(
+            vol3[:, ty * step3t:ty * step3t + tile_yx,
+                 tx * step3t:tx * step3t + tile_yx])
+    stride3 = (16, 16, 16)
+    patch3s = (32, 32, 32)
+    cfg_s3 = mesh.IntegrationConfig(
+        dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=stride3,
+        num_iters=400, max_iters=10000, stop_v_max=0.005, dt_max=100.0)
+    out_box = BBox3(start=(16, 16, 8), size=(n3 - 32, n3 - 32, zdim - 16))
+
+    def run_stitch3d(mesh_dir):
+      # Coarse offsets (xyz channels): x-pairs overlap by `overlap3` in
+      # x, y-pairs in y; unused pair slots stay NaN.
+      cx3 = np.full((3, 1, 2, 2), np.nan)
+      cx3[0, 0, :, 0] = -overlap3
+      cx3[1, 0, :, 0] = 0.0
+      cx3[2, 0, :, 0] = 0.0
+      cy3 = np.full((3, 1, 2, 2), np.nan)
+      cy3[0, 0, 0, :] = 0.0
+      cy3[1, 0, 0, :] = -overlap3
+      cy3[2, 0, 0, :] = 0.0
+      flows_x, off_x = stitch_elastic.compute_flow_map3d(
+          tile_map, tile_shape=(tile_yx, tile_yx, zdim), offset_map=cx3,
+          axis=0, patch_size=patch3s, stride=stride3, batch_size=64)
+      flows_y, off_y = stitch_elastic.compute_flow_map3d(
+          tile_map, tile_shape=(tile_yx, tile_yx, zdim), offset_map=cy3,
+          axis=1, patch_size=patch3s, stride=stride3, batch_size=64)
+      coarse3 = np.zeros((3, 1, 2, 2), np.float32)
+      for ty in range(2):
+        for tx in range(2):
+          coarse3[0, 0, ty, tx] = -overlap3 * tx
+          coarse3[1, 0, ty, tx] = -overlap3 * ty
+      fx_a, fy_a, x0, nbors, key_to_idx = stitch_elastic.aggregate_arrays(
+          (cx3[:, 0], flows_x, off_x), (cy3[:, 0], flows_y, off_y),
+          list(tile_map.keys()), coarse3[:, 0], stride3,
+          tile_shape=(zdim, tile_yx, tile_yx))
+      fx_j, fy_j = jnp.asarray(fx_a), jnp.asarray(fy_a)
+      nbors_j = jnp.asarray(nbors)
+
+      def prev_fn(x):
+        tgt = jax.vmap(_ft.partial(
+            stitch_elastic.compute_target_mesh, x=x, fx=fx_j, fy=fy_j,
+            stride=stride3))(nbors_j)
+        return jnp.moveaxis(tgt, 0, 1)
+
+      solved, _, _ = mesh.relax_mesh(jnp.asarray(x0), None, cfg_s3,
+                                     prev_fn=prev_fn,
+                                     mesh_force=mesh.elastic_mesh_3d)
+      mesh_path = os.path.join(mesh_dir, 'meshes.npz')
+      ckpt.save_mesh_npz(mesh_path, np.asarray(solved), key_to_idx)
+
+      class _Render(warp_proc.StitchAndRender3dTiles):
+        def _open_tile_volume(self, tile_id):
+          return tile_map[((tile_id % 2), (tile_id // 2))].data[0]
+
+      # Reset the class-level caches: each timed run must pay the real
+      # per-run work (mesh inversion included).
+      warp_proc.StitchAndRender3dTiles._tile_meshes = None
+      warp_proc.StitchAndRender3dTiles._tile_boxes = {}
+      warp_proc.StitchAndRender3dTiles._inverted_meshes = {}
+      proc3 = _Render(tile_map=[[0, 1], [2, 3]], tile_mesh_path=mesh_path,
+                      stride=stride3, margin=8,
+                      work_size=(512, 512, 32))
+      sv3 = Subvol3(np.zeros((1,) + tuple(out_box.size[::-1]), np.float32),
+                    out_box)
+      return proc3.process(sv3).data[0]
+
+    with tempfile.TemporaryDirectory() as tmp3:
+      run_stitch3d(tmp3)  # warmup (compiles)
+      t3s = []
+      for _ in range(3):
+        t0 = time.perf_counter()
+        rendered3 = run_stitch3d(tmp3)
+        t3s.append(time.perf_counter() - t0)
+    t3s.sort()
+    t_s3 = t3s[1]
+    mask3r = rendered3 > 0
+    truth3 = vol3[8:8 + (zdim - 16), 16:16 + (n3 - 32), 16:16 + (n3 - 32)]
+    rel3 = float(np.abs(rendered3 - truth3)[mask3r].mean() / truth3.std())
+    n_out_vox = int(np.prod(out_box.size))
+    results['stitch3d_s'] = round(t_s3, 3)
+    results['stitch3d_spread_s'] = round(t3s[-1] - t3s[0], 3)
+    results['stitch3d_mvox_s'] = round(n_out_vox / t_s3 / 1e6, 1)
+    results['stitch3d_rel_err'] = round(rel3, 4)
+    results['stitch3d_coverage'] = round(float(mask3r.mean()), 4)
+
+  _guard(results, 'stitch3d', stage_stitch3d)
 
   # ---- MESH: relaxation throughput (GLUPS), 2048^2 grid. -----------------
   cfg = mesh.IntegrationConfig(
@@ -593,7 +892,7 @@ def main():
     return mesh.velocity_verlet(xm, vm, prev, cfg, force_cap=1e6,
                                 mesh_force=pallas_force)
 
-  _, t_mesh = _time(run_mesh, repeats=2)
+  _, t_mesh, _sp = _time(run_mesh)
   glups = cfg.num_iters * 2048 * 2048 / t_mesh / 1e9
   results['mesh_glups'] = round(glups, 2)
   results['mesh_vs_gpu_baseline'] = round(glups / 2.3, 2)
@@ -601,7 +900,7 @@ def main():
   def run_mesh_xla():
     return mesh.velocity_verlet(xm, vm, prev, cfg, force_cap=1e6)
 
-  _, t_mesh_xla = _time(run_mesh_xla)
+  _, t_mesh_xla, _sp = _time(run_mesh_xla)
   results['mesh_glups_xla_stencil'] = round(
       cfg.num_iters * 2048 * 2048 / t_mesh_xla / 1e9, 2)
 
@@ -615,7 +914,7 @@ def main():
     return mesh.velocity_verlet(xm, vm, prev, cfg_po, force_cap=1e6,
                                 mesh_force=pallas_force)
 
-  _, t_mesh_po = _time(run_mesh_po)
+  _, t_mesh_po, _sp = _time(run_mesh_po)
   results['mesh_glups_prefer_orig_order'] = round(
       cfg.num_iters * 2048 * 2048 / t_mesh_po / 1e9, 2)
 
@@ -636,7 +935,7 @@ def main():
       return mesh.velocity_verlet(x3, v3, prev3, cfg3, force_cap=1e6,
                                   mesh_force=mesh.elastic_mesh_3d)
 
-    _, t_mesh3x = _time(run_mesh3d_xla, repeats=2)
+    _, t_mesh3x, _sp = _time(run_mesh3d_xla)
     results['mesh3d_glups_xla'] = round(
         cfg3.num_iters * n_nodes3 / t_mesh3x / 1e9, 2)
 
@@ -658,7 +957,7 @@ def main():
       return mesh.velocity_verlet(x3, v3, prev3, cfg3, force_cap=1e6,
                                   mesh_force=pallas_force3)
 
-    _, t_mesh3 = _time(run_mesh3d, repeats=2)
+    _, t_mesh3, _sp = _time(run_mesh3d)
     results['mesh3d_glups'] = round(
         cfg3.num_iters * n_nodes3 / t_mesh3 / 1e9, 2)
 
@@ -683,18 +982,33 @@ def main():
       # the reaction-roll accumulation pushes the unrolled body over
       # the helper's unroll x area blowup threshold). The rsqrt force
       # chain lifts this further: 0.87 GLUPS
-      # (scratch/probe_mesh_rsqrt.py).
+      # (scratch/probe_mesh_rsqrt.py). guard='mask' (round 5) drops the
+      # NaN guard ring whose +1 pad forced this mesh's x extent from
+      # 256 to 384 (2x wasted nodes): per-link iota bounds masks
+      # instead, bit-exact vs the ring, 0.89 -> 1.64 GLUPS
+      # (scratch/probe_mesh3d_maskguard.py).
       return pallas_mesh.relax_mesh_fused_pallas_3d(
-          x3f, prev3f, cfg3f, link_loop=True, symmetric=True)[0]
+          x3f, prev3f, cfg3f, link_loop=True, symmetric=True,
+          guard='mask')[0]
 
-    _, t_m3f = _time(run_mesh3d_fused, repeats=2)
+    _, t_m3f, _sp = _time(run_mesh3d_fused)
     results['mesh3d_fused_glups'] = round(
         cfg3f.max_iters * 8 * 128 * 256 / t_m3f / 1e9, 2)
 
   _guard(results, 'mesh3d_fused', stage_mesh3d_fused)
 
+  # Informational-by-design flags, documented in the JSON itself so the
+  # record explains its own caveats (VERDICT r4 weak item 3).
+  results['pipeline_tight_note'] = (
+      'residual=4 envelope-relaxed variant: faster at identical interior '
+      'error but a few border tiles exceed the static envelope and '
+      'render as zeros (overflow=true expected); informational only, '
+      'never the headline')
+
   # ---- HARD QUALITY GATES: a regression exits nonzero (the numbers ----
-  # above are still printed first so the record survives).
+  # above are still printed first so the record survives). New-stage
+  # metrics default to FAILING values: a stage that errors out fails its
+  # gates rather than silently disappearing from the record.
   gates = {
       'pipeline_max_err <= 3.5':
           results.get('pipeline_max_err', 99.0) <= 3.5,
@@ -702,6 +1016,8 @@ def main():
           not results.get('pipeline_overflow', True),
       'flow_bf16_peak_agreement >= 0.999':
           results.get('flow_bf16_peak_agreement', 0.0) >= 0.999,
+      'flow_masked_bf16_peak_agreement >= 0.999':
+          results.get('flow_masked_bf16_peak_agreement', 0.0) >= 0.999,
       'flow3d_peak_agreement >= 0.999':
           results.get('flow3d_peak_agreement', 1.0) >= 0.999,
       'warp_vs_gather_err <= 1.0':
@@ -710,17 +1026,39 @@ def main():
           results.get('flow_masked_valid_frac', 0.0) >= 0.5,
       'warp_two_pass_mean_diff <= 0.05':
           results.get('warp_two_pass_mean_diff', 0.0) <= 0.05,
+      # Localized two-pass artifacts: the mean gate cannot see a small
+      # region going wrong; bound the worst interior pixel too (2.85
+      # measured in r4; 4.0 leaves noise margin but catches a kernel
+      # regression).
+      'warp_two_pass_max_diff <= 4.0':
+          results.get('warp_two_pass_max_diff', 99.0) <= 4.0,
+      # Fused single-pair combined chain: ground-truth render error and
+      # static-envelope integrity.
+      'combined_err <= 4.0':
+          results.get('combined_err', 99.0) <= 4.0,
+      'combined_overflow == False':
+          not results.get('combined_overflow', True),
+      # BASELINE scenario 2 (2d montage) and 4 (LICONN stitching).
+      'montage2d_err <= 10.0':
+          results.get('montage2d_err', 99.0) <= 10.0,
+      'montage2d_coverage >= 0.95':
+          results.get('montage2d_coverage', 0.0) >= 0.95,
+      'stitch3d_rel_err <= 0.5':
+          results.get('stitch3d_rel_err', 99.0) <= 0.5,
+      'stitch3d_coverage >= 0.5':
+          results.get('stitch3d_coverage', 0.0) >= 0.5,
   }
   failed = sorted(name for name, ok in gates.items() if not ok)
   results['gates_failed'] = failed
 
+  combined_headline = results.get('combined_mpix_s', mpix_s)
   out = {
       'metric': ('end-to-end pipeline Mpix/s/chip '
                  '(16x 10k^2 stack: flow+clean+solve+invert+render)'),
       'value': results['pipeline_mpix_s'],
       'unit': 'Mpix/s',
       'vs_baseline': round(results['pipeline_mpix_s'] / 1000.0, 3),
-      'combined_vs_baseline': round(mpix_s / 1000.0, 3),
+      'combined_vs_baseline': round(combined_headline / 1000.0, 3),
       **results,
   }
   print(json.dumps(out))
