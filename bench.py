@@ -65,13 +65,28 @@ def _time(fn, repeats=3):
   return out, times[len(times) // 2], times[-1] - times[0]
 
 
+_T0 = time.perf_counter()
+
+
+def _progress(msg):
+  """Per-stage heartbeat on stderr (stdout carries ONLY the JSON line).
+
+  The round-5 stage additions pushed a cold full run past an hour of
+  wall clock (mostly first-call remote compiles); the heartbeat makes a
+  long run diagnosable and attributes the time per stage."""
+  print(f'[bench +{time.perf_counter() - _T0:7.1f}s] {msg}',
+        file=sys.stderr, flush=True)
+
+
 def _guard(results, name, fn):
   """Stage isolation: one failing stage must not erase the whole run's
   numbers (the JSON line is printed once at the end)."""
+  _progress(f'stage {name} ...')
   try:
     fn()
   except Exception as e:  # noqa: BLE001 - record and continue
     results[name + '_error'] = f'{type(e).__name__}: {e}'[:300]
+    _progress(f'stage {name} FAILED: {results[name + "_error"]}')
 
 
 def main():
@@ -105,6 +120,7 @@ def main():
   results = {}
 
   # ---- FLOW: dense grid over the full 10k^2 pair (device resident). ------
+  _progress('stage flow ...')
   def run_flow_padfield():
     return flow_field.dense_flow_field(pre, post, (patch, patch),
                                        (stride, stride), batch_size=512)
@@ -176,6 +192,7 @@ def main():
       float(jnp.mean(jnp.isfinite(flow_m[0]))), 3)
 
   # ---- WARP: Lanczos4 render of the full section under a SMOOTH map. -----
+  _progress('stage warp ...')
   # Inverse map: the +(7,-12) roll undone, plus a smooth sinusoidal
   # deformation with 12 px amplitude (a realistic alignment field).
   grid_n = n // stride
@@ -346,6 +363,7 @@ def main():
   _guard(results, 'combined', stage_combined_fused)
 
   # ---- 3D RENDER: shift-decomposed trilinear warp (StitchAndRender path).
+  _progress('stage warp3d ...')
   vol = jax.device_put(rng.rand(64, 1024, 1024).astype(np.float32))
   zz, yy, xx = np.mgrid[0:64, 0:1024, 0:1024].astype(np.float32)
   c3 = np.stack([
@@ -424,6 +442,7 @@ def main():
   _guard(results, 'flow3d', stage_flow3d)
 
   # ---- PIPELINE: streamed z-stack alignment. -----------------------------
+  _progress('stage pipeline ...')
   # The production metric: 16 sections of 10k^2 streamed through the
   # FUSED per-section chain (coarse-to-fine flow -> clean -> mesh solve
   # -> invert -> Lanczos render; pipeline.stack_align.align_step, one
@@ -626,6 +645,7 @@ def main():
   _guard(results, 'pipeline_tight', stage_pipeline_tight)
 
   # ---- ESTIMATE MISSING FLOW: host-orchestrated retry stage. -------------
+  _progress('stage estimate_missing_flow ...')
   # Small scale: the stage is host-loop + relay-latency bound in this dev
   # harness (production runs on a TPU-adjacent host); tracked for
   # regressions only.
@@ -878,6 +898,7 @@ def main():
   _guard(results, 'stitch3d', stage_stitch3d)
 
   # ---- MESH: relaxation throughput (GLUPS), 2048^2 grid. -----------------
+  _progress('stage mesh ...')
   cfg = mesh.IntegrationConfig(
       dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=(40.0, 40.0),
       num_iters=1000, max_iters=1000, stop_v_max=0.0, dt_max=100.0)
