@@ -690,12 +690,17 @@ def main():
   # ---- MONTAGE 2D (BASELINE scenario 2): 3x3 tile grid, end-to-end. ------
   # The flagship 2d montage workflow (SURVEY §3.4 / em_stitching):
   # coarse whole-overlap offsets -> tile-level placement solve -> fine
-  # overlap flow -> joint elastic solve -> render_tiles. Host-
-  # orchestrated by design (like the reference's notebook chain);
-  # median-of-3 of the COMPLETE chain, gated on montage-vs-source error.
+  # overlap flow -> joint elastic solve -> render. Device-resident
+  # chain (pipeline.montage): tiles live in HBM (device_put outside the
+  # timed loop, like the pipeline stage's stack), the canvas never
+  # leaves the device, and the only per-run d2h is stats/meshes. The
+  # host-orchestrated chain (stitch_rigid/warp.render_tiles) is
+  # correctness-covered in tests; on a relay-attached TPU its per-probe
+  # transfers dominate (measured 225 s/run warm — scratch/
+  # probe_scenarios_r5.py — vs the device chain below).
+  # Median-of-3 of the COMPLETE chain, gated on montage-vs-source error.
   def stage_montage2d():
-    import functools as _ft
-    from sofima_tpu import stitch_elastic, stitch_rigid
+    from sofima_tpu.pipeline import montage
     grid_t, tile_t, overlap_t = 3, 3600, 400
     step_t = tile_t - overlap_t
     n_m = step_t * (grid_t - 1) + tile_t  # 10000
@@ -703,55 +708,35 @@ def main():
     tiles = {}
     for ty in range(grid_t):
       for tx in range(grid_t):
-        tiles[(tx, ty)] = img_m[ty * step_t:ty * step_t + tile_t,
-                                tx * step_t:tx * step_t + tile_t]
-    stride_t = (40, 40)
-    cfg_m = mesh.IntegrationConfig(
-        dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=stride_t,
-        num_iters=1000, max_iters=20000, stop_v_max=0.005, dt_max=100.0)
+        tiles[(tx, ty)] = jax.device_put(
+            img_m[ty * step_t:ty * step_t + tile_t,
+                  tx * step_t:tx * step_t + tile_t])
+    cfg_mont = montage.MontageConfig(
+        stride=40, patch_size=160, coarse_overlaps=(360, 440),
+        min_overlap=200, margin=16, flow_batch=256,
+        mesh_cfg=mesh.IntegrationConfig(
+            dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=(40.0, 40.0),
+            num_iters=1000, max_iters=20000, stop_v_max=0.005,
+            dt_max=100.0))
 
     def run_montage():
-      ov = (360, 440)
-      cx, cy = stitch_rigid.compute_coarse_offsets(
-          (grid_t, grid_t), tiles, overlaps_xy=(ov, ov), min_overlap=200)
-      cx = stitch_rigid.interpolate_missing_offsets(cx, axis=-1)
-      cy = stitch_rigid.interpolate_missing_offsets(cy, axis=-2)
-      coarse = stitch_rigid.optimize_coarse_mesh(cx, cy)
-      fine_x, off_x = stitch_elastic.compute_flow_map(
-          tiles, cx[:, 0], axis=0, patch_size=(160, 160),
-          stride=stride_t, batch_size=256)
-      fine_y, off_y = stitch_elastic.compute_flow_map(
-          tiles, cy[:, 0], axis=1, patch_size=(160, 160),
-          stride=stride_t, batch_size=256)
-      coords_k = list(tiles.keys())
-      fx_a, fy_a, x0, nbors, key_to_idx = stitch_elastic.aggregate_arrays(
-          (cx[:, 0], fine_x, off_x), (cy[:, 0], fine_y, off_y), coords_k,
-          coarse[:, 0], stride_t, tile_shape=(tile_t, tile_t))
-      nbors_j, fx_j, fy_j = (jnp.asarray(nbors), jnp.asarray(fx_a),
-                             jnp.asarray(fy_a))
+      out = montage.montage_align_2d(tiles, (grid_t, grid_t), cfg_mont)
+      # Barrier: reduced scalar fetch (block_until_ready returns before
+      # remote execution completes on this relay — ROADMAP).
+      out['checksum'] = float(jnp.sum(out['canvas']))
+      return out
 
-      def prev_fn(x):
-        tgt = jax.vmap(_ft.partial(
-            stitch_elastic.compute_target_mesh, x=x, fx=fx_j, fy=fy_j,
-            stride=stride_t))(nbors_j)
-        return jnp.moveaxis(tgt, 0, 1)
-
-      solved, _, _ = mesh.relax_mesh(jnp.asarray(x0), None, cfg_m,
-                                     prev_fn=prev_fn)
-      solved = np.asarray(solved)
-      maps = {k: solved[:, i:i + 1] for k, i in key_to_idx.items()}
-      canvas, mask_r = warp.render_tiles(tiles, maps, stride=stride_t,
-                                         margin=16)
-      return canvas, mask_r, solved, key_to_idx
-
-    run_montage()  # warmup: compiles every per-pair shape
-    tms = []
+    run_montage()  # warmup (compiles)
+    tms, out = [], None
     for _ in range(3):
       t0 = time.perf_counter()
-      canvas, mask_r, solved, key_to_idx = run_montage()
+      out = run_montage()
       tms.append(time.perf_counter() - t0)
     tms.sort()
     t_m = tms[1]
+    canvas = np.asarray(out['canvas'])
+    mask_r = np.asarray(out['mask'])
+    solved, key_to_idx = out['solved'], out['key_to_idx']
     # Compare modulo the solver's global-translation gauge.
     sx = int(round(solved[0, key_to_idx[(0, 0)], 0, 0]))
     sy = int(round(solved[1, key_to_idx[(0, 0)], 0, 0]))
@@ -765,6 +750,7 @@ def main():
     results['montage2d_err'] = round(float(np.abs(c - t_truth)[m_].mean()),
                                      3)
     results['montage2d_coverage'] = round(float(m_.mean()), 4)
+    results['montage2d_overflow'] = bool(out['overflow'])
 
   _guard(results, 'montage2d', stage_montage2d)
 

@@ -1,0 +1,141 @@
+"""Hardware probe of the device-resident montage chain (bench geometry):
+per-phase wall clock + end-to-end error, warm and cold.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+  import jax
+  try:
+    jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+  except Exception:
+    pass
+  import jax.numpy as jnp
+  from sofima_tpu import mesh
+  from sofima_tpu.pipeline import montage
+
+  results = {}
+  t_all = time.perf_counter()
+
+  def tick(label, t0):
+    dt = time.perf_counter() - t0
+    results[label] = round(dt, 2)
+    print(f'[probe +{time.perf_counter() - t_all:7.1f}s] {label}: '
+          f'{dt:.2f}s', flush=True)
+    with open('/tmp/probe_montage_device.json', 'w') as fh:
+      json.dump(results, fh, indent=1)
+    return time.perf_counter()
+
+  n = 10000
+  rng = np.random.RandomState(0)
+  noise = rng.rand(n, n).astype(np.float32)
+  f = np.fft.rfft2(noise)
+  fy = np.fft.fftfreq(n)[:, None]
+  fx = np.fft.rfftfreq(n)[None, :]
+  f *= np.exp(-((fx**2 + fy**2) / (2 * 0.08**2)))
+  img = np.fft.irfft2(f, s=(n, n)).astype(np.float32)
+  img = (img - img.min()) / np.ptp(img) * 255.0
+  del noise, f
+
+  grid_t, tile_t, overlap_t = 3, 3600, 400
+  step_t = tile_t - overlap_t
+  n_m = step_t * (grid_t - 1) + tile_t
+  img_m = img[:n_m, :n_m]
+  tiles = {}
+  for ty in range(grid_t):
+    for tx in range(grid_t):
+      tiles[(tx, ty)] = jax.device_put(
+          img_m[ty * step_t:ty * step_t + tile_t,
+                tx * step_t:tx * step_t + tile_t])
+  t0 = tick('device_put_tiles_s', t_all)
+
+  cfg = montage.MontageConfig(
+      stride=40, patch_size=160, coarse_overlaps=(360, 440),
+      min_overlap=200, margin=16, flow_batch=256,
+      mesh_cfg=mesh.IntegrationConfig(
+          dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=(40.0, 40.0),
+          num_iters=1000, max_iters=20000, stop_v_max=0.005,
+          dt_max=100.0))
+
+  # Phase-by-phase, cold.
+  from sofima_tpu import stitch_elastic, stitch_rigid
+  import functools
+  ov = tuple(cfg.coarse_overlaps)
+  cx, cy = stitch_rigid.compute_coarse_offsets_batched(
+      (grid_t, grid_t), tiles, overlaps_xy=(ov, ov), min_range=cfg.min_range,
+      min_overlap=cfg.min_overlap, filter_size=cfg.filter_size)
+  t0 = tick('coarse_cold_s', t0)
+  cx = stitch_rigid.interpolate_missing_offsets(cx, axis=-1)
+  cy = stitch_rigid.interpolate_missing_offsets(cy, axis=-2)
+  coarse = stitch_rigid.optimize_coarse_mesh(cx, cy)
+  t0 = tick('place_cold_s', t0)
+  fine_x, off_x = stitch_elastic.compute_flow_map(
+      tiles, cx[:, 0], axis=0, patch_size=(160, 160), stride=(40, 40),
+      batch_size=256, flow_mode=cfg.flow_mode)
+  fine_y, off_y = stitch_elastic.compute_flow_map(
+      tiles, cy[:, 0], axis=1, patch_size=(160, 160), stride=(40, 40),
+      batch_size=256, flow_mode=cfg.flow_mode)
+  t0 = tick('fine_cold_s', t0)
+  fx_a, fy_a, x0, nbors, key_to_idx = stitch_elastic.aggregate_arrays(
+      (cx[:, 0], fine_x, off_x), (cy[:, 0], fine_y, off_y),
+      list(tiles.keys()), coarse[:, 0], (40, 40),
+      tile_shape=(tile_t, tile_t))
+  nbors_j, fx_j, fy_j = (jnp.asarray(nbors), jnp.asarray(fx_a),
+                         jnp.asarray(fy_a))
+
+  def prev_fn(x):
+    tgt = jax.vmap(functools.partial(
+        stitch_elastic.compute_target_mesh, x=x, fx=fx_j, fy=fy_j,
+        stride=(40, 40)))(nbors_j)
+    return jnp.moveaxis(tgt, 0, 1)
+
+  solved, _, steps = mesh.relax_mesh(jnp.asarray(x0), None, cfg.mesh_cfg,
+                                     prev_fn=prev_fn)
+  solved = np.asarray(solved)
+  results['solve_steps'] = int(steps)
+  t0 = tick('solve_cold_s', t0)
+  maps = {k: solved[:, i:i + 1] for k, i in key_to_idx.items()}
+  canvas, cmask, ovf = montage.render_tiles_device(
+      tiles, maps, stride=40, margin=16, cfg=cfg)
+  results['render_checksum'] = float(jnp.sum(canvas))
+  results['render_overflow'] = bool(ovf)
+  t0 = tick('render_cold_s', t0)
+
+  # Full chain, warm, x3.
+  tms = []
+  out = None
+  for _ in range(3):
+    t1 = time.perf_counter()
+    out = montage.montage_align_2d(tiles, (grid_t, grid_t), cfg)
+    cksum = float(jnp.sum(out['canvas']))
+    tms.append(time.perf_counter() - t1)
+    t0 = tick(f'full_warm_{len(tms)}_s', t0)
+  tms.sort()
+  results['full_warm_median_s'] = round(tms[1], 3)
+  results['mpix_s'] = round(n_m * n_m / tms[1] / 1e6, 1)
+
+  canvas = np.asarray(out['canvas'])
+  mask_r = np.asarray(out['mask'])
+  solved, key_to_idx = out['solved'], out['key_to_idx']
+  sx = int(round(solved[0, key_to_idx[(0, 0)], 0, 0]))
+  sy = int(round(solved[1, key_to_idx[(0, 0)], 0, 0]))
+  lo, hi = tile_t // 4, n_m - tile_t // 4
+  c = canvas[lo + sy:hi + sy, lo + sx:hi + sx].astype(np.float32)
+  m_ = mask_r[lo + sy:hi + sy, lo + sx:hi + sx]
+  t_truth = img_m[lo:hi, lo:hi].astype(np.float32)
+  results['err'] = round(float(np.abs(c - t_truth)[m_].mean()), 3)
+  results['coverage'] = round(float(m_.mean()), 4)
+  results['overflow'] = bool(out['overflow'])
+
+  with open('/tmp/probe_montage_device.json', 'w') as fh:
+    json.dump(results, fh, indent=1)
+  print(json.dumps(results), flush=True)
+
+
+if __name__ == '__main__':
+  main()

@@ -69,6 +69,7 @@ def masked_xcorr(
     curr_mask: Array | None = None,
     use_jax: bool = True,
     dim: int = 2,
+    per_item: bool = False,
 ) -> Array:
   """Normalized cross-correlation between two (optionally masked) images.
 
@@ -76,6 +77,14 @@ def masked_xcorr(
   Masks mark INVALID pixels (True = ignore). Where masks are present the
   output is the masked normalized cross-correlation in [-1, 1]; regions
   whose valid-pixel overlap is below 30% of the maximum overlap are zeroed.
+
+  `per_item=True` evaluates the overlap/denominator thresholds per batch
+  item instead of over the whole batch. The default (False) matches the
+  reference semantics (/root/reference/flow_field.py:36-156), where a
+  batch of patches shares one global threshold; per-item mode makes a
+  batched call bit-equivalent to a sequence of batch-of-1 calls, which
+  is what the batched coarse-offset path needs (each tile pair must see
+  exactly the thresholds it would see alone).
 
   Capability parity with /root/reference/flow_field.py:36-156; written as
   a single jnp program so it fuses under jit on TPU.
@@ -139,12 +148,14 @@ def masked_xcorr(
   denom = denom[out_slice]
   overlap = overlap[out_slice]
 
-  tol = 1e3 * eps * jnp.max(jnp.abs(denom), keepdims=True)
+  max_axes = tuple(range(-dim, 0)) if per_item else None
+  tol = 1e3 * eps * jnp.max(jnp.abs(denom), axis=max_axes, keepdims=True)
   result = jnp.where(denom > tol, numerator / jnp.where(denom > tol, denom, 1.0),
                      0.0)
   result = jnp.clip(result, -1.0, 1.0)
-  result = jnp.where(overlap < 0.3 * jnp.max(overlap, keepdims=True), 0.0,
-                     result)
+  result = jnp.where(
+      overlap < 0.3 * jnp.max(overlap, axis=max_axes, keepdims=True), 0.0,
+      result)
   return result if use_jax else np.asarray(result)
 
 

@@ -68,12 +68,21 @@ def compute_flow_map(
     patch_size: Vector = (120, 120),
     stride: Vector = (20, 20),
     batch_size: int = 256,
+    flow_mode: str = 'padfield',
 ) -> tuple[TileFlow, TileOffset]:
   """Fine flow between adjacent 2d tiles along `axis` (0: x, 1: y).
 
   For each valid tile pair, crops stride-aligned overlap strips (shifted
   by the rounded orthogonal offset) from both tiles and estimates patch
   flow between them.
+
+  `flow_mode` selects the correlation backend (see
+  `flow_field.JAXMaskedXCorrWithStatsCalculator.flow_field`): the
+  default 'padfield' is the reference-parity host-batched path; the
+  'circular*' modes run each overlap in ONE device dispatch — with
+  device-resident tiles (jnp values in `tile_map`) the strips never
+  cross the host link (the 2d montage TPU fast path, mirroring
+  `compute_flow_map3d`'s flow_mode contract).
 
   Returns ({(x, y): flow padded to the tile mesh grid},
            {(x, y): xy offset used for the crop}).
@@ -117,7 +126,7 @@ def compute_flow_map(
 
       f = mfc.flow_field(pre[tuple(pre_sel)], post[tuple(post_sel)],
                          patch_size=patch_size, step=stride,
-                         batch_size=batch_size)
+                         batch_size=batch_size, mode=flow_mode)
       flows[(x, y)] = np.pad(
           f, [[0, 0], [pad_y, pad_y - 1], [pad_x, pad_x - 1]],
           constant_values=np.nan)

@@ -17,7 +17,7 @@ masks are computed with on-device moving max/min windows.
 from __future__ import annotations
 
 import functools
-from typing import Mapping
+from typing import Any, Mapping
 
 import jax
 import jax.numpy as jnp
@@ -76,15 +76,19 @@ def _overlap_crops(pre: np.ndarray, post: np.ndarray, overlap: int,
   return pre[-overlap:, :], post[:overlap, :]
 
 
-def _find_offset(pre: np.ndarray, post: np.ndarray, overlaps, min_range,
-                 min_overlap: int, max_ortho_shift: int, axis: int,
-                 filter_size: int, masks=None):
-  """Searches overlap widths/range limits for a reliable offset estimate.
+def _select_offset(get_estimate, overlaps, min_range, min_overlap: int,
+                   max_ortho_shift: int, axis: int):
+  """Preference logic over precomputable (range_limit, overlap) estimates.
 
   Preference order (per range limit): a unique-peak estimate terminates
   the search immediately; otherwise two consecutive overlap estimates
   within 20 px of each other; otherwise the valid estimate with the best
   peak ratio. Returns (inf, inf) if nothing valid was found.
+
+  `get_estimate(range_limit, overlap) -> ([x_off, y_off], |peak ratio|)`
+  supplies the raw estimates (sequential host xcorr or a batched device
+  precompute); the `overlap` subtraction along `axis` happens here so
+  both suppliers share identical semantics.
   """
 
   def valid(off):
@@ -96,16 +100,8 @@ def _find_offset(pre: np.ndarray, post: np.ndarray, overlaps, min_range,
     estimates = []
     best_pr, best_idx = 0.0, -1
     for overlap in overlaps:
-      ov_masks = None
-      if masks is not None:
-        ma, mb = _overlap_crops(masks[0], masks[1], overlap, axis)
-        # Drop overlap masking if it would blank the whole strip.
-        ma = np.zeros_like(ma) if ma.all() else ma
-        mb = np.zeros_like(mb) if mb.all() else mb
-        ov_masks = (ma, mb)
-
-      a, b = _overlap_crops(pre, post, overlap, axis)
-      offset, pr = _estimate_offset(a, b, range_limit, filter_size, ov_masks)
+      offset, pr = get_estimate(range_limit, overlap)
+      offset = list(offset)
       offset[axis] -= overlap
 
       if pr == 0.0:  # single unambiguous peak
@@ -130,6 +126,156 @@ def _find_offset(pre: np.ndarray, post: np.ndarray, overlaps, min_range,
   if result is None or abs(result[axis]) < min_overlap:
     return [np.inf, np.inf]
   return result
+
+
+def _find_offset(pre: np.ndarray, post: np.ndarray, overlaps, min_range,
+                 min_overlap: int, max_ortho_shift: int, axis: int,
+                 filter_size: int, masks=None):
+  """Searches overlap widths/range limits for a reliable offset estimate.
+
+  Sequential host driver: one device xcorr per (range_limit, overlap)
+  probe, early-exiting per `_select_offset`'s preference order.
+  """
+
+  def get_estimate(range_limit, overlap):
+    ov_masks = None
+    if masks is not None:
+      ma, mb = _overlap_crops(masks[0], masks[1], overlap, axis)
+      # Drop overlap masking if it would blank the whole strip.
+      ma = np.zeros_like(ma) if ma.all() else ma
+      mb = np.zeros_like(mb) if mb.all() else mb
+      ov_masks = (ma, mb)
+
+    a, b = _overlap_crops(pre, post, overlap, axis)
+    return _estimate_offset(a, b, range_limit, filter_size, ov_masks)
+
+  return _select_offset(get_estimate, overlaps, min_range, min_overlap,
+                        max_ortho_shift, axis)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=['range_limits', 'filter_size',
+                                    'max_masked'])
+def _strip_peaks_batched(pre_strips: jnp.ndarray, post_strips: jnp.ndarray,
+                         range_limits: tuple[float, ...], filter_size: int,
+                         max_masked: float = 0.75) -> jnp.ndarray:
+  """Full-strip masked-xcorr peak stats for a batch of tile-pair strips.
+
+  The device twin of `_estimate_offset` over all pairs at once: for each
+  dynamic-range limit, build the flat-region masks, deselect strips whose
+  mask occupancy reaches `max_masked` (the flow-field driver's patch
+  deselection), then run ONE batched masked NCC + peak extraction.
+
+  Args:
+    pre_strips/post_strips: [b, sy, sx] facing overlap strips
+    range_limits: dynamic-range thresholds to evaluate (static)
+    filter_size: moving max-min window
+    max_masked: occupancy deselection threshold
+
+  Returns:
+    [len(range_limits), b, 4] rows (x, y, sharpness, peak ratio), NaN
+    rows for deselected strips — exactly what a sequence of batch-of-1
+    `_estimate_offset` calls produces (per_item thresholds).
+  """
+  window = (1, filter_size, filter_size)
+  strides = (1, 1, 1)
+
+  def local_range(img):
+    hi = jax.lax.reduce_window(img, -jnp.inf, jax.lax.max, window, strides,
+                               'SAME')
+    lo = jax.lax.reduce_window(img, jnp.inf, jax.lax.min, window, strides,
+                               'SAME')
+    return hi - lo
+
+  pre_f = pre_strips.astype(jnp.float32)
+  post_f = post_strips.astype(jnp.float32)
+  range_pre = local_range(pre_f)
+  range_post = local_range(post_f)
+  center = tuple(np.asarray(pre_strips.shape[-2:]) - 1)
+
+  def one_limit(limit):
+    pre_mask = range_pre < limit
+    post_mask = range_post < limit
+    occ_pre = jnp.mean(pre_mask.astype(jnp.float32), axis=(-2, -1))
+    occ_post = jnp.mean(post_mask.astype(jnp.float32), axis=(-2, -1))
+    deselect = (occ_pre >= max_masked) | (occ_post >= max_masked)
+
+    def masked_mean(img, mask):
+      s = jnp.sum(jnp.where(mask, 0.0, img), axis=(-2, -1), keepdims=True)
+      n = jnp.sum(jnp.where(mask, 0.0, 1.0), axis=(-2, -1), keepdims=True)
+      return s / jnp.maximum(n, 1.0)
+
+    xc = flow_field.masked_xcorr(
+        pre_f - masked_mean(pre_f, pre_mask),
+        post_f - masked_mean(post_f, post_mask),
+        pre_mask, post_mask, use_jax=True, dim=2, per_item=True)
+    rows = flow_field._batched_peaks(xc, center, min_distance=2,
+                                     threshold_rel=0.5, peak_radius=5)
+    return jnp.where(deselect[:, None], jnp.nan, rows)
+
+  return jax.lax.map(one_limit,
+                     jnp.asarray(range_limits, jnp.float32))
+
+
+def compute_coarse_offsets_batched(
+    yx_shape: tuple[int, int],
+    tile_map: Mapping[TileXY, Any],
+    overlaps_xy=((200, 300), (200, 300)),
+    min_range=(10, 100, 0),
+    min_overlap: int = 160,
+    filter_size: int = 10,
+) -> tuple[np.ndarray, np.ndarray]:
+  """Device-batched twin of `compute_coarse_offsets`.
+
+  Per axis and overlap width, the facing strips of EVERY adjacent tile
+  pair are stacked and cross-correlated in one device program per
+  (overlap, all range limits) — 4 dispatches total for the default
+  search grid instead of one host round trip per probe. Tile values may
+  be device arrays (jnp), in which case strip slicing happens on device
+  and no tile pixels cross the host link at all; the only d2h traffic is
+  a [limits, pairs, 4] stats array per dispatch. The preference logic is
+  the shared `_select_offset`, so the returned offsets match the
+  sequential path (same estimates, same tie-breaks; external masks are
+  not supported here — use `compute_coarse_offsets`).
+  """
+  conns = []
+  for axis in range(2):
+    conn = np.full((2, 1, yx_shape[0], yx_shape[1]), np.nan)
+    dx, dy = (1, 0) if axis == 0 else (0, 1)
+    pairs = [((x, y), (x + dx, y + dy))
+             for y in range(yx_shape[0] - dy)
+             for x in range(yx_shape[1] - dx)
+             if (x, y) in tile_map and (x + dx, y + dy) in tile_map]
+    if not pairs:
+      conns.append(conn)
+      continue
+
+    peaks = {}  # overlap -> [n_limits, n_pairs, 4] host array
+    for overlap in overlaps_xy[axis]:
+      pre_strips = jnp.stack(
+          [_overlap_crops(tile_map[a], tile_map[b], overlap, axis)[0]
+           for a, b in pairs])
+      post_strips = jnp.stack(
+          [_overlap_crops(tile_map[a], tile_map[b], overlap, axis)[1]
+           for a, b in pairs])
+      peaks[overlap] = np.asarray(
+          _strip_peaks_batched(pre_strips, post_strips, tuple(min_range),
+                               filter_size))
+
+    limit_idx = {rl: i for i, rl in enumerate(min_range)}
+    ov_idx = {ov: i for i, ov in enumerate(overlaps_xy[axis])}
+    for pair_i, ((x, y), _) in enumerate(pairs):
+
+      def get_estimate(range_limit, overlap, pair_i=pair_i):
+        row = peaks[overlap][limit_idx[range_limit], pair_i]
+        return [row[0], row[1]], abs(row[3])
+
+      conn[:, 0, y, x] = _select_offset(
+          get_estimate, overlaps_xy[axis], min_range, min_overlap,
+          max(overlaps_xy[1 - axis]), axis)
+    conns.append(conn)
+
+  return conns[0], conns[1]
 
 
 def compute_coarse_offsets(

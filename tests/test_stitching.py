@@ -76,6 +76,26 @@ class TestCoarse:
     assert np.isnan(cx[0, 0, 1, 0])  # pair (0,1)-(1,1) missing
     assert np.isfinite(cx[0, 0, 0, 0])
 
+  def test_batched_matches_sequential(self):
+    kwargs = dict(overlaps_xy=((65, 75), (65, 75)), min_overlap=10)
+    cx, cy = stitch_rigid.compute_coarse_offsets((2, 2), self.tiles,
+                                                 **kwargs)
+    bx, by = stitch_rigid.compute_coarse_offsets_batched(
+        (2, 2), self.tiles, **kwargs)
+    np.testing.assert_array_equal(cx, bx)
+    np.testing.assert_array_equal(cy, by)
+
+  def test_batched_device_tiles_and_missing(self):
+    tiles = {k: jnp.asarray(v) for k, v in self.tiles.items()
+             if k != (1, 1)}
+    host = {k: self.tiles[k] for k in tiles}
+    kwargs = dict(overlaps_xy=((65, 75), (65, 75)), min_overlap=10)
+    cx, cy = stitch_rigid.compute_coarse_offsets((2, 2), host, **kwargs)
+    bx, by = stitch_rigid.compute_coarse_offsets_batched((2, 2), tiles,
+                                                         **kwargs)
+    np.testing.assert_array_equal(cx, bx)
+    np.testing.assert_array_equal(cy, by)
+
 
 class TestTileMeshForces:
 
@@ -165,6 +185,50 @@ class TestElastic2d:
     sel_img = np.s_[30:130, 30:130]
     rendered = canvas[sel_canvas].astype(np.float32)
     truth = img[sel_img].astype(np.float32)
+    valid = mask[sel_canvas]
+    assert valid.mean() > 0.9
+    err = np.abs(rendered - truth)[valid].mean()
+    assert err < 10.0, err
+
+    # Device-resident render must agree with the host render where both
+    # are valid (same inversion family, same Lanczos kernel; the margin
+    # mask is analytic instead of a warped indicator, so only
+    # border-adjacent pixels may differ in coverage).
+    from sofima_tpu.pipeline import montage
+    canvas_d, mask_d, _ = montage.render_tiles_device(
+        {k: jnp.asarray(v) for k, v in tiles.items()}, maps,
+        stride=stride[0], margin=4)
+    canvas_d, mask_d = np.asarray(canvas_d), np.asarray(mask_d)
+    both = mask_d & mask & (canvas > 0) & (canvas_d > 0)
+    assert both.mean() > 0.5
+    dev_err = np.abs(canvas_d - canvas)[both].mean()
+    assert dev_err < 1.0, dev_err
+    # Coverage must agree except at mask borders.
+    assert (mask_d ^ mask).mean() < 0.02
+
+
+class TestMontageDevice:
+
+  def test_montage_align_2d_end_to_end(self):
+    from sofima_tpu.pipeline import montage
+    img = _texture(260, seed=3)
+    tiles = {k: jnp.asarray(v) for k, v in _cut_tiles(img).items()}
+    cfg = montage.MontageConfig(
+        stride=20, patch_size=40, coarse_overlaps=(65, 75),
+        min_overlap=10, margin=4, flow_batch=16,
+        mesh_cfg=mesh.IntegrationConfig(
+            dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=(20.0, 20.0),
+            num_iters=400, max_iters=20000, stop_v_max=0.005,
+            dt_max=100.0))
+    out = montage.montage_align_2d(tiles, (2, 2), cfg)
+    canvas = np.asarray(out['canvas'])
+    mask = np.asarray(out['mask'])
+    solved, key_to_idx = out['solved'], out['key_to_idx']
+    shift = int(round(solved[0, key_to_idx[(0, 0)], 0, 0]))
+    shift_y = int(round(solved[1, key_to_idx[(0, 0)], 0, 0]))
+    sel_canvas = np.s_[30 + shift_y:130 + shift_y, 30 + shift:130 + shift]
+    rendered = canvas[sel_canvas].astype(np.float32)
+    truth = img[30:130, 30:130].astype(np.float32)
     valid = mask[sel_canvas]
     assert valid.mean() > 0.9
     err = np.abs(rendered - truth)[valid].mean()
