@@ -855,9 +855,13 @@ def main():
       warp_proc.StitchAndRender3dTiles._tile_meshes = None
       warp_proc.StitchAndRender3dTiles._tile_boxes = {}
       warp_proc.StitchAndRender3dTiles._inverted_meshes = {}
+      # One work box per tile render: the shared-compile shift path
+      # dispatches once per box, and the Pallas kernel is fastest on
+      # big boxes (0.65 GVox/s at 1088^2x48 vs 0.24 at 512^2x32 —
+      # scratch/probe_warp3d_run.py).
       proc3 = _Render(tile_map=[[0, 1], [2, 3]], tile_mesh_path=mesh_path,
                       stride=stride3, margin=8,
-                      work_size=(512, 512, 32))
+                      work_size=(640, 640, 64))
       sv3 = Subvol3(np.zeros((1,) + tuple(out_box.size[::-1]), np.float32),
                     out_box)
       return proc3.process(sv3).data[0]

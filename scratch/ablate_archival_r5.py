@@ -27,9 +27,12 @@ Writes scratch/ablate_archival_r5.json.
 
 import dataclasses
 import json
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, '/root/repo')
 
 
 def main():

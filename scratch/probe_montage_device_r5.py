@@ -3,9 +3,12 @@ per-phase wall clock + end-to-end error, warm and cold.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, '/root/repo')
 
 
 def main():

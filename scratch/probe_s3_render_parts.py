@@ -4,9 +4,12 @@ ndimage_warp), on the bench geometry (576^2 x 64 tiles, stride 16).
 """
 
 import json
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, '/root/repo')
 
 
 def tick(results, label, t0):

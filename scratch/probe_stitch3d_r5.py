@@ -6,10 +6,13 @@ render 93 s warm). Finds where stitch3d's >4250 s went.
 import functools
 import json
 import os
+import sys
 import tempfile
 import time
 
 import numpy as np
+
+sys.path.insert(0, '/root/repo')
 
 
 def main():
@@ -130,7 +133,7 @@ def main():
       warp_proc.StitchAndRender3dTiles._inverted_meshes = {}
     proc3 = _Render(tile_map=[[0, 1], [2, 3]], tile_mesh_path=mesh_path,
                     stride=stride3, margin=8,
-                    work_size=(512, 512, 32))
+                    work_size=(640, 640, 64))
     sv3 = Subvol3(np.zeros((1,) + tuple(out_box.size[::-1]), np.float32),
                   out_box)
     return proc3.process(sv3).data[0]

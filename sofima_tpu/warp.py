@@ -282,6 +282,171 @@ def _default_map_coordinates(data, coords, order):
                              order=order, mode='constant', cval=np.nan))
 
 
+# Test hook: force the shared-compile 3d path on CPU (Pallas interpret).
+_FORCE_SHARED_3D = False
+
+
+def _densify_box_3d(src_map_zyx, box_start, inv_stride, neg_off, box_shape):
+  """Trilinear map densification for one work box, fully on device.
+
+  `src_map_zyx`: [3, gz, gy, gx] absolute source coords at map nodes
+  (channels z, y, x); `box_start` [3] global output-voxel origin of the
+  box; returns [3, *box_shape] per-voxel source sampling coords.
+  """
+  coords = jnp.stack([
+      (box_start[a] + jax.lax.broadcasted_iota(jnp.float32, box_shape, a)
+       + neg_off[a]) * inv_stride[a] for a in range(3)
+  ])
+  return jnp.stack([
+      interp.grid_sample_linear(src_map_zyx[a], coords) for a in range(3)
+  ])
+
+
+@functools.partial(jax.jit, static_argnames=['box_shape'])
+def _dense_disp_stats_3d(src_map_zyx, box_start, inv_stride, neg_off,
+                         box_shape):
+  """[3, 2] per-axis (min, max) displacement of one box's dense map."""
+  dense = _densify_box_3d(src_map_zyx, box_start, inv_stride, neg_off,
+                          box_shape)
+  disp = jnp.stack([
+      dense[a] - jax.lax.broadcasted_iota(jnp.float32, box_shape, a)
+      - box_start[a] for a in range(3)
+  ])
+  flat = disp.reshape(3, -1)
+  return jnp.stack([jnp.nanmin(flat, axis=1), jnp.nanmax(flat, axis=1)],
+                   axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=['box_shape', 'win_shape', 'rng', 'method'])
+def _shared_shift_warp_3d(padded, src_map_zyx, box_start, shift, w0,
+                          inv_stride, neg_off, box_shape, win_shape, rng,
+                          method):
+  """Densify + window + Pallas shift warp of ONE work box, one dispatch.
+
+  All box-dependent quantities (`box_start`, `shift` = box origin +
+  integer base + shared lattice offset, `w0` = window start into the
+  padded volume) are DYNAMIC, and the displacement lattice (`rng`) is
+  shared across boxes — so every work box of a render (and the paired
+  image/weights warps) reuses ONE compiled program. This is what makes
+  `pallas_shift_warp_3d` (40-95 s Mosaic compile per static
+  configuration, scratch/probe_warp3d_compile.py) viable inside the
+  box-tiled `ndimage_warp` driver.
+  """
+  dense = _densify_box_3d(src_map_zyx, box_start, inv_stride, neg_off,
+                          box_shape)
+  dense_local = dense - shift[:, None, None, None]
+  win = jax.lax.dynamic_slice(padded, (w0[0], w0[1], w0[2]), win_shape)
+  from sofima_tpu.ops import pallas_warp
+  interpret = jax.default_backend() not in ('tpu', 'axon')
+  return pallas_warp.pallas_shift_warp_3d(
+      win, dense_local, method, 0, rng[0], 0, rng[1], 0, rng[2],
+      interpret=interpret)
+
+
+def _ndimage_warp_shared_3d(image, src_map, stride, gen, warped,
+                            offset_zyx, method):
+  """Shared-compile TPU path for 3d `ndimage_warp`.
+
+  Per-box shift-warp lattices compile a fresh Mosaic kernel for every
+  distinct (bounds, origin) combination — 40-95 s each on this relay —
+  while the kernel itself runs in ~35 ms (scratch/probe_warp3d_run.py:
+  0.24-0.65 GVox/s vs 0.01 for the XLA gather). This driver instead:
+
+    1. measures every box's exact dense displacement range on device
+       (6 scalars fetched per box),
+    2. derives ONE shared bucketed lattice + per-box integer bases,
+    3. pads the volume once so each box's source window is a
+       `dynamic_slice` (dynamic start, static shape), and
+    4. warps every box through the single jitted program above.
+
+  The dense maps never leave the device (the per-box gather path used
+  to round-trip ~100 MB/box through the host link). Returns the filled
+  `warped` array, or None when the shared lattice is unprofitable
+  (falls back to the per-box cost-model path).
+  """
+  from sofima_tpu.ops import shift_warp
+  taps = shift_warp._TAPS[method]
+
+  boxes = [gen.generate(i)[1] for i in range(gen.num_boxes)]
+  shapes = {tuple(int(v) for v in b.size[::-1]) for b in boxes}
+  if len(shapes) != 1:
+    return None  # mixed box shapes: let the per-box path handle it
+  box_shape = shapes.pop()
+
+  src_zyx = np.ascontiguousarray(src_map[::-1]).astype(np.float32)
+  src_j = jnp.asarray(src_zyx)
+  inv_stride = jnp.asarray([1.0 / s for s in stride], jnp.float32)
+  neg_off = jnp.asarray([-float(o) for o in offset_zyx[:3]], jnp.float32)
+
+  stats, starts = [], []
+  for b in boxes:
+    st = np.asarray(b.start[::-1], np.float32)
+    starts.append(st)
+    stats.append(np.asarray(_dense_disp_stats_3d(
+        src_j, jnp.asarray(st), inv_stride, neg_off, box_shape)))
+
+  live = [np.isfinite(s).all() for s in stats]
+  if not any(live):
+    return None
+  bases = np.zeros((len(boxes), 3), np.int64)
+  rel_lo = np.full(3, np.inf)
+  rel_hi = np.full(3, -np.inf)
+  for i, (s, ok) in enumerate(zip(stats, live)):
+    if not ok:
+      continue
+    bases[i] = np.rint((s[:, 0] + s[:, 1]) / 2.0).astype(np.int64)
+    rel_lo = np.minimum(rel_lo, s[:, 0] - bases[i])
+    rel_hi = np.maximum(rel_hi, s[:, 1] - bases[i])
+  bucket = 4
+  lo_s = (np.floor((rel_lo - 1) / bucket) * bucket).astype(np.int64)
+  hi_s = (np.ceil((rel_hi + 1) / bucket) * bucket).astype(np.int64)
+  rng = hi_s - lo_s
+
+  iters = float(np.prod(rng + taps))
+  if (int(rng.max()) > shift_warp.MAX_SHIFT_RANGE
+      or iters * shift_warp.PALLAS_SHIFT_COST_PER_ITER
+      >= taps**3 * shift_warp.GATHER_COST_PER_TAP):
+    return None
+
+  # Shared window geometry + padded volume (padded shape bucketed so
+  # similarly-sized tiles of one render share the compile).
+  win_shape = tuple(int(box_shape[a] + rng[a] + taps) for a in range(3))
+  shifts = np.stack([
+      st.astype(np.int64) + bases[i] + lo_s for i, st in enumerate(starts)
+  ])
+  vol = np.asarray(image.shape, np.int64)
+  m_lo = np.maximum(0, -shifts.min(axis=0))
+  end_need = (shifts + np.asarray(win_shape)).max(axis=0) + m_lo
+  pad_to = np.array([16, 64, 128], np.int64)
+  padded_dims = np.maximum(end_need, vol + m_lo)
+  padded_dims = -(-padded_dims // pad_to) * pad_to
+  m_hi = padded_dims - vol - m_lo
+  padded = jnp.pad(jnp.asarray(image.astype(np.float32)),
+                   tuple((int(a), int(b)) for a, b in zip(m_lo, m_hi)))
+
+  integer_out = np.issubdtype(image.dtype, np.integer)
+  for i, b in enumerate(boxes):
+    if live[i]:
+      w0 = shifts[i] + m_lo
+      assert (w0 >= 0).all() and (
+          w0 + np.asarray(win_shape) <= padded_dims).all()
+      sub = np.asarray(_shared_shift_warp_3d(
+          padded, src_j, jnp.asarray(starts[i]),
+          jnp.asarray(shifts[i].astype(np.float32)),
+          jnp.asarray(w0.astype(np.int32)), inv_stride, neg_off,
+          box_shape, win_shape, tuple(int(r) for r in rng), method))
+      if integer_out:
+        sub = np.rint(sub)
+    else:
+      sub = np.zeros(box_shape, np.float32)
+    out_sub = gen.index_to_cropped_box(i)
+    rel = out_sub.translate(-b.start)
+    warped[out_sub.to_slice3d()] = sub[rel.to_slice3d()].astype(
+        warped.dtype)
+  return warped
+
+
 def ndimage_warp(
     image: np.ndarray,
     coord_map: np.ndarray,
@@ -371,6 +536,16 @@ def ndimage_warp(
   use_builtin = map_coordinates is _default_map_coordinates
   order_method = {0: 'nearest', 1: 'linear', 3: 'cubic'}
   image_j = None
+
+  if (use_builtin and dim == 3 and order in order_method
+      and (_FORCE_SHARED_3D
+           or jax.devices()[0].platform in ('tpu', 'axon'))):
+    res = _ndimage_warp_shared_3d(image, src_map, stride, gen, warped,
+                                  offset_zyx, order_method[order])
+    if res is not None:
+      if orig_to_low is not None:
+        return _restore_labels(res.astype(np.int64), orig_to_low, old_uids)
+      return res.astype(image.dtype)
 
   def _shift_warp_box(dense, box_start_zyx):
     """Gather-free warp of one work box via the shift decomposition.

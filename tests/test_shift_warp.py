@@ -487,6 +487,33 @@ class TestNdimageWarpShiftPath:
     np.testing.assert_allclose(fast[2:-2, 4:-4, 4:-4], ref[2:-2, 4:-4, 4:-4],
                                atol=1e-4)
 
+  def test_3d_shared_compile_path_matches(self):
+    # The shared-lattice TPU path (one compiled program for all work
+    # boxes) must reproduce the per-box path, including a smooth
+    # spatially-varying map and a work grid with back-shifted edge
+    # boxes.
+    from sofima_tpu import warp as warp_lib
+    rng = np.random.RandomState(5)
+    vol = rng.rand(16, 48, 48).astype(np.float32)
+    cmap = np.zeros((3, 3, 4, 4), np.float32)
+    my = np.mgrid[:3, :4, :4].astype(np.float32)
+    cmap[0] = 2.0 + np.sin(my[1])          # dx
+    cmap[1] = -1.5 + 0.5 * np.cos(my[2])   # dy
+    cmap[2] = 0.5 * np.sin(my[0])          # dz
+    kwargs = dict(stride=(8, 16, 16), work_size=(32, 32, 8),
+                  overlap=(0, 0, 0), order=1)
+    ref = warp_lib.ndimage_warp(vol, cmap, **kwargs)
+    assert not warp_lib._FORCE_SHARED_3D
+    try:
+      warp_lib._FORCE_SHARED_3D = True
+      shared = warp_lib.ndimage_warp(vol, cmap, **kwargs)
+    finally:
+      warp_lib._FORCE_SHARED_3D = False
+    # Interior must agree with the gather reference; borders share the
+    # zero-padding convention of the per-box pallas path.
+    np.testing.assert_allclose(shared[2:-2, 4:-4, 4:-4],
+                               ref[2:-2, 4:-4, 4:-4], atol=1e-4)
+
 
 class TestPrunedTiledWarp:
   """Per-tile lattice pruning + device-side plans (round 3)."""
