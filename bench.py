@@ -734,40 +734,44 @@ def main():
       tms.append(time.perf_counter() - t0)
     tms.sort()
     t_m = tms[1]
-    canvas = np.asarray(out['canvas'])
-    mask_r = np.asarray(out['mask'])
     solved, key_to_idx = out['solved'], out['key_to_idx']
-    # Compare modulo the solver's global-translation gauge.
+    # Compare modulo the solver's global-translation gauge. Quality is
+    # DEVICE-reduced (the relay's bulk d2h runs at ~1 MB/s; fetching the
+    # 400 MB canvas would take minutes — scratch/probe_warp3d_run.py).
     sx = int(round(solved[0, key_to_idx[(0, 0)], 0, 0]))
     sy = int(round(solved[1, key_to_idx[(0, 0)], 0, 0]))
     lo, hi = tile_t // 4, n_m - tile_t // 4
-    c = canvas[lo + sy:hi + sy, lo + sx:hi + sx].astype(np.float32)
-    m_ = mask_r[lo + sy:hi + sy, lo + sx:hi + sx]
-    t_truth = img_m[lo:hi, lo:hi].astype(np.float32)
+    truth_m = jax.device_put(img_m[lo:hi, lo:hi].astype(np.float32))
+
+    @jax.jit
+    def montage_quality(canvas, mask_r, truth):
+      c = jax.lax.dynamic_slice(canvas, (lo + sy, lo + sx), truth.shape)
+      m_ = jax.lax.dynamic_slice(mask_r, (lo + sy, lo + sx), truth.shape)
+      err = jnp.sum(jnp.where(m_, jnp.abs(c - truth), 0.0))
+      cnt = jnp.sum(m_)
+      return err / jnp.maximum(cnt, 1), cnt / truth.size
+
+    err_m, cov_m = montage_quality(out['canvas'], out['mask'], truth_m)
     results['montage2d_s'] = round(t_m, 3)
     results['montage2d_spread_s'] = round(tms[-1] - tms[0], 3)
     results['montage2d_mpix_s'] = round(n_m * n_m / t_m / 1e6, 1)
-    results['montage2d_err'] = round(float(np.abs(c - t_truth)[m_].mean()),
-                                     3)
-    results['montage2d_coverage'] = round(float(m_.mean()), 4)
+    results['montage2d_err'] = round(float(err_m), 3)
+    results['montage2d_coverage'] = round(float(cov_m), 4)
     results['montage2d_overflow'] = bool(out['overflow'])
 
   _guard(results, 'montage2d', stage_montage2d)
 
   # ---- STITCH 3D (BASELINE scenario 4): 2x2 LICONN tile grid. ------------
   # Volumetric tile stitching end-to-end: fine 3d overlap flow (circular
-  # strip kernel) -> joint 3d elastic solve (26-neighbor stencil) ->
-  # distance-weighted blended render (StitchAndRender3dTiles). Median-of
-  # -3 of the complete chain, gated on montage-vs-source relative error.
+  # strip kernel, strips upload h2d) -> joint 3d elastic solve
+  # (26-neighbor stencil) -> distance-weighted blended render, fully
+  # device-resident (pipeline.stitch3d; the host StitchAndRender3dTiles
+  # twin is correctness-covered in tests/test_stitching3d.py — its
+  # per-work-box host round trips dominate on a relay-attached TPU).
+  # Median-of-3 of the complete chain, gated on montage-vs-source
+  # relative error, quality DEVICE-reduced.
   def stage_stitch3d():
-    import functools as _ft
-    import os
-    import tempfile
-    from sofima_tpu import stitch_elastic
-    from sofima_tpu.processor import warp as warp_proc
-    from sofima_tpu.utils import checkpoint as ckpt
-    from sofima_tpu.utils.bounding_box import BoundingBox as BBox3
-    from sofima_tpu.utils.subvolume import Subvolume as Subvol3
+    from sofima_tpu.pipeline import stitch3d
 
     zdim, tile_yx, overlap3 = 64, 576, 64
     step3t = tile_yx - overlap3  # 512
@@ -784,106 +788,78 @@ def main():
     vol3 = (vol3 - vol3.min()) / np.ptp(vol3) * 255.0
     del noise3, f3d
 
-    class _Tile:
-      def __init__(self, data_zyx):
-        self.data = np.ascontiguousarray(data_zyx)[np.newaxis]
-        self.shape = data_zyx.shape
-
-      def __getitem__(self, sel):
-        return self.data[sel]
-
-    tile_map = {}
+    tiles3 = {}
     for ty in range(2):
       for tx in range(2):
-        tile_map[(tx, ty)] = _Tile(
+        tiles3[(tx, ty)] = np.ascontiguousarray(
             vol3[:, ty * step3t:ty * step3t + tile_yx,
                  tx * step3t:tx * step3t + tile_yx])
+    dev_tiles3 = {k: jax.device_put(v) for k, v in tiles3.items()}
     stride3 = (16, 16, 16)
-    patch3s = (32, 32, 32)
-    cfg_s3 = mesh.IntegrationConfig(
-        dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=stride3,
-        num_iters=400, max_iters=10000, stop_v_max=0.005, dt_max=100.0)
-    out_box = BBox3(start=(16, 16, 8), size=(n3 - 32, n3 - 32, zdim - 16))
+    cfg_s3 = stitch3d.Stitch3dConfig(
+        stride=stride3, patch_size=(32, 32, 32), flow_batch=64, margin=8,
+        mesh_cfg=mesh.IntegrationConfig(
+            dt=0.001, gamma=0.0, k0=0.01, k=0.1, stride=stride3,
+            num_iters=400, max_iters=10000, stop_v_max=0.005,
+            dt_max=100.0))
 
-    def run_stitch3d(mesh_dir):
-      # Coarse offsets (xyz channels): x-pairs overlap by `overlap3` in
-      # x, y-pairs in y; unused pair slots stay NaN.
-      cx3 = np.full((3, 1, 2, 2), np.nan)
-      cx3[0, 0, :, 0] = -overlap3
-      cx3[1, 0, :, 0] = 0.0
-      cx3[2, 0, :, 0] = 0.0
-      cy3 = np.full((3, 1, 2, 2), np.nan)
-      cy3[0, 0, 0, :] = 0.0
-      cy3[1, 0, 0, :] = -overlap3
-      cy3[2, 0, 0, :] = 0.0
-      flows_x, off_x = stitch_elastic.compute_flow_map3d(
-          tile_map, tile_shape=(tile_yx, tile_yx, zdim), offset_map=cx3,
-          axis=0, patch_size=patch3s, stride=stride3, batch_size=64)
-      flows_y, off_y = stitch_elastic.compute_flow_map3d(
-          tile_map, tile_shape=(tile_yx, tile_yx, zdim), offset_map=cy3,
-          axis=1, patch_size=patch3s, stride=stride3, batch_size=64)
-      coarse3 = np.zeros((3, 1, 2, 2), np.float32)
-      for ty in range(2):
-        for tx in range(2):
-          coarse3[0, 0, ty, tx] = -overlap3 * tx
-          coarse3[1, 0, ty, tx] = -overlap3 * ty
-      fx_a, fy_a, x0, nbors, key_to_idx = stitch_elastic.aggregate_arrays(
-          (cx3[:, 0], flows_x, off_x), (cy3[:, 0], flows_y, off_y),
-          list(tile_map.keys()), coarse3[:, 0], stride3,
-          tile_shape=(zdim, tile_yx, tile_yx))
-      fx_j, fy_j = jnp.asarray(fx_a), jnp.asarray(fy_a)
-      nbors_j = jnp.asarray(nbors)
+    # Coarse offsets (xyz channels): x-pairs overlap by `overlap3` in
+    # x, y-pairs in y; unused pair slots stay NaN.
+    cx3 = np.full((3, 1, 2, 2), np.nan)
+    cx3[0, 0, :, 0] = -overlap3
+    cx3[1, 0, :, 0] = 0.0
+    cx3[2, 0, :, 0] = 0.0
+    cy3 = np.full((3, 1, 2, 2), np.nan)
+    cy3[0, 0, 0, :] = 0.0
+    cy3[1, 0, 0, :] = -overlap3
+    cy3[2, 0, 0, :] = 0.0
+    coarse3 = np.zeros((3, 1, 2, 2), np.float32)
+    for ty in range(2):
+      for tx in range(2):
+        coarse3[0, 0, ty, tx] = -overlap3 * tx
+        coarse3[1, 0, ty, tx] = -overlap3 * ty
 
-      def prev_fn(x):
-        tgt = jax.vmap(_ft.partial(
-            stitch_elastic.compute_target_mesh, x=x, fx=fx_j, fy=fy_j,
-            stride=stride3))(nbors_j)
-        return jnp.moveaxis(tgt, 0, 1)
+    def run_stitch3d():
+      out = stitch3d.stitch_and_render_3d(tiles3, cx3, cy3, coarse3,
+                                          cfg_s3, device_tiles=dev_tiles3)
+      # Barrier: reduced scalar fetch (block_until_ready returns before
+      # remote execution completes on this relay).
+      out['checksum'] = float(jnp.sum(out['canvas']))
+      return out
 
-      solved, _, _ = mesh.relax_mesh(jnp.asarray(x0), None, cfg_s3,
-                                     prev_fn=prev_fn,
-                                     mesh_force=mesh.elastic_mesh_3d)
-      mesh_path = os.path.join(mesh_dir, 'meshes.npz')
-      ckpt.save_mesh_npz(mesh_path, np.asarray(solved), key_to_idx)
-
-      class _Render(warp_proc.StitchAndRender3dTiles):
-        def _open_tile_volume(self, tile_id):
-          return tile_map[((tile_id % 2), (tile_id // 2))].data[0]
-
-      # Reset the class-level caches: each timed run must pay the real
-      # per-run work (mesh inversion included).
-      warp_proc.StitchAndRender3dTiles._tile_meshes = None
-      warp_proc.StitchAndRender3dTiles._tile_boxes = {}
-      warp_proc.StitchAndRender3dTiles._inverted_meshes = {}
-      # One work box per tile render: the shared-compile shift path
-      # dispatches once per box, and the Pallas kernel is fastest on
-      # big boxes (0.65 GVox/s at 1088^2x48 vs 0.24 at 512^2x32 —
-      # scratch/probe_warp3d_run.py).
-      proc3 = _Render(tile_map=[[0, 1], [2, 3]], tile_mesh_path=mesh_path,
-                      stride=stride3, margin=8,
-                      work_size=(640, 640, 64))
-      sv3 = Subvol3(np.zeros((1,) + tuple(out_box.size[::-1]), np.float32),
-                    out_box)
-      return proc3.process(sv3).data[0]
-
-    with tempfile.TemporaryDirectory() as tmp3:
-      run_stitch3d(tmp3)  # warmup (compiles)
-      t3s = []
-      for _ in range(3):
-        t0 = time.perf_counter()
-        rendered3 = run_stitch3d(tmp3)
-        t3s.append(time.perf_counter() - t0)
+    run_stitch3d()  # warmup (compiles)
+    t3s, out3 = [], None
+    for _ in range(3):
+      t0 = time.perf_counter()
+      out3 = run_stitch3d()
+      t3s.append(time.perf_counter() - t0)
     t3s.sort()
     t_s3 = t3s[1]
-    mask3r = rendered3 > 0
-    truth3 = vol3[8:8 + (zdim - 16), 16:16 + (n3 - 32), 16:16 + (n3 - 32)]
-    rel3 = float(np.abs(rendered3 - truth3)[mask3r].mean() / truth3.std())
-    n_out_vox = int(np.prod(out_box.size))
+
+    # Quality, device-reduced: the canvas reproduces the source volume
+    # over the covered interior (z/y/x borders trimmed one overlap).
+    lo_z, lo_yx = 8, 16
+    truth3 = jax.device_put(
+        vol3[lo_z:zdim - lo_z, lo_yx:n3 - lo_yx, lo_yx:n3 - lo_yx])
+
+    @jax.jit
+    def stitch3d_quality(canvas, weights, truth):
+      c = canvas[lo_z:zdim - lo_z, lo_yx:n3 - lo_yx, lo_yx:n3 - lo_yx]
+      w = weights[lo_z:zdim - lo_z, lo_yx:n3 - lo_yx, lo_yx:n3 - lo_yx]
+      m = w > 0
+      err = jnp.sum(jnp.where(m, jnp.abs(c - truth), 0.0))
+      cnt = jnp.sum(m)
+      return (err / jnp.maximum(cnt, 1) / jnp.std(truth),
+              cnt / truth.size)
+
+    rel3, cov3 = stitch3d_quality(out3['canvas'], out3['weights'], truth3)
+    n_out_vox = zdim * n3 * n3  # the stitched union volume
     results['stitch3d_s'] = round(t_s3, 3)
     results['stitch3d_spread_s'] = round(t3s[-1] - t3s[0], 3)
     results['stitch3d_mvox_s'] = round(n_out_vox / t_s3 / 1e6, 1)
-    results['stitch3d_rel_err'] = round(rel3, 4)
-    results['stitch3d_coverage'] = round(float(mask3r.mean()), 4)
+    results['stitch3d_solve_steps'] = int(out3['solve_steps'])
+    results['stitch3d_rel_err'] = round(float(rel3), 4)
+    results['stitch3d_coverage'] = round(float(cov3), 4)
 
   _guard(results, 'stitch3d', stage_stitch3d)
 

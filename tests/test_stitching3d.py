@@ -164,3 +164,28 @@ class TestFlowMap3d:
     err = np.abs(rendered - truth)[mask].mean()
     rel = err / truth.std()
     assert rel < 0.8, (err, truth.std())
+
+    # ---- Device-resident chain (pipeline.stitch3d) must agree. ----------
+    from sofima_tpu.pipeline import stitch3d
+    cfg3 = stitch3d.Stitch3dConfig(
+        stride=(8, 8, 8), patch_size=(16, 16, 16), flow_batch=8,
+        margin=2, mesh_cfg=cfg)
+    out = stitch3d.stitch_and_render_3d({(0, 0): t0, (1, 0): t1}, cx, cy,
+                                        coarse, cfg3)
+    canvas = np.asarray(out['canvas'])
+    weights = np.asarray(out['weights'])
+    assert canvas.shape == (24, 48, 96)
+    # Same gauge/flows as the staged chain above: the canvas reproduces
+    # the source volume over its covered interior.
+    sel = np.s_[4:16, 8:40, 0:72]
+    m2 = weights[sel] > 0
+    assert m2.mean() > 0.5
+    rel2 = np.abs(canvas[sel] - truth)[m2].mean() / truth.std()
+    assert rel2 < 0.8, rel2
+    # And agrees with the host processor's blended render where both
+    # rendered (same EDT weights, same trilinear kernel; inversion
+    # iteration counts differ slightly).
+    both = m2 & mask
+    assert both.mean() > 0.4
+    diff = np.abs(canvas[sel] - rendered)[both].mean()
+    assert diff < 2.0, diff
