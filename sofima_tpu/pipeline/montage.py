@@ -227,16 +227,37 @@ def render_tiles_device(
     height, width = ty * (max_y + 1), tx * (max_x + 1)
   s = int(stride)
 
-  # Integer mean offsets (host; the maps are tiny) + residual bound.
+  # Integer mean offsets + residual bound. Device coord_maps (jnp) are
+  # stats-reduced ON DEVICE and fetched as one [2n+1]-float vector —
+  # the solved meshes never cross the link per run (the relay's bulk
+  # d2h otherwise dominates the warm chain); host maps keep the
+  # reference numpy path.
   offs, resids = {}, {}
-  max_resid = 0.0
-  for key, cmap in coord_maps.items():
-    m = np.asarray(cmap)[:, 0]  # [2, gy, gx]
-    off = np.round([np.nanmean(m[0]), np.nanmean(m[1])]).astype(int)
-    offs[key] = off
-    resids[key] = m - off[:, None, None]
-    if np.isfinite(resids[key]).any():
-      max_resid = max(max_resid, float(np.nanmax(np.abs(resids[key]))))
+  keys_cm = list(coord_maps.keys())
+  if keys_cm and isinstance(coord_maps[keys_cm[0]], jnp.ndarray):
+    stacked = jnp.stack([coord_maps[k][:, 0] for k in keys_cm], axis=1)
+    flat = stacked.reshape(2, len(keys_cm), -1)
+    means_d = jnp.round(jnp.nan_to_num(jnp.nanmean(flat, axis=-1)))
+    resid_d = jnp.abs(flat - means_d[..., None])
+    rmax_d = jnp.nanmax(jnp.where(jnp.isnan(resid_d), 0.0, resid_d))
+    stats = np.asarray(
+        jnp.concatenate([means_d.reshape(-1), rmax_d[None]]))
+    means = stats[:-1].reshape(2, len(keys_cm))
+    max_resid = float(stats[-1])
+    for j, key in enumerate(keys_cm):
+      off = means[:, j].astype(int)
+      offs[key] = off
+      resids[key] = stacked[:, j] - jnp.asarray(off, jnp.float32)[:, None,
+                                                                  None]
+  else:
+    max_resid = 0.0
+    for key, cmap in coord_maps.items():
+      m = np.asarray(cmap)[:, 0]  # [2, gy, gx]
+      off = np.round([np.nanmean(m[0]), np.nanmean(m[1])]).astype(int)
+      offs[key] = off
+      resids[key] = m - off[:, None, None]
+      if np.isfinite(resids[key]).any():
+        max_resid = max(max_resid, float(np.nanmax(np.abs(resids[key]))))
 
   bound_nodes = int(-(-(max_resid + 2.0) // s)) + 1
   bound_nodes = -(-bound_nodes // 4) * 4  # bucket: stable compiles
@@ -321,8 +342,10 @@ def montage_align_2d(tiles: dict[TileXY, jnp.ndarray],
 
   solved, _, steps = mesh.relax_mesh(jnp.asarray(x0), None, cfg.mesh_cfg,
                                      prev_fn=prev_fn)
-  solved = np.asarray(solved)
 
+  # Device slices: render_tiles_device stats-reduces them on device, so
+  # the solved meshes never cross the link (callers np.asarray(solved)
+  # if they need host values).
   maps = {k: solved[:, i:i + 1] for k, i in key_to_idx.items()}
   canvas, cmask, overflow = render_tiles_device(
       tiles, maps, stride=s, margin=cfg.margin, cfg=cfg)

@@ -14,10 +14,12 @@ module keeps the whole chain in HBM:
   2. SOLVE   joint 26-neighbor elastic solve of all tile meshes
              (mesh.relax_mesh + vmapped compute_target_mesh prev_fn)
   3. RENDER  per tile: fixed-point/Newton 3d map inversion + harmonic
-             fill + trilinear Pallas shift warp of the tile AND its
-             distance-transform blend weights + weighted accumulation
-             into a device canvas (`render_stitched_3d`). Only scalar
-             statistics ever cross the device->host link.
+             fill + trilinear Pallas shift warp of the tile, blend
+             weights evaluated in closed form at the source coords
+             (the 2d EDT of a rectangular margin mask is the min of
+             axis distances), then weighted accumulation into a device
+             canvas (`render_stitched_3d`). Only tiny statistics ever
+             cross the device->host link.
 
 The host processor (processor.warp.StitchAndRender3dTiles) remains the
 reference-parity path; this is its TPU twin (same distance-weighted
@@ -36,7 +38,6 @@ import numpy as np
 from sofima_tpu import map_utils
 from sofima_tpu import mesh
 from sofima_tpu import stitch_elastic
-from sofima_tpu.ops import edt as edt_ops
 from sofima_tpu.ops import fill as fill_ops
 from sofima_tpu.warp import _densify_box_3d
 
@@ -67,23 +68,32 @@ class Stitch3dConfig:
 
 @functools.partial(
     jax.jit,
-    static_argnames=['stride', 'pad_nodes', 'bound_px', 'fp_iters',
+    static_argnames=['stride', 'pad_nodes', 'bounds_px', 'fp_iters',
                      'newton_iters'])
-def _render_tile_3d(tile: jnp.ndarray, dts: jnp.ndarray,
+def _render_tile_3d(tile: jnp.ndarray, edges: jnp.ndarray,
                     resid_rel: jnp.ndarray, stride: tuple[int, int, int],
-                    pad_nodes: int, bound_px: int, fp_iters: int,
-                    newton_iters: int):
+                    pad_nodes: int, bounds_px: tuple[int, int, int],
+                    fp_iters: int, newton_iters: int):
   """Warps ONE tile + its blend weights by its solved mesh, on device.
 
   Args:
     tile: [tz, ty, tx] tile image (float32)
-    dts: [ty, tx] 2d distance-transform blend weights (broadcast over z)
+    edges: [4] (y_lo, y_hi, x_lo, x_hi) blend-weight anchors: the blend
+      weight at source position (sy, sx) is
+      max(min(sy - y_lo, y_hi - sy, sx - x_lo, x_hi - sx), 0) — the
+      CLOSED FORM of the reference's 2d EDT of the rectangular margin
+      mask (inside a rectangle the nearest zero pixel is axis-aligned),
+      evaluated at the warp's source coords instead of warping a
+      distance image (sub-pixel-equivalent, saves the second 3d warp)
     resid_rel: [3 (x, y, z), gz, gy, gx] relative solved mesh minus the
       tile's integer mean offset (the mean is applied at paste time)
     stride: mesh node spacing (sz, sy, sx)
     pad_nodes: output halo beyond the tile extent, in nodes
-    bound_px: static bound on the residual displacement (px; the Pallas
-      lattice half-width — sized from the solved mesh, bucketed)
+    bounds_px: static per-axis (z, y, x) bounds on the residual
+      displacement (px; the Pallas lattice half-widths — sized from the
+      solved mesh per axis, bucketed; the z-extent of stitch meshes is
+      typically a fraction of the in-plane extent, and lattice cost is
+      the PRODUCT of the per-axis spans)
     fp_iters/newton_iters: map inversion iterations
 
   Returns:
@@ -144,17 +154,25 @@ def _render_tile_3d(tile: jnp.ndarray, dts: jnp.ndarray,
       out_shape)
 
   from sofima_tpu.ops import pallas_warp
-  bb = int(bound_px)
+  bz, by, bx = int(bounds_px[0]), int(bounds_px[1]), int(bounds_px[2])
   pad_z, pad_y, pad_x = p * sz, p * sy, p * sx
-  dts3 = jnp.broadcast_to(dts[None], tile.shape).astype(jnp.float32)
   warped = pallas_warp.pallas_shift_warp_3d(
-      tile.astype(jnp.float32), dense, 'linear', -bb, bb, -bb, bb, -bb,
-      bb, origin_z=-pad_z, origin_y=-pad_y, origin_x=-pad_x,
+      tile.astype(jnp.float32), dense, 'linear', -bz, bz, -by, by, -bx,
+      bx, origin_z=-pad_z, origin_y=-pad_y, origin_x=-pad_x,
       interpret=interpret)
-  warped_dts = pallas_warp.pallas_shift_warp_3d(
-      dts3, dense, 'linear', -bb, bb, -bb, bb, -bb, bb,
-      origin_z=-pad_z, origin_y=-pad_y, origin_x=-pad_x,
-      interpret=interpret)
+
+  # Analytic blend weights at the source coords (see `edges`); zeroed
+  # where the sample falls outside the tile volume, mirroring the
+  # warp's outside-volume zeros on the old warped-distance-image path.
+  src_z, src_y, src_x = dense[0], dense[1], dense[2]
+  tz = tile.shape[0]
+  tyy, txx = tile.shape[1], tile.shape[2]
+  wdts = jnp.minimum(
+      jnp.minimum(src_y - edges[0], edges[1] - src_y),
+      jnp.minimum(src_x - edges[2], edges[3] - src_x))
+  inside = ((src_z > -1.0) & (src_z < tz) & (src_y > -1.0) & (src_y < tyy)
+            & (src_x > -1.0) & (src_x < txx))
+  warped_dts = jnp.where(inside, jnp.maximum(wdts, 0.0), 0.0)
   return warped, warped_dts
 
 
@@ -188,7 +206,9 @@ def render_stitched_3d(
 
   Args:
     tiles: (x, y) -> [tz, ty, tx] device arrays
-    solved: [3 (x, y, z), n, gz, gy, gx] solved meshes
+    solved: [3 (x, y, z), n, gz, gy, gx] solved meshes (jnp device
+      array: per-tile stats are device-reduced and fetched as one tiny
+      vector; np host array: reference host path)
     key_to_idx: (x, y) -> mesh index
     cfg: chain configuration
     yx_shape: tile grid shape (inferred from keys if omitted)
@@ -207,24 +227,55 @@ def render_stitched_3d(
     yx_shape = (max(y for _, y in tiles) + 1, max(x for x, _ in tiles) + 1)
   sz, sy, sx = cfg.stride
 
-  # Integer mean offsets (host; meshes are tiny) + residual bound.
+  # Integer mean offsets + residual bound. With a DEVICE `solved`, the
+  # full mesh never crosses the link — one [3n+1]-float stats fetch
+  # replaces the per-run mesh pull (the relay's bulk d2h dominates the
+  # warm chain otherwise; scratch/probe_s3_phases_r5.py).
   offs, resids = {}, {}
-  max_resid = 0.0
-  for key, i in key_to_idx.items():
-    if key not in tiles:
-      continue
-    m = np.asarray(solved[:, i])  # [3, gz, gy, gx]
-    off = np.round([np.nanmean(m[0]), np.nanmean(m[1]),
-                    np.nanmean(m[2])]).astype(int)
-    offs[key] = off
-    resids[key] = (m - off[:, None, None, None]).astype(np.float32)
-    if np.isfinite(resids[key]).any():
-      max_resid = max(max_resid, float(np.nanmax(np.abs(resids[key]))))
+  if isinstance(solved, jnp.ndarray):
+    n_m = solved.shape[1]
+    flat = solved.reshape(3, n_m, -1)
+    means_d = jnp.round(jnp.nan_to_num(jnp.nanmean(flat, axis=-1)))
+    resid_d = jnp.abs(flat - means_d[..., None])
+    resid_max_d = jnp.max(
+        jnp.where(jnp.isnan(resid_d), 0.0, resid_d), axis=(1, 2))  # [3] xyz
+    stats = np.asarray(jnp.concatenate([means_d.reshape(-1), resid_max_d]))
+    means = stats[:-3].reshape(3, n_m)
+    max_resid_xyz = stats[-3:]
+    for key, i in key_to_idx.items():
+      if key not in tiles:
+        continue
+      off = means[:, i].astype(int)
+      offs[key] = off
+      resids[key] = (solved[:, i]
+                     - jnp.asarray(off, jnp.float32)[:, None, None, None])
+  else:
+    max_resid_xyz = np.zeros(3)
+    for key, i in key_to_idx.items():
+      if key not in tiles:
+        continue
+      m = np.asarray(solved[:, i])  # [3, gz, gy, gx]
+      off = np.round([np.nanmean(m[0]), np.nanmean(m[1]),
+                      np.nanmean(m[2])]).astype(int)
+      offs[key] = off
+      resids[key] = (m - off[:, None, None, None]).astype(np.float32)
+      if np.isfinite(resids[key]).any():
+        max_resid_xyz = np.maximum(
+            max_resid_xyz,
+            np.nanmax(np.abs(resids[key]).reshape(3, -1), axis=-1))
 
-  # Static lattice half-width: residual + 1 px inversion slack, bucketed
-  # to 4 so repeated scenarios reuse the compile.
-  bound_px = int(-(-(max_resid + 2.0) // 4) * 4)
-  pad_nodes = max(cfg.pad_nodes, -(-bound_px // min(sz, sy, sx)) + 1)
+  # Static per-axis lattice half-widths: residual + 1 px inversion
+  # slack, bucketed (z to 2, y/x to 4) so repeated scenarios reuse the
+  # compile. The kernel lattice cost is the product of the per-axis
+  # spans and stitch meshes displace far less in z than in-plane, so a
+  # tight z bound is a multiplicative win (scratch/probe_s3_phases_r5).
+  def _bucket(v, b):
+    return int(-(-(float(v) + 2.0) // b) * b)
+
+  bounds_px = (_bucket(max_resid_xyz[2], 2), _bucket(max_resid_xyz[1], 4),
+               _bucket(max_resid_xyz[0], 4))
+  pad_nodes = max(cfg.pad_nodes,
+                  -(-max(bounds_px) // min(sz, sy, sx)) + 1)
 
   pad_z, pad_y, pad_x = pad_nodes * sz, pad_nodes * sy, pad_nodes * sx
   max_off = max(int(np.abs(o).max()) for o in offs.values())
@@ -234,36 +285,30 @@ def render_stitched_3d(
   img_acc = jnp.zeros(canvas_shape, jnp.float32)
   w_acc = jnp.zeros(canvas_shape, jnp.float32)
 
-  # 2d blend weights per tile position (host EDT on a [ty, tx] mask;
-  # uploaded once per position — processor._blend_weights semantics).
-  dts_cache = {}
-
-  def blend_weights(txi, tyi):
-    # Mirrors processor.warp.StitchAndRender3dTiles._blend_weights:
-    # margin trimmed at interior edges, 1 px at grid-boundary edges.
-    edge = (txi == 0, txi == yx_shape[1] - 1, tyi == 0,
-            tyi == yx_shape[0] - 1)
-    if edge not in dts_cache:
-      m = np.zeros((ty, tx), bool)
-      if cfg.margin > 0:
-        x0 = cfg.margin if not edge[0] else 0
-        x1 = -cfg.margin if not edge[1] else -1
-        y0 = cfg.margin if not edge[2] else 0
-        y1 = -cfg.margin if not edge[3] else -1
-        m[y0:y1, x0:x1] = True
-      else:
-        m[...] = True
-      dts_cache[edge] = jnp.asarray(
-          edt_ops.edt(m, black_border=True).astype(np.float32))
-    return dts_cache[edge]
+  # Blend-weight anchors per tile position. The reference
+  # (processor.warp.StitchAndRender3dTiles._blend_weights) computes the
+  # 2d EDT of the rectangular margin mask — margin trimmed at interior
+  # edges, 1 px at grid-boundary edges — and warps the distance image;
+  # inside a rectangle the EDT is exactly min(axis distances to the
+  # mask edges), so the kernel evaluates that closed form at the source
+  # coords instead (one warp per tile instead of two).
+  def blend_edges(txi, tyi):
+    if cfg.margin > 0:
+      x_lo = (cfg.margin if txi > 0 else 0) - 1.0
+      x_hi = float(tx - (cfg.margin if txi < yx_shape[1] - 1 else 1))
+      y_lo = (cfg.margin if tyi > 0 else 0) - 1.0
+      y_hi = float(ty - (cfg.margin if tyi < yx_shape[0] - 1 else 1))
+    else:
+      x_lo, x_hi, y_lo, y_hi = -1.0, float(tx), -1.0, float(ty)
+    return jnp.asarray([y_lo, y_hi, x_lo, x_hi], jnp.float32)
 
   for key, i in key_to_idx.items():
     tile = tiles.get(key)
     if tile is None:
       continue
     warped, warped_dts = _render_tile_3d(
-        jnp.asarray(tile, jnp.float32), blend_weights(key[0], key[1]),
-        jnp.asarray(resids[key]), (sz, sy, sx), pad_nodes, bound_px,
+        jnp.asarray(tile, jnp.float32), blend_edges(key[0], key[1]),
+        jnp.asarray(resids[key]), (sz, sy, sx), pad_nodes, bounds_px,
         cfg.invert_fp_iters, cfg.invert_newton_iters)
     z0 = int(offs[key][2]) - pad_z + pc
     y0 = ty * key[1] + int(offs[key][1]) - pad_y + pc
@@ -290,11 +335,12 @@ def stitch_and_render_3d(tiles: dict[TileXY, np.ndarray],
                          = None):
   """End-to-end 3d stitch: fine flow -> joint solve -> blended render.
 
-  `tiles` should be HOST arrays: the fine-flow phase slices overlap
-  strips on the host and uploads them (host->device is the fast
-  direction on a relay; device->host strip pulls would dominate). The
-  render phase uploads each tile once — or reuses `device_tiles` when
-  the caller already holds them in HBM (e.g. a timed benchmark loop).
+  Each tile is uploaded ONCE (or reused from `device_tiles` when the
+  caller already holds them in HBM, e.g. a timed benchmark loop); the
+  fine-flow phase slices overlap strips on device, the solve and render
+  stay device-resident, and only tiny statistics cross the link
+  (per-run link traffic is O(mesh nodes), not O(voxels) — both link
+  directions on a relay-attached TPU run at single-digit MB/s).
 
   Args:
     tiles: (x, y) -> [tz, ty, tx] host arrays
@@ -313,18 +359,25 @@ def stitch_and_render_3d(tiles: dict[TileXY, np.ndarray],
                 int(any_tile.shape[2]))
   yx_shape = (offset_x.shape[-2], offset_x.shape[-1])
 
+  # One upload per tile; the flow phase then slices overlap strips ON
+  # DEVICE (compute_flow_map3d passes jnp slices straight to the strip
+  # kernel), so no bulk data crosses the link per run.
+  if device_tiles is None:
+    device_tiles = {k: jnp.asarray(np.asarray(t), jnp.float32)
+                    for k, t in tiles.items()}
+
   class _TileView:
-    """[1, z, y, x] array-like over a host tile, as compute_flow_map3d
-    expects."""
+    """[1, z, y, x] array-like over a tile, as compute_flow_map3d
+    expects; holds a device array so slices stay in HBM."""
 
     def __init__(self, t):
-      self._t = np.asarray(t)
-      self.shape = (1,) + tuple(int(s) for s in self._t.shape)
+      self._t = t
+      self.shape = (1,) + tuple(int(s) for s in t.shape)
 
     def __getitem__(self, sel):
-      return self._t[np.newaxis][sel]
+      return self._t[None][sel]
 
-  tile_views = {k: _TileView(t) for k, t in tiles.items()}
+  tile_views = {k: _TileView(device_tiles[k]) for k in tiles}
   flows_x, off_x = stitch_elastic.compute_flow_map3d(
       tile_views, tile_shape=(tx, ty, tz), offset_map=offset_x, axis=0,
       patch_size=cfg.patch_size, stride=cfg.stride,
@@ -350,11 +403,7 @@ def stitch_and_render_3d(tiles: dict[TileXY, np.ndarray],
   solved, _, steps = mesh.relax_mesh(jnp.asarray(x0), None, cfg.mesh_cfg,
                                      prev_fn=prev_fn,
                                      mesh_force=mesh.elastic_mesh_3d)
-  solved = np.asarray(solved)
 
-  if device_tiles is None:
-    device_tiles = {k: jnp.asarray(np.asarray(t), jnp.float32)
-                    for k, t in tiles.items()}
   canvas, w_acc = render_stitched_3d(device_tiles, solved, key_to_idx,
                                      cfg, yx_shape=yx_shape)
   return dict(canvas=canvas, weights=w_acc, solved=solved,

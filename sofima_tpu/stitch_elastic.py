@@ -214,18 +214,25 @@ def compute_flow_map3d(
       final[axis] = -isec_curr.size[axis]
       offsets[(x, y)] = tuple(int(v) for v in final)
 
-      pre = np.asarray(tile_pre[isec_curr.to_slice4d()]).squeeze(axis=0)
-      post = np.asarray(tile_post[isec_nbor.to_slice4d()]).squeeze(axis=0)
+      # Keep device-resident slices on device (zero link traffic when
+      # the tile views hold HBM arrays — pipeline.stitch3d); host
+      # array-likes (volume views) materialize to numpy as before.
+      def _take(view, sel):
+        r = view[sel]
+        return r if isinstance(r, jnp.ndarray) else np.asarray(r)
+
+      pre = _take(tile_pre, isec_curr.to_slice4d()).squeeze(axis=0)
+      post = _take(tile_post, isec_nbor.to_slice4d()).squeeze(axis=0)
       assert pre.shape == post.shape
 
       pre_mask = post_mask = None
       if mask_map is not None:
         if (x, y) in mask_map:
-          pre_mask = np.asarray(
-              mask_map[(x, y)][isec_curr.to_slice4d()]).squeeze(axis=0)
+          pre_mask = _take(mask_map[(x, y)],
+                           isec_curr.to_slice4d()).squeeze(axis=0)
         if (nx, ny) in mask_map:
-          post_mask = np.asarray(
-              mask_map[(nx, ny)][isec_nbor.to_slice4d()]).squeeze(axis=0)
+          post_mask = _take(mask_map[(nx, ny)],
+                            isec_nbor.to_slice4d()).squeeze(axis=0)
 
       if (flow_mode == 'circular' and pre.shape == post.shape
           and all(p % s == 0 for p, s in zip(patch_size, stride))):
@@ -238,9 +245,12 @@ def compute_flow_map3d(
             post_mask=(None if post_mask is None
                        else jnp.asarray(post_mask))))
       else:
-        f = mfc.flow_field(pre, post, pre_mask=pre_mask,
-                           post_mask=post_mask, patch_size=patch_size,
-                           step=stride, batch_size=batch_size)
+        # The padfield driver is host-batched: materialize device slices.
+        f = mfc.flow_field(
+            np.asarray(pre), np.asarray(post),
+            pre_mask=None if pre_mask is None else np.asarray(pre_mask),
+            post_mask=None if post_mask is None else np.asarray(post_mask),
+            patch_size=patch_size, step=stride, batch_size=batch_size)
       flows[(x, y)] = np.pad(
           f, [[0, 0]] + [[p, p - 1] for p in pad_zyx],
           constant_values=np.nan)
